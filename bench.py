@@ -1,0 +1,191 @@
+"""Headline benchmark: multimodal BNN inference throughput, 20 MC samples.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "patches/sec/chip", "vs_baseline": N}
+
+* value       — patches/sec/chip of the jitted JAX/TPU predict step on the
+                full 3x-ResNet-50 multimodal BNN (batch 4 x 20 MC, the
+                reference's operating point — BASELINE.md).
+* vs_baseline — value / (CPU PyTorch reference throughput). The reference
+                stack (torchvision + bayesian-torch) is not installable
+                here, so the denominator is measured from a faithful torch
+                re-implementation of the same forward (3x ResNet-50 +
+                additive-attention fusion) *without* per-draw weight
+                re-sampling — i.e. the CPU baseline is given a handicap, so
+                vs_baseline is a conservative lower bound. Cached in
+                BASELINE_LOCAL.json after first measurement.
+
+Usage: python bench.py [--batch 4] [--num-mc 20] [--iters 5] [--mc-chunk 1]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, "BASELINE_LOCAL.json")
+
+
+def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
+                impl: str = "auto") -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_auv_tpu.config import BNNPriorSpec
+    from multimodal_auv_tpu.engine.predict import make_predict_step
+    from multimodal_auv_tpu.models.model_utils import ArchConfig, make_multimodal_bundle
+
+    bundle = make_multimodal_bundle(7, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                    ArchConfig())
+    step = make_predict_step(bundle, num_mc, mc_chunk=mc_chunk, impl=impl)
+
+    s = 256
+    key = jax.random.PRNGKey(1)
+    main = jax.random.uniform(key, (batch, s, s, 3), jnp.float32)
+    bathy = jax.random.uniform(key, (batch, s, s, 3), jnp.float32)
+    sss = jax.random.uniform(key, (batch, s, s, 1), jnp.float32)
+    inputs = (main, bathy, sss)
+
+    # compile + warmup
+    out = step(bundle.post, bundle.batch_stats, inputs, key)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = step(bundle.post, bundle.batch_stats, inputs,
+                   jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def measure_torch_cpu(batch: int, num_mc: int) -> float:
+    """CPU PyTorch denominator: 3x ResNet-50 + fusion forward, num_mc times
+    per batch (deterministic weights — a handicap in the baseline's favor).
+    Extrapolated from 2 MC draws to keep the measurement affordable."""
+    import torch
+    import torch.nn as nn
+
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, planes, stride=1):
+            super().__init__()
+            cout = planes * 4
+            self.conv1 = nn.Conv2d(cin, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = nn.Conv2d(planes, cout, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(cout)
+            self.relu = nn.ReLU(inplace=True)
+            self.down = None
+            if stride != 1 or cin != cout:
+                self.down = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    nn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            idt = x if self.down is None else self.down(x)
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.relu(self.bn2(self.conv2(y)))
+            y = self.bn3(self.conv3(y))
+            return self.relu(y + idt)
+
+    class ResNet50(nn.Module):
+        def __init__(self, cin=3):
+            super().__init__()
+            self.stem = nn.Sequential(
+                nn.Conv2d(cin, 64, 7, 2, 3, bias=False), nn.BatchNorm2d(64),
+                nn.ReLU(inplace=True), nn.MaxPool2d(3, 2, 1))
+            layers, c = [], 64
+            for planes, blocks, stride in ((64, 3, 1), (128, 4, 2),
+                                           (256, 6, 2), (512, 3, 2)):
+                for b in range(blocks):
+                    layers.append(Bottleneck(c, planes, stride if b == 0 else 1))
+                    c = planes * 4
+            self.layers = nn.Sequential(*layers)
+
+        def forward(self, x):
+            x = self.layers(self.stem(x))
+            return x.mean(dim=(2, 3))
+
+    class Fusion(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.t1, self.t2, self.t3 = ResNet50(3), ResNet50(3), ResNet50(1)
+            self.att = nn.ModuleList([
+                nn.ModuleList([nn.Linear(2048, 128) for _ in range(4)])
+                for _ in range(3)])
+            self.fc = nn.Linear(384, 1284)
+            self.fc1 = nn.Linear(1284, 32)
+            self.fc2 = nn.Linear(32, 7)
+
+        def forward(self, a, b, c):
+            fs = [self.t1(a), self.t2(b), self.t3(c)]
+            outs = []
+            for f, (q, k, v, m) in zip(fs, self.att):
+                w = torch.softmax(m(torch.tanh(q(f) + k(f))), dim=1)
+                outs.append(v(f) * w)
+            x = torch.cat(outs, dim=1)
+            return self.fc2(self.fc1(self.fc(x)))
+
+    torch.manual_seed(0)
+    model = Fusion().train()
+    a = torch.rand(batch, 3, 256, 256)
+    b = torch.rand(batch, 3, 256, 256)
+    c = torch.rand(batch, 1, 256, 256)
+
+    draws = 2
+    with torch.no_grad():
+        model(a, b, c)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(draws):
+            torch.softmax(model(a, b, c), dim=1)
+        dt = time.perf_counter() - t0
+    per_draw = dt / draws
+    return batch / (per_draw * num_mc)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--num-mc", type=int, default=20)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--mc-chunk", type=int, default=1)
+    p.add_argument("--impl", type=str, default="auto")
+    p.add_argument("--skip-baseline", action="store_true")
+    args = p.parse_args()
+
+    value = measure_tpu(args.batch, args.num_mc, args.iters, args.mc_chunk,
+                        args.impl)
+
+    cache_key = f"torch_cpu_b{args.batch}_mc{args.num_mc}"
+    baseline = None
+    if os.path.exists(CACHE):
+        try:
+            baseline = json.load(open(CACHE)).get(cache_key)
+        except Exception:
+            baseline = None
+    if baseline is None and not args.skip_baseline:
+        baseline = measure_torch_cpu(args.batch, args.num_mc)
+        data = {}
+        if os.path.exists(CACHE):
+            try:
+                data = json.load(open(CACHE))
+            except Exception:
+                data = {}
+        data[cache_key] = baseline
+        json.dump(data, open(CACHE, "w"), indent=1)
+
+    vs = (value / baseline) if baseline else None
+    print(json.dumps({
+        "metric": "multimodal_bnn_inference_20mc_patches_per_sec",
+        "value": round(value, 3),
+        "unit": "patches/sec/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,191 @@
+"""Console entry points — flag-for-flag parity with the reference CLIs
+(/root/reference/src/Multimodal_AUV/cli.py:24,70,101,207; console scripts in
+pyproject.toml:83-87), minus its known defects: the reference imports a
+non-existent ``run_auv_training`` (crashing retrain/scratch CLIs at import)
+and passes dicts where scalars are expected (SURVEY.md §2.7) — both fixed.
+
+TPU deltas: ``--devices`` is accepted but informational (placement is mesh
+driven); new optional flags ``--model_weights``, ``--allow_random_init``,
+``--mc_chunk``, ``--tiny`` (test arch).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def _arch(args):
+    from multimodal_auv_tpu.models.model_utils import ArchConfig
+
+    return ArchConfig.tiny(image_size=64) if getattr(args, "tiny", False) else ArchConfig()
+
+
+def data_preparation_cli(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Prepare AUV survey data: optical preprocessing, "
+                    "GeoTIFF patch extraction, bathy channel combine.")
+    parser.add_argument("--raw_optical_images_folder", type=str, required=True,
+                        help="Folder of raw optical JPEGs (scanned recursively).")
+    parser.add_argument("--geotiff_folder", type=str, required=True,
+                        help="Folder containing bathymetry/SSS GeoTIFFs.")
+    parser.add_argument("--output_folder", type=str, required=True,
+                        help="Destination folder for per-sample directories.")
+    parser.add_argument("--exiftool_path", type=str, default="exiftool",
+                        help="Path to the exiftool binary (optional here; a "
+                             "built-in EXIF reader is the fallback).")
+    parser.add_argument("--window_size_meters", type=float, default=20.0,
+                        help="Patch window size in meters.")
+    parser.add_argument("--image_enhancement_method", type=str,
+                        default="AverageSubtraction",
+                        choices=["AverageSubtraction", "CLAHE"],
+                        help="Optical enhancement method.")
+    parser.add_argument("--skip_bathy_combine", action="store_true",
+                        help="Skip the bathy channel-combine step.")
+    args = parser.parse_args(argv)
+
+    from multimodal_auv_tpu.pipelines import run_auv_preprocessing
+
+    run_auv_preprocessing(
+        raw_optical_images_folder=args.raw_optical_images_folder,
+        geotiff_folder=args.geotiff_folder,
+        output_folder=args.output_folder,
+        exiftool_path=args.exiftool_path,
+        window_size_meters=args.window_size_meters,
+        image_enhancement_method=args.image_enhancement_method,
+        skip_bathy_combine=args.skip_bathy_combine,
+    )
+    return 0
+
+
+def inference_cli(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Multimodal AUV BNN inference with MC uncertainty.")
+    parser.add_argument("--data_dir", type=str, required=True,
+                        help="Path to the input data directory for inference.")
+    parser.add_argument("--output_csv", type=str, required=True,
+                        help="Path to save the inference results CSV.")
+    parser.add_argument("--batch_size", type=int, default=4,
+                        help="Batch size for inference (default: 4).")
+    parser.add_argument("--num_mc_samples", type=int, default=20,
+                        help="Number of Monte Carlo samples (default: 20).")
+    parser.add_argument("--num_classes", type=int, default=7)
+    parser.add_argument("--model_weights", type=str, default=None,
+                        help="Local torch checkpoint (skips the HF download).")
+    parser.add_argument("--allow_random_init", action="store_true")
+    parser.add_argument("--mc_chunk", type=int, default=1)
+    parser.add_argument("--tiny", action="store_true", help=argparse.SUPPRESS)
+    args = parser.parse_args(argv)
+
+    from multimodal_auv_tpu.pipelines import run_auv_inference
+
+    run_auv_inference(
+        data_directory=args.data_dir,
+        batch_size=args.batch_size,
+        output_csv=args.output_csv,
+        num_mc_samples=args.num_mc_samples,
+        num_classes=args.num_classes,
+        model_weights_path=args.model_weights,
+        allow_random_init=args.allow_random_init,
+        arch=_arch(args),
+        mc_chunk=args.mc_chunk,
+    )
+    return 0
+
+
+def retraining_cli(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Retrain the pretrained multimodal AUV BNN on new data.")
+    parser.add_argument("--data_dir", type=str, required=True)
+    parser.add_argument("--batch_size_multimodal", type=int, default=20)
+    parser.add_argument("--num_epochs_multimodal", type=int, default=20)
+    parser.add_argument("--num_mc_samples", type=int, default=20)
+    parser.add_argument("--learning_rate_multimodal", type=float, default=0.001)
+    parser.add_argument("--weight_decay_multimodal", type=float, default=1e-5)
+    parser.add_argument("--bathy_patch_base", type=int, default=30)
+    parser.add_argument("--sss_patch_base", type=int, default=30)
+    parser.add_argument("--num_classes", type=int, default=10)
+    parser.add_argument("--devices", type=str, default="tpu",
+                        help="Informational on TPU; placement is mesh-driven.")
+    parser.add_argument("--model_weights", type=str, default=None)
+    parser.add_argument("--allow_random_init", action="store_true")
+    parser.add_argument("--mc_chunk", type=int, default=1)
+    parser.add_argument("--tiny", action="store_true", help=argparse.SUPPRESS)
+    args = parser.parse_args(argv)
+
+    from multimodal_auv_tpu.pipelines import run_auv_retraining
+
+    ok = run_auv_retraining(
+        root_dir=args.data_dir,
+        num_classes=args.num_classes,
+        lr_multimodal=args.learning_rate_multimodal,
+        multimodal_weight_decay=args.weight_decay_multimodal,
+        epochs_multimodal=args.num_epochs_multimodal,
+        num_mc=args.num_mc_samples,
+        bathy_patch_base=args.bathy_patch_base,
+        sss_patch_base=args.sss_patch_base,
+        batch_size_multimodal=args.batch_size_multimodal,
+        model_weights_path=args.model_weights,
+        allow_random_init=args.allow_random_init,
+        arch=_arch(args),
+        mc_chunk=args.mc_chunk,
+    )
+    return 0 if ok else 1
+
+
+def training_from_scratch_cli(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Train the multimodal AUV BNN from scratch.")
+    parser.add_argument("--root_dir", type=str, required=True)
+    parser.add_argument("--epochs_multimodal", type=int, default=20)
+    parser.add_argument("--num_mc", type=int, default=20)
+    parser.add_argument("--batch_size_multimodal", type=int, default=20)
+    parser.add_argument("--lr_multimodal", type=float, default=0.001)
+    parser.add_argument("--num_classes", type=int, default=10)
+    parser.add_argument("--devices", type=str, default="tpu")
+    parser.add_argument("--batch_size_unimodal", type=int, default=8)
+    parser.add_argument("--bathy_patch_base", type=int, default=30)
+    parser.add_argument("--sss_patch_base", type=int, default=30)
+    parser.add_argument("--mc_chunk", type=int, default=1)
+    parser.add_argument("--tiny", action="store_true", help=argparse.SUPPRESS)
+    args = parser.parse_args(argv)
+
+    from multimodal_auv_tpu.config import BNNPriorSpec
+    from multimodal_auv_tpu.pipelines import run_AUV_training_from_scratch
+
+    ok = run_AUV_training_from_scratch(
+        const_bnn_prior_parameters=BNNPriorSpec().to_dict(),
+        lr_multimodal_model=args.lr_multimodal,
+        num_epochs_multimodal=args.epochs_multimodal,
+        num_mc=args.num_mc,
+        bathy_patch_base_raw=args.bathy_patch_base,
+        sss_patch_base_raw=args.sss_patch_base,
+        batch_size_multimodal=args.batch_size_multimodal,
+        root_dir=args.root_dir,
+        num_classes=args.num_classes,
+        arch=_arch(args),
+        mc_chunk=args.mc_chunk,
+    )
+    return 0 if ok else 1
+
+
+_COMMANDS = {
+    "data-prep": data_preparation_cli,
+    "inference": inference_cli,
+    "retrain": retraining_cli,
+    "train-scratch": training_from_scratch_cli,
+}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] not in _COMMANDS:
+        print("usage: python -m multimodal_auv_tpu.cli "
+              f"{{{','.join(_COMMANDS)}}} [args...]", file=sys.stderr)
+        return 2
+    return _COMMANDS[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    sys.exit(main())

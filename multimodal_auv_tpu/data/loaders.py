@@ -1,0 +1,179 @@
+"""Threaded prefetching data loader + dataset splitting.
+
+Replaces torch's DataLoader machinery (/root/reference/src/Multimodal_AUV/
+data/loaders.py:19-60) with a thread-pool loader feeding pinned numpy
+batches: PIL/cv2 decode release the GIL, the TPU consumes one batch while
+workers build the next (double buffering via a bounded queue).
+
+Split semantics are identical: sklearn train_test_split over indices with
+test_size=0.2, random_state=42 (loaders.py:12-17).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import queue
+import threading
+from collections import Counter
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+from sklearn.model_selection import train_test_split
+
+from multimodal_auv_tpu.data.datasets import (
+    ConcatDataset,
+    InferenceFolderDataset,
+    MultimodalFolderDataset,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class Subset:
+    def __init__(self, dataset, indices: Sequence[int]):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[self.indices[i]]
+
+    def __getattr__(self, name):
+        return getattr(self.dataset, name)
+
+
+def split_dataset(dataset, test_size: float = 0.2, random_state: int = 42):
+    idx = list(range(len(dataset)))
+    train_idx, test_idx = train_test_split(
+        idx, test_size=test_size, random_state=random_state)
+    return Subset(dataset, train_idx), Subset(dataset, test_idx)
+
+
+def _collate(samples: List[Any]):
+    """Stack a list of samples (dicts, tuples, arrays, scalars, strings)."""
+    first = samples[0]
+    if isinstance(first, dict):
+        return {k: _collate([s[k] for s in samples]) for k in first}
+    if isinstance(first, tuple):
+        return tuple(_collate([s[i] for s in samples]) for i in range(len(first)))
+    if isinstance(first, str):
+        return list(samples)
+    return np.stack([np.asarray(s) for s in samples])
+
+
+class DataLoader:
+    """Iterable over collated numpy batches with threaded prefetch."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 num_workers: Optional[int] = None, drop_last: bool = False,
+                 seed: int = 0, prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self._epoch = 0
+        if num_workers is None:
+            num_workers = max((os.cpu_count() or 2) - 2, 0)
+        self.num_workers = num_workers
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _index_batches(self) -> List[List[int]]:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        batches = [idx[i:i + self.batch_size].tolist()
+                   for i in range(0, len(idx), self.batch_size)]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def __iter__(self) -> Iterator:
+        batches = self._index_batches()
+        self._epoch += 1
+        if self.num_workers == 0:
+            for b in batches:
+                yield _collate([self.dataset[i] for i in b])
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    try:
+                        samples = list(pool.map(self.dataset.__getitem__, b))
+                        q.put(_collate(samples))
+                    except Exception as e:  # propagate to consumer
+                        q.put(e)
+                        return
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def prepare_datasets_and_loaders(
+    root_dir: str,
+    batch_size_unimodal: int = 8,
+    batch_size_multimodal: int = 12,
+    num_workers: Optional[int] = None,
+):
+    """Reference parity (loaders.py:19-60): builds the labeled dataset, logs
+    the class histogram, splits 80/20, and returns 4 loaders
+    (unimodal/multimodal x train/test), num_classes, and the dataset."""
+    dataset = MultimodalFolderDataset(root_dir)
+    counts = Counter(dataset.label_encoder.inverse_transform(dataset.labels))
+    logger.info("Class histogram: %s", dict(counts))
+    num_classes = dataset.num_classes
+
+    train_ds, test_ds = split_dataset(dataset)
+    train_loader_uni = DataLoader(train_ds, batch_size_unimodal, shuffle=True,
+                                  num_workers=num_workers)
+    test_loader_uni = DataLoader(test_ds, batch_size_unimodal, shuffle=False,
+                                 num_workers=num_workers)
+    train_loader_multi = DataLoader(train_ds, batch_size_multimodal, shuffle=True,
+                                    num_workers=num_workers)
+    test_loader_multi = DataLoader(test_ds, batch_size_multimodal, shuffle=False,
+                                   num_workers=num_workers)
+    return (train_loader_uni, test_loader_uni, train_loader_multi,
+            test_loader_multi, num_classes, dataset)
+
+
+def prepare_inference_datasets_and_loaders(
+    dirs: Sequence[str], batch_size: int = 4,
+    num_workers: Optional[int] = None) -> DataLoader:
+    """Concat N inference dirs into one unshuffled loader
+    (inference/inference_data.py:5-22 used exactly two dirs)."""
+    datasets = [InferenceFolderDataset(d) for d in dirs]
+    ds = datasets[0] if len(datasets) == 1 else ConcatDataset(datasets)
+    return DataLoader(ds, batch_size, shuffle=False, num_workers=num_workers)
+
+
+def prepare_inference_dataloader(data_directory: str, batch_size: int = 4,
+                                 num_workers: Optional[int] = None) -> DataLoader:
+    """Single-dir variant (Examples/Example_Inference_model.py:18-41)."""
+    return prepare_inference_datasets_and_loaders([data_directory], batch_size,
+                                                  num_workers)

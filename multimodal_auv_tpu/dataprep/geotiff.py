@@ -1,0 +1,498 @@
+"""GeoTIFF windowed reader — rasterio/GDAL replacement (SURVEY.md §2.9).
+
+The reference extracts georeferenced patches with rasterio window reads
+(/root/reference/src/Multimodal_AUV/data_preparation/geospatial.py:34-135).
+rasterio/GDAL is unavailable here, so this module implements:
+
+  * a classic-TIFF/BigTIFF IFD parser (tags, incl. GeoTIFF ModelPixelScale
+    33550 / ModelTiepoint 33922 / ModelTransformation 34264 / GDAL_NODATA
+    42113),
+  * windowed decoding of stripped and tiled rasters (compression: none,
+    deflate/zlib, PackBits, LZW; horizontal-differencing predictor),
+    touching only the strips/tiles that intersect the window,
+  * an optional one-time pack to a .npy memmap ("pre-pack"), after which
+    every windowed read is a pure numpy slice — the TPU-first fast path for
+    patch-extraction sweeps.
+
+The decode hot loop is accelerated by the C++ native library when built
+(native/, LZW + predictor); numpy/zlib is the portable fallback.
+"""
+from __future__ import annotations
+
+import logging
+import math
+import os
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# TIFF tag ids
+_T_WIDTH = 256
+_T_HEIGHT = 257
+_T_BITS = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_STRIP_OFFSETS = 273
+_T_SPP = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_COUNTS = 279
+_T_PLANAR = 284
+_T_PREDICTOR = 317
+_T_TILE_WIDTH = 322
+_T_TILE_HEIGHT = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_COUNTS = 325
+_T_SAMPLE_FORMAT = 339
+_T_MODEL_PIXEL_SCALE = 33550
+_T_MODEL_TIEPOINT = 33922
+_T_MODEL_TRANSFORM = 34264
+_T_GDAL_NODATA = 42113
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+               11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+
+
+def _dtype_of(bits: int, fmt: int) -> np.dtype:
+    if fmt == 3:
+        return np.dtype({32: np.float32, 64: np.float64}[bits])
+    if fmt == 2:
+        return np.dtype({8: np.int8, 16: np.int16, 32: np.int32}[bits])
+    return np.dtype({8: np.uint8, 16: np.uint16, 32: np.uint32}[bits])
+
+
+def _unpackbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i:i + h + 1]
+            i += h + 1
+        elif h > 128:
+            out += data[i:i + 1] * (257 - h)
+            i += 1
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (MSB-first, early change)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    dict_init = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(dict_init)
+    bitpos = 0
+    nbits = 9
+    prev: Optional[bytes] = None
+    total_bits = len(data) * 8
+    while bitpos + nbits <= total_bits and len(out) < expected:
+        byte_idx = bitpos >> 3
+        chunk = int.from_bytes(data[byte_idx:byte_idx + 4].ljust(4, b"\0"), "big")
+        code = (chunk >> (32 - nbits - (bitpos & 7))) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == CLEAR:
+            table = list(dict_init)
+            nbits = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        # "early change": the decoder's table lags the encoder's by one
+        # entry, so widen one entry sooner (libtiff-compatible).
+        if len(table) >= (1 << nbits) - 2 and nbits < 12:
+            nbits += 1
+    return bytes(out)
+
+
+@dataclass
+class GeoTiff:
+    """Minimal single-image GeoTIFF with windowed reads."""
+
+    path: str
+    width: int = 0
+    height: int = 0
+    count: int = 1  # samples per pixel (bands)
+    dtype: np.dtype = field(default_factory=lambda: np.dtype(np.uint8))
+    compression: int = 1
+    predictor: int = 1
+    planar: int = 1
+    rows_per_strip: int = 0
+    tile_width: int = 0
+    tile_height: int = 0
+    _offsets: np.ndarray = None
+    _counts: np.ndarray = None
+    # affine geotransform (GDAL order): (x0, dx, rxy, y0, ryx, dy)
+    transform: Tuple[float, float, float, float, float, float] = (
+        0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    nodata: Optional[float] = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def open(cls, path: str) -> "GeoTiff":
+        g = cls(path=path)
+        with open(path, "rb") as f:
+            header = f.read(16)
+            if header[:2] == b"II":
+                end = "<"
+            elif header[:2] == b"MM":
+                end = ">"
+            else:
+                raise ValueError(f"{path}: not a TIFF")
+            magic = struct.unpack(end + "H", header[2:4])[0]
+            big = magic == 43
+            if magic not in (42, 43):
+                raise ValueError(f"{path}: bad TIFF magic {magic}")
+            if big:
+                off = struct.unpack(end + "Q", header[8:16])[0]
+            else:
+                off = struct.unpack(end + "I", header[4:8])[0]
+            tags = g._read_ifd(f, off, end, big)
+        g._apply_tags(tags)
+        return g
+
+    def _read_ifd(self, f, off: int, end: str, big: bool) -> Dict[int, np.ndarray]:
+        f.seek(off)
+        if big:
+            n = struct.unpack(end + "Q", f.read(8))[0]
+            entry_size, cnt_fmt, val_len = 20, "Q", 8
+        else:
+            n = struct.unpack(end + "H", f.read(2))[0]
+            entry_size, cnt_fmt, val_len = 12, "I", 4
+        raw = f.read(entry_size * n)
+        tags: Dict[int, np.ndarray] = {}
+        fmt_map = {1: "B", 2: "c", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i",
+                   11: "f", 12: "d", 16: "Q", 17: "q"}
+        for i in range(n):
+            e = raw[i * entry_size:(i + 1) * entry_size]
+            tag, typ = struct.unpack(end + "HH", e[:4])
+            cnt = struct.unpack(end + cnt_fmt, e[4:4 + (8 if big else 4)])[0]
+            size = _TYPE_SIZES.get(typ, 1) * cnt
+            voff = 4 + (8 if big else 4)
+            if size <= val_len:
+                data = e[voff:voff + size]
+            else:
+                ptr = struct.unpack(end + cnt_fmt, e[voff:voff + (8 if big else 4)])[0]
+                pos = f.tell()
+                f.seek(ptr)
+                data = f.read(size)
+                f.seek(pos)
+            if typ in (5, 10):  # rationals
+                ints = struct.unpack(end + ("I" if typ == 5 else "i") * (cnt * 2), data)
+                vals = np.asarray([ints[2 * i] / max(ints[2 * i + 1], 1)
+                                   for i in range(cnt)])
+            elif typ == 2:
+                vals = np.frombuffer(data, np.uint8)
+            elif typ in fmt_map:
+                vals = np.asarray(struct.unpack(end + fmt_map[typ] * cnt, data))
+            else:
+                continue
+            tags[tag] = vals
+        return tags
+
+    def _apply_tags(self, tags: Dict[int, np.ndarray]):
+        def get1(t, default=None):
+            v = tags.get(t)
+            return default if v is None or len(v) == 0 else v[0]
+
+        self.width = int(get1(_T_WIDTH))
+        self.height = int(get1(_T_HEIGHT))
+        self.count = int(get1(_T_SPP, 1))
+        bits = int(tags.get(_T_BITS, np.asarray([8]))[0])
+        fmt = int(tags.get(_T_SAMPLE_FORMAT, np.asarray([1]))[0])
+        self.dtype = _dtype_of(bits, fmt)
+        self.compression = int(get1(_T_COMPRESSION, 1))
+        self.predictor = int(get1(_T_PREDICTOR, 1))
+        self.planar = int(get1(_T_PLANAR, 1))
+        if _T_TILE_OFFSETS in tags:
+            self.tile_width = int(get1(_T_TILE_WIDTH))
+            self.tile_height = int(get1(_T_TILE_HEIGHT))
+            self._offsets = tags[_T_TILE_OFFSETS].astype(np.int64)
+            self._counts = tags[_T_TILE_COUNTS].astype(np.int64)
+        else:
+            self.rows_per_strip = int(get1(_T_ROWS_PER_STRIP, self.height))
+            self._offsets = tags[_T_STRIP_OFFSETS].astype(np.int64)
+            self._counts = tags[_T_STRIP_COUNTS].astype(np.int64)
+
+        if _T_MODEL_TRANSFORM in tags and len(tags[_T_MODEL_TRANSFORM]) >= 16:
+            m = tags[_T_MODEL_TRANSFORM]
+            self.transform = (float(m[3]), float(m[0]), float(m[1]),
+                              float(m[7]), float(m[4]), float(m[5]))
+        elif _T_MODEL_PIXEL_SCALE in tags and _T_MODEL_TIEPOINT in tags:
+            sx, sy = float(tags[_T_MODEL_PIXEL_SCALE][0]), float(
+                tags[_T_MODEL_PIXEL_SCALE][1])
+            tp = tags[_T_MODEL_TIEPOINT]
+            # tiepoint: (i, j, k, x, y, z) — raster (i,j) maps to model (x,y)
+            i0, j0, x0, y0 = float(tp[0]), float(tp[1]), float(tp[3]), float(tp[4])
+            self.transform = (x0 - i0 * sx, sx, 0.0, y0 + j0 * sy, 0.0, -sy)
+        if _T_GDAL_NODATA in tags:
+            try:
+                s = bytes(tags[_T_GDAL_NODATA].tobytes()).split(b"\0")[0]
+                self.nodata = float(s)
+            except Exception:
+                self.nodata = None
+
+    # ------------------------------------------------------------------
+    @property
+    def res(self) -> Tuple[float, float]:
+        """(pixel_width, pixel_height) — geospatial.py:9-31 parity
+        (transform[1], |transform[5]| in GDAL order)."""
+        return self.transform[1], abs(self.transform[5])
+
+    @property
+    def bounds(self) -> Tuple[float, float, float, float]:
+        x0, dx, _, y0, _, dy = self.transform
+        x1 = x0 + dx * self.width
+        y1 = y0 + dy * self.height
+        return (min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1))
+
+    def index(self, x: float, y: float) -> Tuple[int, int]:
+        """Model coords -> (row, col)."""
+        x0, dx, _, y0, _, dy = self.transform
+        col = int((x - x0) / dx)
+        row = int((y - y0) / dy)
+        return row, col
+
+    # ------------------------------------------------------------------
+    def _decode_block(self, idx: int, nbytes_expected: int) -> np.ndarray:
+        with open(self.path, "rb") as f:
+            f.seek(int(self._offsets[idx]))
+            raw = f.read(int(self._counts[idx]))
+        if self.compression == 1:
+            data = raw
+        elif self.compression in (8, 32946):  # deflate
+            data = zlib.decompress(raw)
+        elif self.compression == 5:
+            data = _native_or_py_lzw(raw, nbytes_expected)
+        elif self.compression == 32773:
+            data = _unpackbits_decode(raw, nbytes_expected)
+        else:
+            raise NotImplementedError(
+                f"{self.path}: TIFF compression {self.compression} unsupported")
+        if len(data) < nbytes_expected:
+            data = data + b"\0" * (nbytes_expected - len(data))
+        return np.frombuffer(data, self.dtype, count=nbytes_expected //
+                             self.dtype.itemsize)
+
+    def _undo_predictor(self, block: np.ndarray) -> np.ndarray:
+        """Horizontal differencing: per row, per channel, cumulative sum
+        along the column axis. block: (rows, cols, spp)."""
+        if self.predictor == 2:
+            block = block.cumsum(axis=1, dtype=np.int64).astype(self.dtype)
+        return block
+
+    def read_window(self, row_off: int, col_off: int, h: int, w: int,
+                    band: int = 0, boundless: bool = False,
+                    fill_value: float = 0.0) -> np.ndarray:
+        """Decode only the strips/tiles intersecting [row_off:row_off+h,
+        col_off:col_off+w]; returns (h, w) of self.dtype for one band."""
+        if self.planar != 1:
+            raise NotImplementedError("planar configuration 2 unsupported")
+        out = np.full((h, w), fill_value, self.dtype)
+
+        r0 = max(row_off, 0)
+        c0 = max(col_off, 0)
+        r1 = min(row_off + h, self.height)
+        c1 = min(col_off + w, self.width)
+        if r1 <= r0 or c1 <= c0:
+            if not boundless:
+                raise ValueError("window does not intersect raster")
+            return out
+
+        spp = self.count
+        if self.tile_width:
+            tw, th = self.tile_width, self.tile_height
+            tiles_across = math.ceil(self.width / tw)
+            for trow in range(r0 // th, (r1 - 1) // th + 1):
+                for tcol in range(c0 // tw, (c1 - 1) // tw + 1):
+                    idx = trow * tiles_across + tcol
+                    nbytes = tw * th * spp * self.dtype.itemsize
+                    block = self._decode_block(idx, nbytes).reshape(th, tw, spp)
+                    block = self._undo_predictor(block)
+                    gr0, gc0 = trow * th, tcol * tw
+                    sr0, sc0 = max(r0, gr0), max(c0, gc0)
+                    sr1, sc1 = min(r1, gr0 + th), min(c1, gc0 + tw)
+                    out[sr0 - row_off:sr1 - row_off,
+                        sc0 - col_off:sc1 - col_off] = \
+                        block[sr0 - gr0:sr1 - gr0, sc0 - gc0:sc1 - gc0, band]
+        else:
+            rps = self.rows_per_strip
+            for strip in range(r0 // rps, (r1 - 1) // rps + 1):
+                srow0 = strip * rps
+                rows = min(rps, self.height - srow0)
+                nbytes = rows * self.width * spp * self.dtype.itemsize
+                block = self._decode_block(strip, nbytes).reshape(
+                    rows, self.width, spp)
+                block = self._undo_predictor(block)
+                sr0, sr1 = max(r0, srow0), min(r1, srow0 + rows)
+                out[sr0 - row_off:sr1 - row_off, c0 - col_off:c1 - col_off] = \
+                    block[sr0 - srow0:sr1 - srow0, c0:c1, band]
+        return out
+
+    def read(self, band: int = 0) -> np.ndarray:
+        return self.read_window(0, 0, self.height, self.width, band=band,
+                                boundless=True)
+
+    # ------------------------------------------------------------------
+    def to_memmap(self, cache_dir: str) -> np.memmap:
+        """One-time pre-pack to a .npy memmap: subsequent windowed reads
+        become pure slices (the patch-sweep fast path)."""
+        os.makedirs(cache_dir, exist_ok=True)
+        key = os.path.basename(self.path) + f"_{os.path.getmtime(self.path):.0f}"
+        npy = os.path.join(cache_dir, key + ".npy")
+        if not os.path.exists(npy):
+            full = np.stack([self.read(b) for b in range(self.count)], axis=-1)
+            np.save(npy, full)
+        return np.load(npy, mmap_mode="r")
+
+
+def _native_or_py_lzw(raw: bytes, expected: int) -> bytes:
+    try:
+        from multimodal_auv_tpu.native import lib as native_lib
+
+        if native_lib is not None:
+            return native_lib.lzw_decode(raw, expected)
+    except Exception:
+        pass
+    return _lzw_decode(raw, expected)
+
+
+def get_pixel_resolution(path: str) -> Tuple[float, float]:
+    """geospatial.py:9-31 parity: (x_res, |y_res|)."""
+    return GeoTiff.open(path).res
+
+
+def extract_grid_patch(
+    tiff_path_or_obj, easting: float, northing: float,
+    window_size_meters: float,
+) -> Tuple[Optional[np.ndarray], Optional[Tuple[float, float]], str]:
+    """geospatial.py:34-135 parity: centered window in meters around
+    (easting, northing), clipped to raster bounds, nodata/empty checked.
+
+    Returns (data[bands,h,w] or None, actual_center or None, kind) with kind
+    'Bathy' if the filename contains 'Bathy' else 'SSS'."""
+    g = (tiff_path_or_obj if isinstance(tiff_path_or_obj, GeoTiff)
+         else GeoTiff.open(tiff_path_or_obj))
+    kind = "Bathy" if "Bathy" in os.path.basename(g.path) else "SSS"
+
+    xres, yres = g.res
+    half_w = max(int(round(window_size_meters / xres / 2)), 1)
+    half_h = max(int(round(window_size_meters / yres / 2)), 1)
+    row, col = g.index(easting, northing)
+
+    r0, r1 = row - half_h, row + half_h
+    c0, c1 = col - half_w, col + half_w
+    # intersection with raster bounds (rasterio window.intersection parity)
+    ir0, ir1 = max(r0, 0), min(r1, g.height)
+    ic0, ic1 = max(c0, 0), min(c1, g.width)
+    if ir1 <= ir0 or ic1 <= ic0:
+        logger.debug("patch at (%.1f, %.1f) outside %s", easting, northing, g.path)
+        return None, None, kind
+
+    bands = []
+    for b in range(g.count):
+        bands.append(g.read_window(ir0, ic0, ir1 - ir0, ic1 - ic0, band=b,
+                                   boundless=True))
+    data = np.stack(bands, axis=0)
+
+    if g.nodata is not None and np.all(data == g.nodata):
+        return None, None, kind
+    if not np.any(np.isfinite(data.astype(np.float64))) or data.size == 0:
+        return None, None, kind
+
+    x0, dx, _, y0, _, dy = g.transform
+    center = (x0 + dx * (ic0 + ic1) / 2.0, y0 + dy * (ir0 + ir1) / 2.0)
+    return data, center, kind
+
+
+def write_geotiff(path: str, data: np.ndarray,
+                  transform: Tuple[float, float, float, float, float, float],
+                  nodata: Optional[float] = None) -> str:
+    """Minimal uncompressed stripped GeoTIFF writer (test fixtures + patch
+    outputs). data: (H, W) or (H, W, C)."""
+    if data.ndim == 2:
+        data = data[:, :, None]
+    h, w, c = data.shape
+    dt = data.dtype
+    fmt = 3 if dt.kind == "f" else (2 if dt.kind == "i" else 1)
+    bits = dt.itemsize * 8
+
+    payload = data.tobytes()
+    # header(8) + payload + IFD
+    strip_offset = 8
+    ifd_offset = strip_offset + len(payload)
+
+    entries = []
+
+    def entry(tag, typ, cnt, val_bytes):
+        entries.append((tag, typ, cnt, val_bytes))
+
+    extra: List[bytes] = []
+    extra_off = [0]
+
+    def ext(data_bytes):
+        pos = extra_off[0]
+        extra.append(data_bytes)
+        extra_off[0] += len(data_bytes)
+        return pos
+
+    def short(v):
+        return struct.pack("<HH", v, 0)
+
+    def long_(v):
+        return struct.pack("<I", v)
+
+    n_entries = 12 + (1 if nodata is not None else 0)
+    extra_base = ifd_offset + 2 + n_entries * 12 + 4
+
+    entry(_T_WIDTH, 3, 1, short(w))
+    entry(_T_HEIGHT, 3, 1, short(h))
+    if c * 2 <= 4:
+        bits_val = struct.pack("<" + "H" * c, *([bits] * c)).ljust(4, b"\0")
+        entry(_T_BITS, 3, c, bits_val)
+    else:
+        entry(_T_BITS, 3, c, long_(extra_base + ext(
+            struct.pack("<" + "H" * c, *([bits] * c)))))
+    entry(_T_COMPRESSION, 3, 1, short(1))
+    entry(_T_PHOTOMETRIC, 3, 1, short(1))
+    entry(_T_STRIP_OFFSETS, 4, 1, long_(strip_offset))
+    entry(_T_SPP, 3, 1, short(c))
+    entry(_T_ROWS_PER_STRIP, 3, 1, short(h))
+    entry(_T_STRIP_COUNTS, 4, 1, long_(len(payload)))
+    entry(_T_SAMPLE_FORMAT, 3, 1, short(fmt))
+    x0, dx, _, y0, _, dy = transform
+    entry(_T_MODEL_PIXEL_SCALE, 12, 3, long_(extra_base + ext(
+        struct.pack("<3d", abs(dx), abs(dy), 0.0))))
+    entry(_T_MODEL_TIEPOINT, 12, 6, long_(extra_base + ext(
+        struct.pack("<6d", 0, 0, 0, x0, y0, 0))))
+    if nodata is not None:
+        nd = (repr(float(nodata)).encode() + b"\0")
+        entry(_T_GDAL_NODATA, 2, len(nd), long_(extra_base + ext(nd))
+              if len(nd) > 4 else nd.ljust(4, b"\0"))
+
+    entries.sort(key=lambda e: e[0])
+    with open(path, "wb") as f:
+        f.write(b"II" + struct.pack("<H", 42) + struct.pack("<I", ifd_offset))
+        f.write(payload)
+        f.write(struct.pack("<H", len(entries)))
+        for tag, typ, cnt, val in entries:
+            f.write(struct.pack("<HHI", tag, typ, cnt) + val[:4].ljust(4, b"\0"))
+        f.write(struct.pack("<I", 0))
+        for e in extra:
+            f.write(e)
+    return path

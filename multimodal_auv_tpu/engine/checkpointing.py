@@ -1,0 +1,127 @@
+"""Checkpointing — orbax-backed, with full resume.
+
+Reference parity (/root/reference/src/Multimodal_AUV/train/checkpointing.py):
+  * ``save_model(post-like, csv_path, model_type)`` writes to
+    ``{dirname(dirname(csv_path))}/models/bayesian_model_type{model_type}``
+    (checkpointing.py:7-44's naming, orbax directory instead of .pth).
+  * ``load_and_fix_state_dict`` — tolerant restore: leaves whose path is
+    unknown or whose shape mismatches are dropped with a warning and the
+    rest loaded (checkpointing.py:46-112, incl. the spirit of the
+    DataParallel ``module.`` strip, which has no analogue here).
+
+Improvement over the reference (documented divergence, SURVEY.md §5): the
+reference never checkpoints optimizer state or epoch, so it cannot truly
+resume. ``save_train_state`` / ``restore_train_state`` persist
+(posterior, opt_state, batch_stats, step, epoch, scheduler count).
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_pytree(path: str, tree: Any) -> str:
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    ckptr = _checkpointer()
+    ckptr.save(path, _to_numpy(tree), force=True)
+    return path
+
+
+def restore_pytree(path: str, target: Optional[Any] = None) -> Any:
+    ckptr = _checkpointer()
+    if target is not None:
+        return ckptr.restore(os.path.abspath(path), item=_to_numpy(target))
+    return ckptr.restore(os.path.abspath(path))
+
+
+def model_checkpoint_path(csv_path: str, model_type: str) -> str:
+    """{dirname(dirname(csv_path))}/models/bayesian_model_type{model_type}."""
+    base = os.path.dirname(os.path.dirname(os.path.abspath(csv_path)))
+    return os.path.join(base, "models", f"bayesian_model_type{model_type}")
+
+
+def save_model(post, csv_path: str, model_type: str) -> Optional[str]:
+    """Posterior-only checkpoint on the reference's path scheme."""
+    try:
+        path = model_checkpoint_path(csv_path, model_type)
+        save_pytree(path, post)
+        logger.info("Model checkpoint saved to %s", path)
+        return path
+    except Exception as e:
+        logger.error("Failed to save model checkpoint: %s", e, exc_info=True)
+        return None
+
+
+def load_and_fix_state_dict(post, path: str):
+    """Tolerant posterior restore. Returns (new_post, ok: bool)."""
+    try:
+        raw = restore_pytree(path)
+    except Exception as e:
+        logger.error("Checkpoint restore failed from %s: %s", path, e)
+        return post, False
+
+    flat_new, treedef = jax.tree_util.tree_flatten_with_path(post)
+    raw_by_path = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_flatten_with_path(raw)[0]
+    }
+    out, dropped = [], 0
+    for p, leaf in flat_new:
+        key = jax.tree_util.keystr(p)
+        cand = raw_by_path.get(key)
+        if cand is not None and np.shape(cand) == np.shape(leaf):
+            out.append(jax.numpy.asarray(cand, leaf.dtype))
+        else:
+            if cand is not None:
+                logger.warning("Dropping %s: shape %s != %s", key,
+                               np.shape(cand), np.shape(leaf))
+            dropped += 1
+            out.append(leaf)
+    logger.info("Checkpoint loaded from %s (%d leaves kept, %d dropped)",
+                path, len(out) - dropped, dropped)
+    return jax.tree_util.tree_unflatten(treedef, out), True
+
+
+def save_train_state(path: str, state, epoch: int,
+                     scheduler_counts: Optional[Dict[str, int]] = None) -> str:
+    import json
+
+    path = os.path.abspath(path)
+    tree = {"state": state, "epoch": np.int64(epoch)}
+    out = save_pytree(path, tree)
+    # dynamic-keyed host metadata lives in a JSON sidecar (orbax template
+    # restores require static structure)
+    with open(path + ".meta.json", "w") as f:
+        json.dump({"scheduler_counts": scheduler_counts or {}}, f)
+    return out
+
+
+def restore_train_state(path: str, state_template):
+    import json
+
+    path = os.path.abspath(path)
+    tree = restore_pytree(path, {"state": state_template, "epoch": np.int64(0)})
+    sched: Dict[str, int] = {}
+    meta_path = path + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            sched = {k: int(v)
+                     for k, v in json.load(f).get("scheduler_counts", {}).items()}
+    return tree["state"], int(tree["epoch"]), sched

@@ -1,0 +1,421 @@
+"""Epoch loops + orchestration — parity with train/{multimodal,unimodal,
+loop_utils}.py of the reference, driving the jitted steps of steps.py.
+
+Every CSV ledger column set, KL-annealing schedule, checkpoint cadence
+(every 5 epochs + crash-save), and scheduler quirk (multimodal double-step
+per epoch, unimodal epoch loop starting at 1) is reproduced; true bugs in
+the reference are documented at their site.
+"""
+from __future__ import annotations
+
+import csv
+import logging
+import os
+import re
+from pathlib import Path
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_auv_tpu.engine import checkpointing as ckpt
+from multimodal_auv_tpu.engine import uncertainty as U
+from multimodal_auv_tpu.engine.optim import (
+    BayesTrainState,
+    StepLR,
+    kl_annealing_weight,
+    set_learning_rate,
+)
+from multimodal_auv_tpu.utils.plotting import save_confusion_matrix
+
+logger = logging.getLogger(__name__)
+
+_SIZE_RE = re.compile(r"patch_(\d+m?)_")
+
+
+def _patch_size_str(patch_type: Optional[str], kind: str) -> str:
+    """'patch_30m_sss' -> '30m' (reference strips prefix/suffix,
+    multimodal.py:178-179)."""
+    if not patch_type:
+        return "none"
+    return patch_type.replace("patch_", "").replace(f"_{kind}", "")
+
+
+def select_patch(batch: Dict, patch_type: Optional[str], kind: str) -> np.ndarray:
+    """Reference patch selection (multimodal.py:93-102): look the patch type
+    up in the discovered patch dict; fall back to the full-resolution tensor
+    ('patch_30_bathy'/'patch_30_sss' alias the full tensors)."""
+    full = batch["bathy_image"] if kind == "bathy" else batch["sss_image"]
+    patches = batch.get(f"patch_{kind}", {}) or {}
+    if not patch_type:
+        return full
+    if patch_type in (f"patch_30_{kind}",):
+        return full
+    m = _SIZE_RE.match(patch_type)
+    if m and m.group(1) in patches:
+        return patches[m.group(1)]
+    return full
+
+
+def _pad_batch(arrays, labels, nominal: int):
+    """Pad ragged final batches to the nominal size; returns mask."""
+    n = labels.shape[0]
+    mask = np.ones((nominal,), np.float32)
+    if n == nominal:
+        return arrays, labels, mask
+    pad = nominal - n
+    mask[n:] = 0.0
+    arrays = [np.concatenate([a, np.repeat(a[-1:], pad, 0)]) for a in arrays]
+    labels = np.concatenate([labels, np.repeat(labels[-1:], pad, 0)])
+    return arrays, labels, mask
+
+
+def unimodal_input(batch: Dict, model_type: str) -> np.ndarray:
+    """unimodal.py:113-122: image->main, sss->sss, bathy->bathy."""
+    if model_type == "image":
+        return batch["main_image"]
+    if model_type == "sss":
+        return batch["sss_image"]
+    if model_type == "bathy":
+        return batch["bathy_image"]
+    raise ValueError(f"Unknown model_type: {model_type}")
+
+
+# ---------------------------------------------------------------------------
+# per-epoch train / eval  (multimodal)
+# ---------------------------------------------------------------------------
+
+def train_multimodal_model(
+    train_step, state: BayesTrainState, dataloader, epoch: int,
+    total_num_epochs: int, csv_path: str, model_type: str, sum_writer,
+    key: jax.Array, lr: float,
+    bathy_patch_type: Optional[str] = None,
+    sss_patch_type: Optional[str] = None,
+) -> Tuple[BayesTrainState, float, float]:
+    """One training epoch (multimodal.py:25-202). Returns
+    (state, train_loss, train_accuracy)."""
+    csv_path = str(Path(csv_path))
+    file_exists = os.path.isfile(csv_path)
+    sss_size = _patch_size_str(sss_patch_type, "sss")
+    bathy_size = _patch_size_str(bathy_patch_type, "bathy")
+    try:
+        with open(csv_path, mode="a", newline="") as csvfile:
+            writer = csv.writer(csvfile)
+            if not file_exists:
+                writer.writerow(["Epoch", "Model type", "Loss", "Accuracy",
+                                 "lr", "kl loss", "cross entropy loss",
+                                 "SSS Patch Type", "Channel Patch Type"])
+
+            total_loss, correct, total = 0.0, 0.0, 0.0
+    # KL weight: 2^(epoch+1)/2^total (multimodal.py:80)
+            kl_weight = kl_annealing_weight(epoch, total_num_epochs)
+            nominal = dataloader.batch_size
+            last_kl, last_ce = 0.0, 0.0
+            skipped = 0
+
+            for i, batch in enumerate(dataloader):
+                inputs = [np.asarray(batch["main_image"]),
+                          np.asarray(select_patch(batch, bathy_patch_type, "bathy")),
+                          np.asarray(select_patch(batch, sss_patch_type, "sss"))]
+                labels = np.asarray(batch["label"], np.int32)
+                inputs, labels, mask = _pad_batch(inputs, labels, nominal)
+
+                key, sub = jax.random.split(key)
+                state, m = train_step(state, tuple(jnp.asarray(a) for a in inputs),
+                                      jnp.asarray(labels), jnp.asarray(mask),
+                                      sub, kl_weight, float(nominal))
+                loss = float(m["loss"])
+                if bool(m["skipped"]):
+                    skipped += 1
+                    logger.warning("Skipping batch %d due to NaN/Inf", i)
+                if np.isfinite(loss):
+                    total_loss += loss
+                correct += float(m["correct"])
+                total += float(m["total"])
+                last_kl, last_ce = float(m["scaled_kl"]), float(m["cross_entropy"])
+                sum_writer.add_scalar("Loss/train", loss, i)
+
+            train_accuracy = correct / max(total, 1.0)
+            train_loss = total_loss / max(total, 1.0)
+            logger.info("Epoch %d complete. Loss: %.4f, Accuracy: %.4f, LR: %.6f",
+                        epoch + 1, train_loss, train_accuracy, lr)
+            writer.writerow([epoch, model_type, train_loss, train_accuracy,
+                             lr, last_kl, last_ce, sss_size, bathy_size])
+
+        # checkpoint every 5 epochs (multimodal.py:189-190)
+        if epoch % 5 == 0:
+            ckpt.save_model(state.post, csv_path,
+                            f"{model_type}_bathy_patch{bathy_size}_sss_patch{sss_size}")
+        return state, train_loss, train_accuracy
+    except Exception:
+        # crash-save parity (multimodal.py:194-200)
+        ckpt.save_model(state.post, csv_path,
+                        f"{model_type}_bathy_patch{bathy_size}_sss_patch{sss_size}")
+        logger.error("Error at epoch %d", epoch, exc_info=True)
+        return state, 0.0, 0.0
+
+
+def evaluate_multimodal_model(
+    eval_step, state: BayesTrainState, dataloader, epoch: int,
+    total_num_epochs: int, csv_path: str, model_type: str, key: jax.Array,
+    bathy_patch_type: Optional[str] = None,
+    sss_patch_type: Optional[str] = None,
+    class_names=None,
+) -> float:
+    """MC evaluation epoch (multimodal.py:204-369). Uses the
+    entropy-decomposition uncertainty family; KL scaled by len(dataloader)
+    then kl_weight. Returns test_accuracy."""
+    csv_path = str(Path(csv_path))
+    file_exists = os.path.isfile(csv_path)
+    try:
+        with open(csv_path, mode="a", newline="") as csvfile:
+            writer = csv.writer(csvfile)
+            if not file_exists:
+                writer.writerow(["Epoch", "Model Type", "Test Loss",
+                                 "Test Accuracy", "Predictive Uncertainty",
+                                 "Model Uncertainty", "Scaled KL",
+                                 "Cross Entropy Loss", "bathy Patch Type",
+                                 "SSS Patch Type"])
+
+            kl_weight = kl_annealing_weight(epoch, total_num_epochs)
+            kl_scale = kl_weight / max(len(dataloader), 1)
+            nominal = dataloader.batch_size
+            total_loss, correct, total = 0.0, 0.0, 0.0
+            all_pred, all_lab = [], []
+            all_predictive, all_model_unc = [], []
+            last_kl, last_ce = 0.0, 0.0
+
+            for i, batch in enumerate(dataloader):
+                inputs = [np.asarray(batch["main_image"]),
+                          np.asarray(select_patch(batch, bathy_patch_type, "bathy")),
+                          np.asarray(select_patch(batch, sss_patch_type, "sss"))]
+                labels = np.asarray(batch["label"], np.int32)
+                valid = labels.shape[0]
+                inputs, labels, mask = _pad_batch(inputs, labels, nominal)
+
+                key, sub = jax.random.split(key)
+                m = eval_step(state.post, state.batch_stats,
+                              tuple(jnp.asarray(a) for a in inputs),
+                              jnp.asarray(labels), jnp.asarray(mask), sub,
+                              kl_scale)
+                total_loss += float(m["loss"])
+                correct += float(m["correct"])
+                total += float(m["total"])
+                all_pred.extend(np.asarray(m["predicted"])[:valid])
+                all_lab.extend(labels[:valid])
+                all_predictive.extend(np.asarray(m["predictive_entropy"])[:valid])
+                all_model_unc.extend(np.asarray(m["model_uncertainty"])[:valid])
+                last_kl, last_ce = float(m["kl_scaled"]), float(m["cross_entropy"])
+
+            test_accuracy = correct / max(total, 1.0)
+            test_loss = total_loss / max(len(dataloader), 1)
+            save_confusion_matrix(all_lab, all_pred, csv_path, model_type,
+                                  epoch, class_names)
+            writer.writerow([
+                epoch + 1, model_type, test_loss, test_accuracy,
+                float(np.mean(all_predictive)) if all_predictive else 0.0,
+                float(np.mean(all_model_unc)) if all_model_unc else 0.0,
+                last_kl, last_ce,
+                bathy_patch_type or "patch_30_bathy",
+                sss_patch_type or "patch_30_sss",
+            ])
+            logger.info("Epoch %d: Test Loss: %.4f, Accuracy: %.4f",
+                        epoch + 1, test_loss, test_accuracy)
+        return test_accuracy
+    except Exception as e:
+        logger.error("Critical error at epoch %d: %s", epoch, e, exc_info=True)
+        return 0.0
+
+
+# ---------------------------------------------------------------------------
+# per-epoch train / eval  (unimodal)
+# ---------------------------------------------------------------------------
+
+def train_unimodal_model(
+    train_step, state: BayesTrainState, dataloader, epoch: int,
+    total_num_epochs: int, csv_path: str, model_type: str, sum_writer,
+    key: jax.Array, lr: float,
+) -> Tuple[BayesTrainState, float, float]:
+    """One unimodal training epoch (unimodal.py:21-175); CSV columns
+    ["Epoch","Model type","Loss","Accuracy","lr"], row logs epoch+1."""
+    csv_path = str(Path(csv_path))
+    file_exists = os.path.isfile(csv_path)
+    try:
+        with open(csv_path, mode="a", newline="") as csvfile:
+            writer = csv.writer(csvfile)
+            if not file_exists:
+                writer.writerow(["Epoch", "Model type", "Loss", "Accuracy", "lr"])
+
+            total_loss, correct, total = 0.0, 0.0, 0.0
+            kl_weight = kl_annealing_weight(epoch, total_num_epochs)
+            nominal = dataloader.batch_size
+
+            for i, batch in enumerate(dataloader):
+                inputs = [np.asarray(unimodal_input(batch, model_type))]
+                labels = np.asarray(batch["label"], np.int32)
+                inputs, labels, mask = _pad_batch(inputs, labels, nominal)
+
+                key, sub = jax.random.split(key)
+                state, m = train_step(state, (jnp.asarray(inputs[0]),),
+                                      jnp.asarray(labels), jnp.asarray(mask),
+                                      sub, kl_weight, float(nominal))
+                loss = float(m["loss"])
+                if np.isfinite(loss):
+                    total_loss += loss
+                correct += float(m["correct"])
+                total += float(m["total"])
+                sum_writer.add_scalar("Loss/train", loss, i)
+
+            train_accuracy = correct / max(total, 1.0)
+            train_loss = total_loss / max(total, 1.0)
+            writer.writerow([epoch + 1, model_type, train_loss,
+                             train_accuracy, lr])
+
+        if epoch % 5 == 0:
+            ckpt.save_model(state.post, csv_path, model_type)
+        return state, train_accuracy, train_loss
+    except Exception:
+        ckpt.save_model(state.post, csv_path, model_type)
+        logger.error("Error at epoch %d", epoch, exc_info=True)
+        return state, 0.0, 0.0
+
+
+def evaluate_unimodal_model(
+    eval_step, state: BayesTrainState, dataloader, epoch: int,
+    total_num_epochs: int, csv_path: str, model_type: str, key: jax.Array,
+    class_names=None,
+) -> float:
+    """Unimodal MC eval (unimodal.py:178-365): *variance* epistemic
+    estimator + mean-entropy aleatoric (eps 1e-7); KL/batch_size; CSV
+    ["Epoch","Model Type","Test Loss","Test Accuracy",
+    "predictive_uncertainty","model_uncertainty"]."""
+    csv_path = str(Path(csv_path))
+    file_exists = os.path.isfile(csv_path)
+    try:
+        with open(csv_path, mode="a", newline="") as csvfile:
+            writer = csv.writer(csvfile)
+            if not file_exists:
+                writer.writerow(["Epoch", "Model Type", "Test Loss",
+                                 "Test Accuracy", "predictive_uncertainty",
+                                 "model_uncertainty"])
+
+            kl_weight = kl_annealing_weight(epoch, total_num_epochs)
+            nominal = dataloader.batch_size
+            kl_scale = kl_weight / nominal  # unimodal.py:272,278
+            total_loss, correct, total = 0.0, 0.0, 0.0
+            all_pred, all_lab, all_epi, all_alea = [], [], [], []
+
+            for i, batch in enumerate(dataloader):
+                inputs = [np.asarray(unimodal_input(batch, model_type))]
+                labels = np.asarray(batch["label"], np.int32)
+                valid = labels.shape[0]
+                inputs, labels, mask = _pad_batch(inputs, labels, nominal)
+
+                key, sub = jax.random.split(key)
+                m = eval_step(state.post, state.batch_stats,
+                              (jnp.asarray(inputs[0]),), jnp.asarray(labels),
+                              jnp.asarray(mask), sub, kl_scale)
+                total_loss += float(m["loss"])
+                correct += float(m["correct"])
+                total += float(m["total"])
+                all_pred.extend(np.asarray(m["predicted"])[:valid])
+                all_lab.extend(labels[:valid])
+                all_epi.extend(np.asarray(m["epistemic_variance"])[:valid])
+                all_alea.extend(np.asarray(m["aleatoric_mc_entropy"])[:valid])
+
+            accuracy = correct / max(total, 1.0)
+            avg_loss = total_loss / max(total, 1.0)
+            save_confusion_matrix(all_lab, all_pred, csv_path, model_type,
+                                  epoch, class_names)
+            writer.writerow([
+                epoch + 1, model_type, avg_loss, accuracy,
+                float(np.mean(all_epi)) if all_epi else 0.0,
+                float(np.mean(all_alea)) if all_alea else 0.0,
+            ])
+        return accuracy
+    except Exception:
+        ckpt.save_model(state.post, csv_path, model_type)
+        logger.error("Error at epoch %d", epoch, exc_info=True)
+        return 0.0
+
+
+# ---------------------------------------------------------------------------
+# multi-epoch orchestration (loop_utils.py parity)
+# ---------------------------------------------------------------------------
+
+def train_and_evaluate_multimodal_model(
+    train_loader, test_loader, num_epochs: int, train_step, eval_step,
+    state: BayesTrainState, scheduler: StepLR, csv_dir: str,
+    sum_writer, key: jax.Array, model_type: str = "multimodal",
+    bathy_patch_type: Optional[str] = None,
+    sss_patch_type: Optional[str] = None,
+    class_names=None,
+    double_scheduler_step: bool = True,
+    checkpoint_resume_path: Optional[str] = None,
+) -> BayesTrainState:
+    """loop_utils.py:162-250: for each epoch train -> scheduler.step() ->
+    eval -> scheduler.step() *again* (the reference double-steps its StepLR
+    every epoch — reproduced by default, switchable via
+    ``double_scheduler_step=False``)."""
+    os.makedirs(csv_dir, exist_ok=True)
+    train_csv = os.path.join(csv_dir, "multimodal_train_results.csv")
+    eval_csv = os.path.join(csv_dir, "multimodal_eval_results.csv")
+
+    start_epoch = 0
+    if checkpoint_resume_path and os.path.exists(checkpoint_resume_path):
+        state, start_epoch, sched = ckpt.restore_train_state(
+            checkpoint_resume_path, state)
+        scheduler.load_state_dict({"epoch_count": sched.get(model_type, 0)})
+        logger.info("Resumed from %s at epoch %d", checkpoint_resume_path,
+                    start_epoch)
+
+    for epoch in range(start_epoch, num_epochs):
+        set_learning_rate(state.opt_state, scheduler.lr)
+        key, k1, k2 = jax.random.split(key, 3)
+        state, train_loss, train_acc = train_multimodal_model(
+            train_step, state, train_loader, epoch, num_epochs, train_csv,
+            model_type, sum_writer, k1, scheduler.lr,
+            bathy_patch_type, sss_patch_type)
+        scheduler.step()
+        test_acc = evaluate_multimodal_model(
+            eval_step, state, test_loader, epoch, num_epochs, eval_csv,
+            model_type, k2, bathy_patch_type, sss_patch_type, class_names)
+        if double_scheduler_step:
+            scheduler.step()  # loop_utils.py:246 quirk
+        sum_writer.add_scalar("Loss/train_epoch", train_loss, epoch)
+        sum_writer.add_scalar("Accuracy/val_epoch", test_acc, epoch)
+        if checkpoint_resume_path:
+            ckpt.save_train_state(checkpoint_resume_path, state, epoch + 1,
+                                  {model_type: scheduler.epoch_count})
+    return state
+
+
+def train_and_evaluate_unimodal_model(
+    train_loader, test_loader, num_epochs: int, train_step, eval_step,
+    state: BayesTrainState, scheduler: StepLR, csv_dir: str, sum_writer,
+    key: jax.Array, model_type: str, class_names=None,
+    skip_epoch_zero: bool = True,
+) -> BayesTrainState:
+    """loop_utils.py:65-159. The reference's epoch loop is
+    ``range(1, num_epochs)`` — it *skips epoch 0* (an off-by-one,
+    SURVEY.md §2.3). Reproduced by default; pass skip_epoch_zero=False for
+    the fixed behavior."""
+    os.makedirs(csv_dir, exist_ok=True)
+    train_csv = os.path.join(csv_dir, f"unimodal_{model_type}_train_results.csv")
+    eval_csv = os.path.join(csv_dir, f"unimodal_{model_type}_eval_results.csv")
+
+    start = 1 if skip_epoch_zero else 0
+    for epoch in range(start, num_epochs):
+        set_learning_rate(state.opt_state, scheduler.lr)
+        key, k1, k2 = jax.random.split(key, 3)
+        state, train_acc, train_loss = train_unimodal_model(
+            train_step, state, train_loader, epoch, num_epochs, train_csv,
+            model_type, sum_writer, k1, scheduler.lr)
+        test_acc = evaluate_unimodal_model(
+            eval_step, state, test_loader, epoch, num_epochs, eval_csv,
+            model_type, k2, class_names)
+        scheduler.step()
+        sum_writer.add_scalar(f"Loss/train_{model_type}", train_loss, epoch)
+        sum_writer.add_scalar(f"Accuracy/val_{model_type}", test_acc, epoch)
+    return state

@@ -1,0 +1,97 @@
+"""On-chip Monte-Carlo forward machinery.
+
+The reference's hot loop is ``for _ in range(num_mc): model(...)`` in Python
+(SURVEY.md §3.1) — num_mc sequential full forwards per batch. Here the MC
+axis lives *inside one XLA program*: a ``lax.scan`` over MC chunks, each
+chunk sampling its weights with one fused kernel (ops/sampling.py) and
+running the forward under ``jax.vmap`` (or a plain call for chunk size 1,
+which keeps convolutions in their most MXU-friendly unbatched-weights form).
+
+Per-draw forwards are rematerialised (``jax.checkpoint``) so training
+memory stays flat in num_mc.
+
+BatchNorm note: all reference paths run BN in train mode — even eval and
+inference (`train/multimodal.py:232`, `inference/predictors.py:27`) — so the
+forward normalises by current-batch statistics and never reads the running
+stats. We therefore keep batch_stats frozen inside the MC loop; training
+refreshes them once per step outside the loop (see steps.py).
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_auv_tpu.bayes import PackMeta, PackedPosterior
+from multimodal_auv_tpu.ops.sampling import gaussian_reparam
+
+
+def mc_logits(
+    module,
+    meta: PackMeta,
+    post: PackedPosterior,
+    batch_stats,
+    inputs: Tuple[Any, ...],
+    key: jax.Array,
+    num_mc: int,
+    *,
+    mc_chunk: int = 1,
+    impl: str = "auto",
+    train: bool = True,
+    remat: bool = True,
+    ws_sharding=None,
+) -> jax.Array:
+    """Stacked logits over MC draws: (num_mc, batch, num_classes).
+
+    ``ws_sharding``: optional NamedSharding for the (mc_chunk, P) weight
+    stack — set to parallel.mesh.mc_sharding(mesh) to spread MC draws over
+    the 'mc' mesh axis (ensemble parallelism)."""
+    if num_mc % mc_chunk != 0:
+        raise ValueError(f"num_mc={num_mc} must be divisible by mc_chunk={mc_chunk}")
+    nchunks = num_mc // mc_chunk
+
+    def fwd(w_flat):
+        params = meta.unpack(w_flat, post.det)
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            # train-mode BN normalises by current-batch stats; the running-stat
+            # update it emits is discarded here (refreshed once per train step).
+            out, _ = module.apply(variables, *inputs, train=True,
+                                  mutable=["batch_stats"])
+            return out
+        return module.apply(variables, *inputs, train=False)
+
+    if remat:
+        fwd = jax.checkpoint(fwd)
+
+    def chunk_step(_, k):
+        ws = gaussian_reparam(post.mu, post.rho, k, num_draws=mc_chunk, impl=impl)
+        if ws_sharding is not None:
+            ws = jax.lax.with_sharding_constraint(ws, ws_sharding)
+        if mc_chunk == 1:
+            logits = fwd(ws[0])[None]
+        else:
+            logits = jax.vmap(fwd)(ws)
+        return None, logits
+
+    keys = jax.random.split(key, nchunks)
+    if nchunks == 1:
+        _, logits = chunk_step(None, keys[0])
+    else:
+        _, logits = jax.lax.scan(chunk_step, None, keys)
+        logits = logits.reshape((num_mc,) + logits.shape[2:])
+    return logits
+
+
+def refresh_batch_stats(module, meta, post, batch_stats, inputs):
+    """One posterior-mean forward with mutable batch_stats to advance the
+    running statistics (momentum 0.9, as torch BN momentum=0.1)."""
+    params = meta.unpack(post.mu, post.det)
+    _, updated = module.apply(
+        {"params": params, "batch_stats": batch_stats},
+        *inputs,
+        train=True,
+        mutable=["batch_stats"],
+    )
+    return updated["batch_stats"]

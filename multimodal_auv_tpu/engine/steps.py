@@ -1,0 +1,147 @@
+"""Jitted train / eval steps — the MC-ELBO recipe on-chip.
+
+Loss semantics match /root/reference/src/Multimodal_AUV/train/multimodal.py:
+104-130 exactly:
+
+    logits_mc  : num_mc stochastic forwards (weights re-sampled per draw)
+    output     = mean(logits_mc, axis=0)
+    scaled_kl  = mean(per-draw KL) / batch_size * kl_weight
+    loss       = CrossEntropy(output, labels) + scaled_kl
+
+(The per-draw KL is a deterministic function of (mu, rho), so its MC mean
+equals a single evaluation — computed once here.)
+
+NaN/Inf handling reproduces the reference's numerical sanitizers: a batch
+whose loss is non-finite is skipped, and an update with non-finite grads is
+skipped (multimodal.py:133-145) — both as branchless ``jnp.where`` selects
+so the step stays a single compiled program.
+
+The whole step (num_mc forwards + backward + Adam) is one XLA program; MC
+draws are rematerialised so training memory is flat in num_mc.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from multimodal_auv_tpu.bayes import kl_divergence
+from multimodal_auv_tpu.config import BNNPriorSpec
+from multimodal_auv_tpu.engine import uncertainty as U
+from multimodal_auv_tpu.engine.mc import mc_logits, refresh_batch_stats
+from multimodal_auv_tpu.engine.optim import BayesTrainState
+
+
+def make_train_step(module, meta, spec: BNNPriorSpec, tx, num_mc: int, *,
+                    mc_chunk: int = 1, impl: str = "auto",
+                    update_batch_stats: bool = True, ws_sharding=None):
+    """Returns jitted (state, inputs, labels, key, kl_weight, batch_size_scale)
+    -> (state, metrics)."""
+
+    def loss_fn(post, batch_stats, inputs, labels, mask, key, kl_weight,
+                bs_scale):
+        logits = mc_logits(module, meta, post, batch_stats, inputs, key,
+                           num_mc, mc_chunk=mc_chunk, impl=impl, train=True,
+                           remat=True, ws_sharding=ws_sharding)
+        output = jnp.mean(logits.astype(jnp.float32), axis=0)
+        ce_vec = optax.softmax_cross_entropy_with_integer_labels(output, labels)
+        ce = jnp.sum(ce_vec * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        scaled_kl = kl_divergence(post, spec) / bs_scale * kl_weight
+        loss = ce + scaled_kl
+        return loss, (output, ce, scaled_kl)
+
+    @jax.jit
+    def step(state: BayesTrainState, inputs, labels, mask, key, kl_weight,
+             batch_size_scale) -> Tuple[BayesTrainState, Any]:
+        """mask: f32[batch], 1.0 for real rows, 0.0 for padding of ragged
+        final batches (keeps one compiled program for every batch)."""
+        (loss, (output, ce, scaled_kl)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.post, state.batch_stats, inputs,
+                                   labels, mask, key, kl_weight,
+                                   batch_size_scale)
+
+        loss_ok = jnp.isfinite(loss)
+        grads_ok = jnp.all(jnp.asarray(
+            [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]))
+        ok = jnp.logical_and(loss_ok, grads_ok)
+
+        safe_grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+        updates, new_opt_state = tx.update(safe_grads, state.opt_state,
+                                           state.post)
+        new_post = optax.apply_updates(state.post, updates)
+        # skip the whole update when the guard trips
+        new_post = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_post, state.post)
+        new_opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old) if hasattr(new, "dtype") else new,
+            new_opt_state, state.opt_state)
+
+        if update_batch_stats:
+            new_bs = refresh_batch_stats(module, meta, state.post,
+                                         state.batch_stats, inputs)
+        else:
+            new_bs = state.batch_stats
+
+        predicted = jnp.argmax(output, axis=-1)
+        correct = jnp.sum((predicted == labels) * mask)
+        metrics = {
+            "loss": jnp.where(loss_ok, loss, jnp.nan),
+            "cross_entropy": ce,
+            "scaled_kl": scaled_kl,
+            "correct": correct,
+            "total": jnp.sum(mask),
+            "skipped": jnp.logical_not(ok),
+            "predicted": predicted,
+        }
+        new_state = BayesTrainState(post=new_post, opt_state=new_opt_state,
+                                    batch_stats=new_bs, step=state.step + 1)
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(module, meta, spec: BNNPriorSpec, num_mc: int, *,
+                   mc_chunk: int = 1, impl: str = "auto", ws_sharding=None):
+    """Returns jitted (post, batch_stats, inputs, labels, key, kl_scale)
+    -> metrics with both uncertainty families.
+
+    ``kl_scale`` absorbs the call-site-dependent divisor: multimodal eval
+    divides the KL by len(dataloader) (multimodal.py:293) while unimodal
+    eval divides by batch_size (unimodal.py:272); both then multiply by the
+    annealed kl_weight (the caller folds that in too).
+    """
+
+    @jax.jit
+    def step(post, batch_stats, inputs, labels, mask, key, kl_scale):
+        logits = mc_logits(module, meta, post, batch_stats, inputs, key,
+                           num_mc, mc_chunk=mc_chunk, impl=impl, train=True,
+                           remat=False, ws_sharding=ws_sharding)
+        probs = U.softmax_probs(logits)
+        output_mean = jnp.mean(logits.astype(jnp.float32), axis=0)
+        ce_vec = optax.softmax_cross_entropy_with_integer_labels(
+            output_mean, labels)
+        ce = jnp.sum(ce_vec * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        kl_scaled = kl_divergence(post, spec) * kl_scale
+        predicted = jnp.argmax(output_mean, axis=-1)
+        ent = U.entropy_decomposition(probs, eps=1e-8)
+        return {
+            "loss": ce + kl_scaled,
+            "cross_entropy": ce,
+            "kl_scaled": kl_scaled,
+            "predicted": predicted,
+            "correct": jnp.sum((predicted == labels) * mask),
+            "total": jnp.sum(mask),
+            # entropy-decomposition family (multimodal eval, multimodal.py:305-310)
+            "predictive_entropy": ent.predictive,
+            "aleatoric_entropy": ent.aleatoric,
+            "model_uncertainty": ent.model,
+            # variance family (unimodal eval, unimodal.py:296-309; eps 1e-7)
+            "epistemic_variance": U.variance_uncertainty(probs),
+            "aleatoric_mc_entropy": U.aleatoric_uncertainty(probs, eps=1e-7),
+        }
+
+    return step

@@ -1,0 +1,43 @@
+"""HuggingFace Hub weight retrieval (gated for offline environments).
+
+Reference: /root/reference/src/Multimodal_AUV/functions/functions.py:43-64
+downloads ``sams-tom/multimodal-auv-bathy-bnn-classifier`` /
+``multimodal-bnn/pytorch_model.bin``.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_REPO_ID = "sams-tom/multimodal-auv-bathy-bnn-classifier"
+DEFAULT_SUBFOLDER = "multimodal-bnn"
+DEFAULT_FILENAME = f"{DEFAULT_SUBFOLDER}/pytorch_model.bin"
+
+
+def fetch_pretrained_weights(
+    repo_id: str = DEFAULT_REPO_ID,
+    filename: str = DEFAULT_FILENAME,
+    local_path: Optional[str] = None,
+) -> Optional[str]:
+    """Return a local path to the pretrained torch checkpoint.
+
+    Order: explicit ``local_path`` if it exists; a cached/hub download
+    otherwise. Returns None (with a warning) when offline and uncached —
+    callers decide whether random init is acceptable."""
+    if local_path:
+        if os.path.exists(local_path):
+            return local_path
+        logger.warning("local weights path %s does not exist", local_path)
+
+    try:
+        from huggingface_hub import hf_hub_download
+
+        return hf_hub_download(repo_id=repo_id, filename=filename)
+    except Exception as e:
+        logger.warning(
+            "Could not fetch pretrained weights from the HuggingFace Hub "
+            "(%s). Offline environment? Pass a local weights path.", e)
+        return None

@@ -1,0 +1,155 @@
+"""Model construction — the ``define_models`` equivalent.
+
+Reference (/root/reference/src/Multimodal_AUV/models/model_utils.py:10-49)
+builds three unimodal ResNet50Custom models + a MultiModalModel over three
+pretrained feature trunks, then converts each with dnn_to_bnn. Here the same
+seven-entry dict is produced, but "conversion" is ``bayes.bayesianize`` over
+the flax param tree, yielding a PackedPosterior per model.
+
+Pretrained ImageNet initialisation: the reference downloads torchvision
+IMAGENET1K_V1 weights. This environment has no torchvision and no network
+egress, so trunks initialise randomly unless a local torch state-dict is
+supplied (``pretrained_paths`` -> interop.torch_import); the HuggingFace
+checkpoint importer covers the production path.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_auv_tpu.bayes import (
+    PackedPosterior,
+    PackMeta,
+    bayesianize,
+    sample_weights,
+)
+from multimodal_auv_tpu.config import BNNPriorSpec, IMAGE_SIZE
+from multimodal_auv_tpu.models.fusion import MultiModalModel
+from multimodal_auv_tpu.models.resnet import ResNet, ResNet50Custom
+
+
+@dataclass
+class ModelBundle:
+    """A Bayesian model: static module + learnable posterior + BN stats.
+
+    The module is static (hashable config); only ``post`` and
+    ``batch_stats`` flow through jitted code.
+    """
+
+    module: nn.Module
+    post: PackedPosterior
+    meta: PackMeta
+    batch_stats: Any
+
+    def apply_with_weights(self, w_flat, *inputs, train: bool = True,
+                           batch_stats=None, mutable: bool = False):
+        """Forward with an explicit sampled flat weight vector."""
+        params = self.meta.unpack(w_flat, self.post.det)
+        variables = {
+            "params": params,
+            "batch_stats": self.batch_stats if batch_stats is None else batch_stats,
+        }
+        if mutable:
+            return self.module.apply(variables, *inputs, train=train,
+                                     mutable=["batch_stats"])
+        return self.module.apply(variables, *inputs, train=train)
+
+    def apply_mean(self, *inputs, train: bool = False):
+        """Deterministic forward at the posterior mean."""
+        return self.apply_with_weights(self.post.mu, *inputs, train=train)
+
+    def sample_and_apply(self, key, *inputs, train: bool = True,
+                         impl: str = "auto", mutable: bool = False):
+        w = sample_weights(self.post, key, impl=impl)
+        return self.apply_with_weights(w, *inputs, train=train, mutable=mutable)
+
+
+@dataclass(frozen=True)
+class ArchConfig:
+    """Backbone scaling knobs; default is the full ResNet-50 geometry."""
+
+    stage_sizes: Tuple[int, ...] = (3, 4, 6, 3)
+    width: int = 64
+    image_size: int = IMAGE_SIZE
+    dtype: Any = jnp.bfloat16  # activation dtype (MXU-friendly)
+    param_dtype: Any = jnp.float32
+
+    @classmethod
+    def tiny(cls, image_size: int = 32):
+        """A miniature config for tests: same topology, 1 block per stage."""
+        return cls(stage_sizes=(1, 1, 1, 1), width=8, image_size=image_size,
+                   dtype=jnp.float32)
+
+
+def _bayesian_bundle(module: nn.Module, example_inputs, spec: BNNPriorSpec,
+                     rng: jax.Array) -> ModelBundle:
+    variables = module.init(rng, *example_inputs, train=True)
+    post, meta = bayesianize(variables["params"], spec, rng=rng)
+    return ModelBundle(module=module, post=post, meta=meta,
+                       batch_stats=variables.get("batch_stats", {}))
+
+
+def make_multimodal_bundle(num_classes: int, spec: BNNPriorSpec,
+                           rng: jax.Array,
+                           arch: ArchConfig = ArchConfig()) -> ModelBundle:
+    module = MultiModalModel(num_classes=num_classes,
+                             stage_sizes=tuple(arch.stage_sizes),
+                             width=arch.width, dtype=arch.dtype,
+                             param_dtype=arch.param_dtype)
+    s = arch.image_size
+    ex = (jnp.zeros((1, s, s, 3), jnp.float32),
+          jnp.zeros((1, s, s, 3), jnp.float32),
+          jnp.zeros((1, s, s, 1), jnp.float32))
+    return _bayesian_bundle(module, ex, spec, rng)
+
+
+def make_unimodal_bundle(input_channels: int, num_classes: int,
+                         spec: BNNPriorSpec, rng: jax.Array,
+                         arch: ArchConfig = ArchConfig()) -> ModelBundle:
+    module = ResNet50Custom(num_classes=num_classes,
+                            stage_sizes=tuple(arch.stage_sizes),
+                            width=arch.width, dtype=arch.dtype,
+                            param_dtype=arch.param_dtype)
+    s = arch.image_size
+    ex = (jnp.zeros((1, s, s, input_channels), jnp.float32),)
+    return _bayesian_bundle(module, ex, spec, rng)
+
+
+def define_models(num_classes: int, const_bnn_prior_parameters,
+                  rng: Optional[jax.Array] = None,
+                  arch: ArchConfig = ArchConfig()) -> Dict[str, Any]:
+    """Seven-entry model dict with the reference's keys
+    (model_utils.py:37-45): three Bayesian unimodal classifiers, the
+    Bayesian multimodal fusion model, and three deterministic feature
+    trunks."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    if isinstance(const_bnn_prior_parameters, dict):
+        spec = BNNPriorSpec.from_dict(const_bnn_prior_parameters)
+    else:
+        spec = const_bnn_prior_parameters
+
+    keys = jax.random.split(rng, 7)
+    s = arch.image_size
+
+    def feat(input_channels, key):
+        module = ResNet(stage_sizes=tuple(arch.stage_sizes), width=arch.width,
+                        num_classes=None, dtype=arch.dtype,
+                        param_dtype=arch.param_dtype)
+        variables = module.init(
+            key, jnp.zeros((1, s, s, input_channels), jnp.float32), train=True)
+        return {"module": module, "variables": variables}
+
+    return {
+        "image_model": make_unimodal_bundle(3, num_classes, spec, keys[0], arch),
+        "bathy_model": make_unimodal_bundle(3, num_classes, spec, keys[1], arch),
+        "sss_model": make_unimodal_bundle(1, num_classes, spec, keys[2], arch),
+        "multimodal_model": make_multimodal_bundle(num_classes, spec, keys[3], arch),
+        "image_model_feat": feat(3, keys[4]),
+        "bathy_model_feat": feat(3, keys[5]),
+        "sss_model_feat": feat(1, keys[6]),
+    }

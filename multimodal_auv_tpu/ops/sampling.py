@@ -1,0 +1,123 @@
+"""Fused Gaussian reparameterization sampling — the BNN hot op.
+
+In the reference every MC forward re-samples ~75M posterior weights layer by
+layer inside bayesian-torch modules (SURVEY.md §3.5). Here one Pallas kernel
+draws the *entire packed posterior* per MC sample:
+
+    w = mu + softplus(rho) * eps,   eps ~ N(0, 1)
+
+with the normal noise generated **on-chip** (TPU PRNG + Box–Muller), so the
+only HBM traffic is reading (mu, rho) and writing w — no eps array ever
+exists in memory. A ``num_draws`` grid dimension produces a whole chunk of
+MC draws in one kernel launch.
+
+Falls back to pure jnp (jax.random.normal) off-TPU; an interpret-mode path
+exists so the kernel itself is unit-testable on CPU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+BLOCK_ROWS = 512  # 512x128 f32 = 256 KiB per buffer in VMEM
+
+_TWO_PI = 6.283185307179586
+
+
+def _softplus(x):
+    # Stable softplus; rho is typically in [-12, 1] here.
+    return jnp.where(x > 20.0, x, jnp.log1p(jnp.exp(jnp.minimum(x, 20.0))))
+
+
+def _reparam_kernel(seed_ref, mu_ref, rho_ref, out_ref):
+    draw = pl.program_id(0)
+    blk = pl.program_id(1)
+    nblk = pl.num_programs(1)
+    pltpu.prng_seed(seed_ref[0] + draw * nblk + blk)
+
+    shape = mu_ref.shape  # (BLOCK_ROWS, LANES)
+    # random bits come back as signed int32 and Mosaic cannot cast uint32 to
+    # f32 — keep the low 24 bits (non-negative int32) as the uniform source.
+    b1 = pltpu.prng_random_bits(shape)
+    b2 = pltpu.prng_random_bits(shape)
+    m24 = jnp.int32(0xFFFFFF)
+    # uniforms in (0, 1]: 24 random bits, +1 to avoid zero.
+    u1 = ((b1 & m24).astype(jnp.float32) + 1.0) * (1.0 / 16777216.0)
+    u2 = (b2 & m24).astype(jnp.float32) * (1.0 / 16777216.0)
+    # Box–Muller
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    eps = r * jnp.cos(_TWO_PI * u2)
+
+    out_ref[0] = mu_ref[:] + _softplus(rho_ref[:]) * eps
+
+
+def _pallas_reparam(mu2d, rho2d, seed, num_draws, *, interpret=False):
+    if interpret:
+        # TPU-semantics interpreter (supports pltpu.prng_* on CPU).
+        interpret = pltpu.InterpretParams()
+    rows = mu2d.shape[0]
+    grid = (num_draws, pl.cdiv(rows, BLOCK_ROWS))
+    out = pl.pallas_call(
+        _reparam_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((BLOCK_ROWS, LANES), lambda d, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_ROWS, LANES), lambda d, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_ROWS, LANES), lambda d, i: (d, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_draws, rows, LANES), jnp.float32),
+        interpret=interpret,
+    )(seed, mu2d, rho2d)
+    return out
+
+
+def gaussian_reparam(
+    mu: jax.Array,
+    rho: jax.Array,
+    key: jax.Array,
+    num_draws: Optional[int] = None,
+    *,
+    impl: str = "auto",
+) -> jax.Array:
+    """Sample ``w = mu + softplus(rho) * N(0,1)``.
+
+    Args:
+        mu, rho: flat f32 arrays of equal length P (P % 1024 == 0 when using
+            the Pallas path — guaranteed by bayes.packing's pad_multiple).
+        key: jax PRNG key.
+        num_draws: if given, returns shape (num_draws, P); else (P,).
+        impl: 'auto' | 'jnp' | 'pallas' | 'pallas_interpret'.
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+
+    n = 1 if num_draws is None else num_draws
+    if impl == "jnp":
+        eps = jax.random.normal(key, (n,) + mu.shape, jnp.float32)
+        out = mu[None] + jax.nn.softplus(rho)[None] * eps
+    elif impl in ("pallas", "pallas_interpret"):
+        if mu.shape[0] % LANES != 0:
+            raise ValueError(f"packed size {mu.shape[0]} not a multiple of {LANES}")
+        rows = mu.shape[0] // LANES
+        seed = jax.random.bits(key, shape=(1,), dtype=jnp.uint32).astype(jnp.int32)
+        out = _pallas_reparam(
+            mu.reshape(rows, LANES),
+            rho.reshape(rows, LANES),
+            seed,
+            n,
+            interpret=(impl == "pallas_interpret"),
+        ).reshape(n, mu.shape[0])
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
+
+    return out[0] if num_draws is None else out

@@ -1,0 +1,15 @@
+"""Public pipeline API — reference package-level exports
+(/root/reference/src/Multimodal_AUV/__init__.py:5-10)."""
+from multimodal_auv_tpu.pipelines.inference import run_auv_inference  # noqa: F401
+from multimodal_auv_tpu.pipelines.training import (  # noqa: F401
+    run_AUV_training_from_scratch,
+    run_auv_retraining,
+)
+
+
+def run_auv_preprocessing(*args, **kwargs):
+    from multimodal_auv_tpu.pipelines.preprocessing import (
+        run_auv_preprocessing as _impl,
+    )
+
+    return _impl(*args, **kwargs)

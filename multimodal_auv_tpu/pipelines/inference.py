@@ -1,0 +1,80 @@
+"""run_auv_inference — the north-star pipeline (SURVEY.md §3.1).
+
+Reference: /root/reference/src/Multimodal_AUV/functions/functions.py:26-82.
+Same flow: resolve pretrained weights (HF Hub or local) -> inference loader
+-> multimodal BNN -> MC predict -> CSV with the reference schema.
+
+TPU deltas: the num_mc x triple-ResNet forward runs as one jitted XLA
+program per batch (bf16 activations, fused Pallas weight sampling), instead
+of num_mc sequential Python forwards.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax
+
+from multimodal_auv_tpu.config import BNNPriorSpec, MeshSpec
+from multimodal_auv_tpu.data.loaders import prepare_inference_dataloader
+from multimodal_auv_tpu.engine.predict import multimodal_predict_and_save
+from multimodal_auv_tpu.interop import hub
+from multimodal_auv_tpu.models.model_utils import ArchConfig, make_multimodal_bundle
+
+
+def run_auv_inference(
+    data_directory: str,
+    batch_size: int = 4,
+    output_csv: str = "./inference_results.csv",
+    num_mc_samples: int = 5,
+    num_classes: int = 7,
+    *,
+    model_weights_path: Optional[str] = None,
+    allow_random_init: bool = False,
+    arch: Optional[ArchConfig] = None,
+    mc_chunk: int = 1,
+    seed: int = 0,
+):
+    """Run multimodal BNN inference over a survey directory.
+
+    Args mirror functions.py:26-31; extensions: ``model_weights_path`` (local
+    torch checkpoint instead of the HF download), ``allow_random_init``
+    (proceed without pretrained weights — for smoke tests/offline),
+    ``arch``/``mc_chunk``/``seed`` (TPU knobs).
+    """
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s - %(levelname)s - %(message)s")
+    logger = logging.getLogger(__name__)
+    logger.info("Using devices: %s", jax.devices())
+
+    arch = arch or ArchConfig()
+    bundle = make_multimodal_bundle(num_classes, BNNPriorSpec(),
+                                    jax.random.PRNGKey(seed), arch)
+
+    weights = hub.fetch_pretrained_weights(local_path=model_weights_path)
+    if weights is not None:
+        from multimodal_auv_tpu.interop.torch_import import (
+            load_and_prepare_multimodal_model,
+        )
+
+        bundle, stats = load_and_prepare_multimodal_model(
+            bundle, weights, num_classes=num_classes)
+        logger.info("Pretrained weights loaded: %s", stats)
+    elif not allow_random_init:
+        raise RuntimeError(
+            "No pretrained weights available (offline and no "
+            "model_weights_path). Pass allow_random_init=True to proceed "
+            "with a randomly initialised model.")
+    else:
+        logger.warning("Proceeding with randomly initialised model.")
+
+    dataloader = prepare_inference_dataloader(data_directory, batch_size)
+    multimodal_predict_and_save(
+        bundle, dataloader, output_csv,
+        num_mc_samples=num_mc_samples,
+        key=jax.random.PRNGKey(seed + 1),
+        mc_chunk=mc_chunk,
+        model_type="multimodal")
+    logger.info("Final inference process completed successfully.")
+    return output_csv

@@ -1,0 +1,216 @@
+"""run_AUV_training_from_scratch + run_auv_retraining pipelines.
+
+References:
+  * /root/reference/src/Multimodal_AUV/functions/functions.py:361-546
+    (from-scratch: define models, Adam+StepLR, multimodal train loop).
+  * functions.py:84-258 (retraining: HF weights + head swap, then the same
+    loop). Note: the reference builds its optimizer over a *fresh*
+    define_models dict instead of the loaded model (functions.py:229-235) —
+    a real bug (the loaded weights are never optimized); fixed here, the
+    optimizer always owns the trained posterior.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_auv_tpu.config import BNNPriorSpec
+from multimodal_auv_tpu.data.loaders import prepare_datasets_and_loaders
+from multimodal_auv_tpu.engine.loops import train_and_evaluate_multimodal_model
+from multimodal_auv_tpu.engine.optim import BayesTrainState, StepLR, make_optimizer
+from multimodal_auv_tpu.engine.steps import make_eval_step, make_train_step
+from multimodal_auv_tpu.interop import hub
+from multimodal_auv_tpu.models.model_utils import ArchConfig, make_multimodal_bundle
+from multimodal_auv_tpu.utils.logging_utils import setup_pipeline_logging
+from multimodal_auv_tpu.utils.tb import SummaryWriter
+
+logger = logging.getLogger(__name__)
+
+
+def _patch_type(base, kind: str) -> Optional[str]:
+    if base is None:
+        return None
+    return f"patch_{base}_{kind}" if not str(base).startswith("patch_") else str(base)
+
+
+def _train_multimodal_common(
+    *,
+    root_dir: str,
+    bundle,
+    num_classes: int,
+    lr: float,
+    weight_decay: float,
+    num_epochs: int,
+    num_mc: int,
+    batch_size_multimodal: int,
+    scheduler_step_size: int,
+    scheduler_gamma: float,
+    bathy_patch_base,
+    sss_patch_base,
+    spec: BNNPriorSpec,
+    mc_chunk: int = 1,
+    seed: int = 0,
+    double_scheduler_step: bool = True,
+    resume_checkpoint: Optional[str] = None,
+):
+    log_dir = setup_pipeline_logging()
+    sum_writer = SummaryWriter(os.path.join("tensorboard_logs",
+                                            os.path.basename(log_dir)))
+
+    (_, _, train_loader, test_loader, actual_num_classes, dataset) = (
+        prepare_datasets_and_loaders(root_dir,
+                                     batch_size_multimodal=batch_size_multimodal))
+    if num_classes in (None, 0):
+        num_classes = actual_num_classes
+    elif num_classes != actual_num_classes:
+        logger.warning("Configured num_classes (%d) differs from detected (%d); "
+                       "using configured.", num_classes, actual_num_classes)
+
+    tx = make_optimizer(lr, weight_decay)
+    state = BayesTrainState(post=bundle.post, opt_state=tx.init(bundle.post),
+                            batch_stats=bundle.batch_stats,
+                            step=jnp.zeros((), jnp.int32))
+    train_step = make_train_step(bundle.module, bundle.meta, spec, tx,
+                                 num_mc=num_mc, mc_chunk=mc_chunk)
+    eval_step = make_eval_step(bundle.module, bundle.meta, spec,
+                               num_mc=num_mc, mc_chunk=mc_chunk)
+    scheduler = StepLR(lr, scheduler_step_size, scheduler_gamma)
+
+    class_names = list(dataset.label_encoder.classes_)
+    state = train_and_evaluate_multimodal_model(
+        train_loader, test_loader, num_epochs, train_step, eval_step, state,
+        scheduler, os.path.join(root_dir, "csvs"), sum_writer,
+        jax.random.PRNGKey(seed),
+        bathy_patch_type=_patch_type(bathy_patch_base, "bathy"),
+        sss_patch_type=_patch_type(sss_patch_base, "sss"),
+        class_names=class_names,
+        double_scheduler_step=double_scheduler_step,
+        checkpoint_resume_path=resume_checkpoint,
+    )
+    sum_writer.close()
+    bundle.post = state.post
+    bundle.batch_stats = state.batch_stats
+    return state
+
+
+def run_AUV_training_from_scratch(
+    const_bnn_prior_parameters: Dict[str, Any],
+    lr_multimodal_model: float,
+    num_epochs_multimodal: int,
+    num_mc: int,
+    bathy_patch_base_raw: int,
+    sss_patch_base_raw: int,
+    batch_size_multimodal: int,
+    root_dir: str,
+    devices: Optional[List] = None,
+    num_classes: int = 0,
+    *,
+    arch: Optional[ArchConfig] = None,
+    mc_chunk: int = 1,
+    seed: int = 0,
+    weight_decay: float = 1e-5,
+    scheduler_step_size: int = 7,
+    scheduler_gamma: float = 0.752,
+    resume_checkpoint: Optional[str] = None,
+) -> bool:
+    """Signature parity with functions.py:361-374 (``devices`` accepted for
+    API compatibility; placement is mesh-driven on TPU)."""
+    try:
+        spec = (BNNPriorSpec.from_dict(const_bnn_prior_parameters)
+                if isinstance(const_bnn_prior_parameters, dict)
+                else const_bnn_prior_parameters)
+        arch = arch or ArchConfig()
+        # peek at the dataset for num_classes before building the model
+        if num_classes in (None, 0):
+            from multimodal_auv_tpu.data.datasets import MultimodalFolderDataset
+
+            num_classes = MultimodalFolderDataset(root_dir).num_classes
+        bundle = make_multimodal_bundle(num_classes, spec,
+                                        jax.random.PRNGKey(seed), arch)
+        _train_multimodal_common(
+            root_dir=root_dir, bundle=bundle, num_classes=num_classes,
+            lr=lr_multimodal_model, weight_decay=weight_decay,
+            num_epochs=num_epochs_multimodal, num_mc=num_mc,
+            batch_size_multimodal=batch_size_multimodal,
+            scheduler_step_size=scheduler_step_size,
+            scheduler_gamma=scheduler_gamma,
+            bathy_patch_base=bathy_patch_base_raw,
+            sss_patch_base=sss_patch_base_raw,
+            spec=spec, mc_chunk=mc_chunk, seed=seed,
+            resume_checkpoint=resume_checkpoint,
+        )
+        logger.info("Full training pipeline finished.")
+        return True
+    except Exception as e:
+        logger.exception("An error occurred during AUV training from scratch: %s", e)
+        return False
+
+
+def run_auv_retraining(
+    root_dir: str,
+    devices: Optional[List] = None,
+    const_bnn_prior_parameters: Optional[Dict[str, Any]] = None,
+    num_classes: int = 7,
+    lr_multimodal: float = 1e-5,
+    multimodal_weight_decay: float = 1e-5,
+    epochs_multimodal: int = 20,
+    num_mc: int = 5,
+    bathy_patch_base: int = 30,
+    sss_patch_base: int = 30,
+    batch_size_multimodal: int = 1,
+    scheduler_multimodal_step_size: int = 7,
+    scheduler_multimodal_gamma: float = 0.752,
+    *,
+    model_weights_path: Optional[str] = None,
+    allow_random_init: bool = False,
+    arch: Optional[ArchConfig] = None,
+    mc_chunk: int = 1,
+    seed: int = 0,
+    resume_checkpoint: Optional[str] = None,
+) -> bool:
+    """Foundation-model retraining (functions.py:84-258): pretrained HF
+    weights, fc2 head swapped when num_classes != 7, then full multimodal
+    fine-tuning."""
+    try:
+        spec = (BNNPriorSpec.from_dict(const_bnn_prior_parameters)
+                if isinstance(const_bnn_prior_parameters, dict)
+                else (const_bnn_prior_parameters or BNNPriorSpec()))
+        arch = arch or ArchConfig()
+        bundle = make_multimodal_bundle(num_classes, spec,
+                                        jax.random.PRNGKey(seed), arch)
+
+        weights = hub.fetch_pretrained_weights(local_path=model_weights_path)
+        if weights is not None:
+            from multimodal_auv_tpu.interop.torch_import import (
+                load_and_prepare_multimodal_model,
+            )
+
+            bundle, stats = load_and_prepare_multimodal_model(
+                bundle, weights, num_classes=num_classes)
+            logger.info("Pretrained weights loaded for retraining: %s", stats)
+        elif not allow_random_init:
+            raise RuntimeError(
+                "No pretrained weights for retraining (offline and no "
+                "model_weights_path); pass allow_random_init=True to train "
+                "from random init instead.")
+
+        _train_multimodal_common(
+            root_dir=root_dir, bundle=bundle, num_classes=num_classes,
+            lr=lr_multimodal, weight_decay=multimodal_weight_decay,
+            num_epochs=epochs_multimodal, num_mc=num_mc,
+            batch_size_multimodal=batch_size_multimodal,
+            scheduler_step_size=scheduler_multimodal_step_size,
+            scheduler_gamma=scheduler_multimodal_gamma,
+            bathy_patch_base=bathy_patch_base,
+            sss_patch_base=sss_patch_base,
+            spec=spec, mc_chunk=mc_chunk, seed=seed,
+            resume_checkpoint=resume_checkpoint,
+        )
+        return True
+    except Exception as e:
+        logger.exception("An error occurred during retraining: %s", e)
+        return False

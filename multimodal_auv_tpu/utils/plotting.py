@@ -1,0 +1,48 @@
+"""Confusion-matrix PNG artifacts.
+
+Path scheme and filename match the reference
+(/root/reference/src/Multimodal_AUV/train/multimodal.py:322-347):
+``{dirname(csv_path)}/confusion_matrices/conf_matrix_model_{type}_{epoch}.png``.
+Plot failures are non-fatal (warning only), as in the reference.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional, Sequence
+
+logger = logging.getLogger(__name__)
+
+
+def save_confusion_matrix(all_labels, all_predicted, csv_path: str,
+                          model_type: str, epoch: int,
+                          class_names: Optional[Sequence[str]] = None) -> Optional[str]:
+    fig = None
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from sklearn.metrics import ConfusionMatrixDisplay, confusion_matrix
+
+        cm = confusion_matrix(all_labels, all_predicted)
+        disp = ConfusionMatrixDisplay(confusion_matrix=cm,
+                                      display_labels=class_names)
+        fig, ax = plt.subplots(figsize=(8, 8))
+        disp.plot(cmap="Blues", ax=ax)
+        plt.title(f"Confusion Matrix for Epoch {epoch}")
+
+        folder = os.path.join(os.path.dirname(csv_path), "confusion_matrices")
+        os.makedirs(folder, exist_ok=True)
+        path = os.path.join(folder, f"conf_matrix_model_{model_type}_{epoch}.png")
+        plt.savefig(path)
+        logger.info("Confusion matrix saved to: %s", path)
+        return path
+    except Exception as e:
+        logger.warning("Confusion matrix not saved due to plotting error: %s", e)
+        return None
+    finally:
+        if fig is not None:
+            import matplotlib.pyplot as plt
+
+            plt.close(fig)

@@ -1,0 +1,33 @@
+"""Test configuration.
+
+Forces JAX onto the host CPU backend with 8 virtual devices so that all
+mesh / pjit / sharding tests run without TPU hardware (the idiomatic JAX
+replacement for the reference's mocked-``torch.cuda.device_count`` tests,
+see /root/reference/unittests/test_utils.py:56-73).
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# Make the repo importable without installation.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon TPU plugin force-registers itself in jax.config at import time,
+# overriding JAX_PLATFORMS; pin the config back to CPU after import so tests
+# never touch the (single, shared) real TPU chip.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng_seed():
+    return 0

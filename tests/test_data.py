@@ -1,0 +1,136 @@
+"""Dataset + loader tests on real fixture trees (richer than the reference's
+fully-mocked /root/reference/unittests/test_data.py)."""
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_auv_tpu.data.datasets import (
+    InferenceFolderDataset,
+    MultimodalFolderDataset,
+)
+from multimodal_auv_tpu.data.loaders import (
+    DataLoader,
+    prepare_datasets_and_loaders,
+    prepare_inference_dataloader,
+    split_dataset,
+)
+from tests.fixtures.make_tree import (
+    gray,
+    make_inference_tree,
+    make_training_tree,
+    rgb,
+)
+
+
+@pytest.fixture(scope="module")
+def train_tree(tmp_path_factory):
+    return make_training_tree(str(tmp_path_factory.mktemp("train")), n_samples=6)
+
+
+@pytest.fixture(scope="module")
+def infer_tree(tmp_path_factory):
+    return make_inference_tree(str(tmp_path_factory.mktemp("infer")), n_samples=5)
+
+
+def test_training_dataset_scan_and_getitem(train_tree):
+    ds = MultimodalFolderDataset(train_tree)
+    assert len(ds) == 6
+    assert ds.num_classes == 3
+    assert ds.all_discovered_patch_sizes == ["10m", "30m"]
+    s = ds[0]
+    assert s["main_image"].shape == (256, 256, 3)
+    assert s["bathy_image"].shape == (256, 256, 3)
+    assert s["sss_image"].shape == (256, 256, 1)
+    assert set(s["patch_bathy"]) == {"10m", "30m"}
+    assert s["patch_bathy"]["30m"].shape == (256, 256, 3)
+    assert s["patch_sss"]["30m"].shape == (256, 256, 1)
+    # main image is normalized (values can be negative), others in [0,1]
+    assert s["main_image"].min() < 0
+    assert 0.0 <= s["bathy_image"].min() and s["bathy_image"].max() <= 1.0
+
+
+def test_training_dataset_skips_invalid_folders(tmp_path):
+    root = make_training_tree(str(tmp_path / "t"), n_samples=3)
+    # folder without label txt -> skipped
+    bad = os.path.join(root, "bad_sample")
+    os.makedirs(bad)
+    from PIL import Image
+
+    Image.fromarray(rgb()).save(os.path.join(bad, "frame_9.jpg"))
+    Image.fromarray(gray()).save(os.path.join(bad, "x_SSS_9.png"))
+    ds = MultimodalFolderDataset(root)
+    assert len(ds) == 3
+
+
+def test_dummy_patch_for_missing_size(tmp_path):
+    root = make_training_tree(str(tmp_path / "t"), n_samples=2,
+                              patch_sizes=("30m",))
+    # add a 10m patch only to sample_000 -> sample_001 gets a dummy
+    from PIL import Image
+
+    Image.fromarray(rgb()).save(
+        os.path.join(root, "sample_000", "patch_10m_combined_bathy.png"))
+    ds = MultimodalFolderDataset(root)
+    assert ds.all_discovered_patch_sizes == ["10m", "30m"]
+    idx1 = next(i for i, p in enumerate(ds.data_paths)
+                if "sample_001" in p["main_image"])
+    s1 = ds[idx1]
+    assert float(np.abs(s1["patch_bathy"]["10m"]).sum()) == 0.0
+    assert float(np.abs(s1["patch_bathy"]["30m"]).sum()) > 0.0
+
+
+def test_inference_dataset(infer_tree):
+    ds = InferenceFolderDataset(infer_tree)
+    assert len(ds) == 5
+    main, bathy, sss, name = ds[0]
+    assert main.shape == (256, 256, 3)
+    assert bathy.shape == (256, 256, 3)
+    assert sss.shape == (256, 256, 1)
+    assert name.startswith("Frame_")
+
+
+def test_inference_dataset_skips_empty(tmp_path):
+    root = make_inference_tree(str(tmp_path / "i"), n_samples=2)
+    bad = os.path.join(root, "dive_bad")
+    os.makedirs(bad)
+    from PIL import Image
+
+    # all-zero main image -> folder rejected
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(
+        os.path.join(bad, "Frame_0.jpg"))
+    Image.fromarray(gray()).save(os.path.join(bad, "a_SSS.png"))
+    Image.fromarray(rgb()).save(os.path.join(bad, "patch_30m_combined_bathy.png"))
+    ds = InferenceFolderDataset(root)
+    assert len(ds) == 2
+
+
+def test_split_and_loader(train_tree):
+    ds = MultimodalFolderDataset(train_tree)
+    tr, te = split_dataset(ds)
+    assert len(tr) + len(te) == len(ds)
+    loader = DataLoader(tr, batch_size=2, shuffle=True, num_workers=2)
+    batches = list(loader)
+    assert sum(b["label"].shape[0] for b in batches) == len(tr)
+    b = batches[0]
+    assert b["main_image"].shape == (2, 256, 256, 3)
+    assert b["patch_sss"]["30m"].shape == (2, 256, 256, 1)
+    assert b["label"].dtype == np.int32
+
+
+def test_prepare_datasets_and_loaders(train_tree):
+    out = prepare_datasets_and_loaders(train_tree, batch_size_unimodal=2,
+                                       batch_size_multimodal=3, num_workers=0)
+    (tl_u, te_u, tl_m, te_m, num_classes, dataset) = out
+    assert num_classes == 3
+    assert len(dataset) == 6
+
+
+def test_inference_loader(infer_tree):
+    loader = prepare_inference_dataloader(infer_tree, batch_size=2, num_workers=2)
+    batches = list(loader)
+    n = sum(len(b[3]) for b in batches)
+    assert n == 5
+    main, bathy, sss, names = batches[0]
+    assert main.shape == (2, 256, 256, 3)
+    assert isinstance(names, list) and isinstance(names[0], str)

@@ -1,0 +1,252 @@
+"""Training/eval engine tests — analogue of the reference's test_train.py
+(weights change, CSVs written, checkpoints round-trip) plus estimator goldens
+the reference lacks."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_auv_tpu.bayes import kl_divergence
+from multimodal_auv_tpu.config import BNNPriorSpec
+from multimodal_auv_tpu.data.loaders import DataLoader
+from multimodal_auv_tpu.engine import uncertainty as U
+from multimodal_auv_tpu.engine.loops import (
+    evaluate_multimodal_model,
+    train_and_evaluate_multimodal_model,
+    train_multimodal_model,
+    train_and_evaluate_unimodal_model,
+)
+from multimodal_auv_tpu.engine.mc import mc_logits
+from multimodal_auv_tpu.engine.optim import BayesTrainState, StepLR, make_optimizer
+from multimodal_auv_tpu.engine.steps import make_eval_step, make_train_step
+from multimodal_auv_tpu.models.model_utils import (
+    ArchConfig,
+    make_multimodal_bundle,
+    make_unimodal_bundle,
+)
+from multimodal_auv_tpu.utils.tb import SummaryWriter
+
+SPEC = BNNPriorSpec()
+TINY = ArchConfig.tiny()
+S = 32
+
+
+class SyntheticMultimodalDataset:
+    """Batch-dict schema of MultimodalFolderDataset with learnable signal."""
+
+    def __init__(self, n=12, num_classes=3, seed=0):
+        rng = np.random.default_rng(seed)
+        self.labels = (np.arange(n) % num_classes).astype(np.int32)
+        self.n = n
+        self.num_classes = num_classes
+        self.rng_vals = rng.normal(size=(n,)).astype(np.float32)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        lab = self.labels[i]
+        base = np.full((S, S, 3), 0.1 + 0.4 * lab, np.float32)
+        return {
+            "main_image": base,
+            "bathy_image": base * 0.5,
+            "sss_image": base[:, :, :1],
+            "patch_bathy": {"10m": base * 0.2},
+            "patch_sss": {"10m": base[:, :, :1] * 0.2},
+            "label": lab,
+        }
+
+
+def _mm_state(num_classes=3, lr=1e-3):
+    bundle = make_multimodal_bundle(num_classes, SPEC, jax.random.PRNGKey(0), TINY)
+    tx = make_optimizer(lr, weight_decay=0.0)
+    state = BayesTrainState(post=bundle.post, opt_state=tx.init(bundle.post),
+                            batch_stats=bundle.batch_stats,
+                            step=jnp.zeros((), jnp.int32))
+    return bundle, tx, state
+
+
+def test_mc_logits_shape_and_stochasticity():
+    bundle, _, _ = _mm_state()
+    # random (non-identical) inputs: train-mode BN collapses identical
+    # samples to zeros (batch stats), which would mask draw stochasticity
+    x = jax.random.uniform(jax.random.PRNGKey(9), (2, S, S, 3))
+    s = jax.random.uniform(jax.random.PRNGKey(10), (2, S, S, 1))
+    logits = mc_logits(bundle.module, bundle.meta, bundle.post,
+                       bundle.batch_stats, (x, x, s), jax.random.PRNGKey(0),
+                       num_mc=4, mc_chunk=2, impl="jnp")
+    assert logits.shape == (4, 2, 3)
+    # different draws give different logits (stochastic weights)
+    assert float(jnp.abs(logits[0] - logits[1]).max()) > 1e-6
+
+
+def test_train_step_updates_weights_and_guards_nan():
+    bundle, tx, state = _mm_state()
+    step = make_train_step(bundle.module, bundle.meta, SPEC, tx, num_mc=2,
+                           impl="jnp")
+    x = jnp.ones((4, S, S, 3))
+    s = jnp.ones((4, S, S, 1))
+    labels = jnp.array([0, 1, 2, 0], jnp.int32)
+    mask = jnp.ones((4,))
+    new_state, m = step(state, (x, x, s), labels, mask,
+                        jax.random.PRNGKey(1), 0.5, 4.0)
+    assert float(jnp.abs(new_state.post.mu - state.post.mu).max()) > 0
+    assert not bool(m["skipped"])
+    assert np.isfinite(float(m["loss"]))
+
+    # NaN input -> loss non-finite -> update skipped, post unchanged
+    bad = x.at[0, 0, 0, 0].set(jnp.nan)
+    s2, m2 = step(state, (bad, x, s), labels, mask, jax.random.PRNGKey(1),
+                  0.5, 4.0)
+    assert bool(m2["skipped"])
+    np.testing.assert_array_equal(np.asarray(s2.post.mu),
+                                  np.asarray(state.post.mu))
+
+
+def test_loss_matches_reference_formula():
+    """loss == CE(mean logits) + KL/batch_size*kl_weight, computed by hand."""
+    bundle, tx, state = _mm_state()
+    import optax
+
+    step = make_train_step(bundle.module, bundle.meta, SPEC, tx, num_mc=2,
+                           impl="jnp")
+    x = jnp.ones((2, S, S, 3)) * 0.3
+    s = jnp.ones((2, S, S, 1)) * 0.3
+    labels = jnp.array([0, 1], jnp.int32)
+    kl_weight, bs = 0.25, 2.0
+    key = jax.random.PRNGKey(3)
+    _, m = step(state, (x, x, s), labels, jnp.ones((2,)), key, kl_weight, bs)
+
+    logits = mc_logits(bundle.module, bundle.meta, bundle.post,
+                       bundle.batch_stats, (x, x, s), key, 2, impl="jnp")
+    mean_logits = jnp.mean(logits.astype(jnp.float32), 0)
+    ce = optax.softmax_cross_entropy_with_integer_labels(mean_logits, labels).mean()
+    kl = kl_divergence(bundle.post, SPEC) / bs * kl_weight
+    assert float(m["loss"]) == pytest.approx(float(ce + kl), rel=1e-5)
+    assert float(m["scaled_kl"]) == pytest.approx(float(kl), rel=1e-5)
+
+
+def test_uncertainty_estimator_goldens():
+    # two MC draws, two samples, two classes — hand-computable
+    probs = jnp.asarray([
+        [[0.9, 0.1], [0.6, 0.4]],
+        [[0.5, 0.5], [0.6, 0.4]],
+    ])
+    var = U.variance_uncertainty(probs)
+    # sample0: var([0.9,0.5])=0.08 (unbiased), both classes same -> 0.08
+    assert float(var[0]) == pytest.approx(0.08, rel=1e-5)
+    assert float(var[1]) == pytest.approx(0.0, abs=1e-9)
+
+    ent = U.entropy_decomposition(probs, eps=0.0)
+    h = lambda p: -(p * np.log(p) + (1 - p) * np.log(1 - p))
+    assert float(ent.predictive[0]) == pytest.approx(h(0.7), rel=1e-5)
+    assert float(ent.aleatoric[0]) == pytest.approx((h(0.9) + h(0.5)) / 2, rel=1e-5)
+    assert float(ent.model[0]) == pytest.approx(h(0.7) - (h(0.9) + h(0.5)) / 2,
+                                                rel=1e-4)
+    # second sample: all draws equal -> epistemic 0
+    assert float(ent.model[1]) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_train_epoch_writes_csv_and_learns(tmp_path):
+    bundle, tx, state = _mm_state(lr=5e-3)
+    step = make_train_step(bundle.module, bundle.meta, SPEC, tx, num_mc=2,
+                           impl="jnp")
+    loader = DataLoader(SyntheticMultimodalDataset(), batch_size=4,
+                        shuffle=True, num_workers=0)
+    csv_path = str(tmp_path / "logs" / "train.csv")
+    os.makedirs(tmp_path / "logs")
+    sw = SummaryWriter(str(tmp_path / "tb"))
+    mu0 = np.asarray(state.post.mu).copy()
+    state, loss, acc = train_multimodal_model(
+        step, state, loader, epoch=1, total_num_epochs=4, csv_path=csv_path,
+        model_type="multimodal", sum_writer=sw, key=jax.random.PRNGKey(0),
+        lr=5e-3, bathy_patch_type="patch_10m_bathy",
+        sss_patch_type="patch_10m_sss")
+    assert os.path.isfile(csv_path)
+    rows = open(csv_path).read().strip().split("\n")
+    assert rows[0].startswith("Epoch,Model type,Loss,Accuracy,lr,kl loss")
+    assert len(rows) == 2 and ",10m" in rows[1]
+    assert np.abs(np.asarray(state.post.mu) - mu0).max() > 0  # weights changed
+    # epoch 1 is not %5==0 -> no checkpoint dir
+    assert not os.path.exists(tmp_path / "models")
+
+
+def test_eval_epoch_csv_and_confusion_matrix(tmp_path):
+    bundle, tx, state = _mm_state()
+    estep = make_eval_step(bundle.module, bundle.meta, SPEC, num_mc=2,
+                           impl="jnp")
+    loader = DataLoader(SyntheticMultimodalDataset(n=6), batch_size=3,
+                        num_workers=0)
+    csv_path = str(tmp_path / "logs" / "eval.csv")
+    os.makedirs(tmp_path / "logs")
+    acc = evaluate_multimodal_model(
+        estep, state, loader, epoch=0, total_num_epochs=4, csv_path=csv_path,
+        model_type="multimodal", key=jax.random.PRNGKey(0))
+    assert 0.0 <= acc <= 1.0
+    rows = open(csv_path).read().strip().split("\n")
+    assert rows[0].startswith("Epoch,Model Type,Test Loss,Test Accuracy")
+    cm_dir = tmp_path / "logs" / "confusion_matrices"
+    assert (cm_dir / "conf_matrix_model_multimodal_0.png").exists()
+
+
+def test_full_orchestration_multimodal(tmp_path):
+    bundle, tx, state = _mm_state(lr=1e-3)
+    tstep = make_train_step(bundle.module, bundle.meta, SPEC, tx, num_mc=2,
+                            impl="jnp")
+    estep = make_eval_step(bundle.module, bundle.meta, SPEC, num_mc=2,
+                           impl="jnp")
+    ds = SyntheticMultimodalDataset(n=8)
+    tl = DataLoader(ds, batch_size=4, num_workers=0)
+    el = DataLoader(ds, batch_size=4, num_workers=0)
+    sched = StepLR(1e-3, step_size=1, gamma=0.5)
+    sw = SummaryWriter(str(tmp_path / "tb"))
+    state = train_and_evaluate_multimodal_model(
+        tl, el, 2, tstep, estep, state, sched, str(tmp_path / "csv"), sw,
+        jax.random.PRNGKey(0))
+    # double-step quirk: 2 epochs -> 4 scheduler steps
+    assert sched.epoch_count == 4
+    assert os.path.exists(tmp_path / "csv" / "multimodal_train_results.csv")
+    assert os.path.exists(tmp_path / "csv" / "multimodal_eval_results.csv")
+    # epoch 0 checkpoint (epoch%5==0) on reference path scheme
+    assert os.path.exists(tmp_path / "models")
+
+
+def test_unimodal_orchestration_skips_epoch_zero(tmp_path):
+    bundle = make_unimodal_bundle(3, 3, SPEC, jax.random.PRNGKey(0), TINY)
+    tx = make_optimizer(1e-3)
+    state = BayesTrainState(post=bundle.post, opt_state=tx.init(bundle.post),
+                            batch_stats=bundle.batch_stats,
+                            step=jnp.zeros((), jnp.int32))
+    tstep = make_train_step(bundle.module, bundle.meta, SPEC, tx, num_mc=2,
+                            impl="jnp")
+    estep = make_eval_step(bundle.module, bundle.meta, SPEC, num_mc=2,
+                           impl="jnp")
+    ds = SyntheticMultimodalDataset(n=6)
+    tl = DataLoader(ds, batch_size=3, num_workers=0)
+    state = train_and_evaluate_unimodal_model(
+        tl, tl, 2, tstep, estep, state, StepLR(1e-3, 7, 0.5),
+        str(tmp_path / "csv"), SummaryWriter(str(tmp_path / "tb")),
+        jax.random.PRNGKey(0), model_type="image")
+    rows = open(tmp_path / "csv" / "unimodal_image_train_results.csv").read()
+    # reference off-by-one: range(1, num_epochs) -> exactly 1 row for 2 epochs
+    assert len(rows.strip().split("\n")) == 2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from multimodal_auv_tpu.engine import checkpointing as ckpt
+
+    bundle, tx, state = _mm_state()
+    path = str(tmp_path / "ck" / "state")
+    ckpt.save_train_state(path, state, epoch=3, scheduler_counts={"m": 5})
+    state2, epoch, sched = ckpt.restore_train_state(path, state)
+    assert epoch == 3 and sched == {"m": 5}
+    np.testing.assert_array_equal(np.asarray(state2.post.mu),
+                                  np.asarray(state.post.mu))
+
+    # tolerant posterior load: mismatched shape dropped
+    p2, ok = ckpt.load_and_fix_state_dict(state.post, path + "_nope")
+    assert not ok
+    ckpt.save_model(state.post, str(tmp_path / "x" / "y.csv"), "multimodal")
+    assert os.path.exists(tmp_path / "models" / "bayesian_model_typemultimodal")
