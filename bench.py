@@ -31,6 +31,9 @@ CACHE = os.path.join(REPO, "BASELINE_LOCAL.json")
 def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
                 impl: str = "auto") -> float:
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
     import jax.numpy as jnp
 
     from multimodal_auv_tpu.config import BNNPriorSpec
@@ -48,15 +51,21 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
     sss = jax.random.uniform(key, (batch, s, s, 1), jnp.float32)
     inputs = (main, bathy, sss)
 
-    # compile + warmup
-    out = step(bundle.post, bundle.batch_stats, inputs, key)
-    jax.block_until_ready(out)
+    import numpy as np
+
+    # compile + warmup (two rounds; force a D2H read — on the axon platform
+    # block_until_ready can return before execution completes, so a host
+    # copy of a result is the only reliable fence)
+    for i in range(2):
+        out = step(bundle.post, bundle.batch_stats, inputs,
+                   jax.random.fold_in(key, 1000 + i))
+        np.asarray(out["predicted"])
 
     t0 = time.perf_counter()
     for i in range(iters):
         out = step(bundle.post, bundle.batch_stats, inputs,
                    jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
+        np.asarray(out["predicted"])  # hard sync every iteration
     dt = time.perf_counter() - t0
     return batch * iters / dt
 
@@ -115,7 +124,8 @@ def measure_torch_cpu(batch: int, num_mc: int) -> float:
             super().__init__()
             self.t1, self.t2, self.t3 = ResNet50(3), ResNet50(3), ResNet50(1)
             self.att = nn.ModuleList([
-                nn.ModuleList([nn.Linear(2048, 128) for _ in range(4)])
+                nn.ModuleList([nn.Linear(2048, 128), nn.Linear(2048, 128),
+                               nn.Linear(2048, 128), nn.Linear(128, 128)])
                 for _ in range(3)])
             self.fc = nn.Linear(384, 1284)
             self.fc1 = nn.Linear(1284, 32)

@@ -1,0 +1,110 @@
+"""Dataset packing: decode once, feed forever.
+
+The reference decodes + resizes every PIL image on every epoch / sweep
+configuration (SURVEY.md §3.1 "disk I/O hot loop #0"). ``pack_*`` walks a
+dataset once (threaded decode, C++ resize fast path when built) into
+uint8 memmap arrays shaped (N, 256, 256, C); ``PackedBatches`` then serves
+device-ready uint8 batches whose normalization happens on-chip
+(ops/preprocess.py). Epoch 2+ costs pure memory bandwidth.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from multimodal_auv_tpu.config import IMAGE_SIZE
+
+logger = logging.getLogger(__name__)
+
+
+def _decode_u8(path: str, mode: str, size: int) -> np.ndarray:
+    with Image.open(path) as img:
+        img = img.convert(mode)
+        if img.size != (size, size):
+            try:
+                from multimodal_auv_tpu.native import lib
+
+                if lib is not None and mode == "RGB":
+                    arr = np.asarray(img, np.uint8)
+                    return lib.resize_batch(arr[None], size, size)[0]
+            except Exception:
+                pass
+            img = img.resize((size, size), Image.BILINEAR)
+        arr = np.asarray(img, np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+def pack_inference_dataset(dataset, out_dir: str, size: int = IMAGE_SIZE,
+                           workers: Optional[int] = None) -> Dict[str, object]:
+    """Pack an InferenceFolderDataset into {main,bathy,sss}.npy + names."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(dataset)
+    main = np.lib.format.open_memmap(
+        os.path.join(out_dir, "main.npy"), mode="w+", dtype=np.uint8,
+        shape=(n, size, size, 3))
+    bathy = np.lib.format.open_memmap(
+        os.path.join(out_dir, "bathy.npy"), mode="w+", dtype=np.uint8,
+        shape=(n, size, size, 3))
+    sss = np.lib.format.open_memmap(
+        os.path.join(out_dir, "sss.npy"), mode="w+", dtype=np.uint8,
+        shape=(n, size, size, 1))
+    names = []
+
+    items = [dataset.data[i] for i in range(n)]
+
+    def work(i):
+        it = items[i]
+        main[i] = _decode_u8(it["main_image"], "RGB", size)
+        bathy[i] = _decode_u8(it["bathy_image"], "RGB", size)
+        sss[i] = _decode_u8(it["sss_image"], "L", size)
+        return os.path.basename(it["main_image"])
+
+    workers = workers or max((os.cpu_count() or 2) - 2, 1)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        names = list(pool.map(work, range(n)))
+
+    with open(os.path.join(out_dir, "names.json"), "w") as f:
+        json.dump(names, f)
+    main.flush(); bathy.flush(); sss.flush()
+    logger.info("Packed %d samples into %s", n, out_dir)
+    return {"main": main, "bathy": bathy, "sss": sss, "names": names}
+
+
+def load_packed(out_dir: str) -> Dict[str, object]:
+    return {
+        "main": np.load(os.path.join(out_dir, "main.npy"), mmap_mode="r"),
+        "bathy": np.load(os.path.join(out_dir, "bathy.npy"), mmap_mode="r"),
+        "sss": np.load(os.path.join(out_dir, "sss.npy"), mmap_mode="r"),
+        "names": json.load(open(os.path.join(out_dir, "names.json"))),
+    }
+
+
+class PackedBatches:
+    """Iterate uint8 batches (main, bathy, sss, names) from packed arrays,
+    padding the tail to a fixed batch size (valid count reported)."""
+
+    def __init__(self, packed: Dict[str, object], batch_size: int):
+        self.packed = packed
+        self.batch_size = batch_size
+        self.n = packed["main"].shape[0]
+
+    def __len__(self):
+        return -(-self.n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray, list]]:
+        bs = self.batch_size
+        for i in range(0, self.n, bs):
+            sl = slice(i, min(i + bs, self.n))
+            main = np.asarray(self.packed["main"][sl])
+            bathy = np.asarray(self.packed["bathy"][sl])
+            sss = np.asarray(self.packed["sss"][sl])
+            names = self.packed["names"][sl]
+            yield main, bathy, sss, list(names)

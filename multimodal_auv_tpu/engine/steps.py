@@ -133,6 +133,7 @@ def make_eval_step(module, meta, spec: BNNPriorSpec, num_mc: int, *,
             "cross_entropy": ce,
             "kl_scaled": kl_scaled,
             "predicted": predicted,
+            "mean_prob": U.mean_probs(probs),
             "correct": jnp.sum((predicted == labels) * mask),
             "total": jnp.sum(mask),
             # entropy-decomposition family (multimodal eval, multimodal.py:305-310)

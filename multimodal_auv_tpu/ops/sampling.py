@@ -11,12 +11,17 @@ only HBM traffic is reading (mu, rho) and writing w — no eps array ever
 exists in memory. A ``num_draws`` grid dimension produces a whole chunk of
 MC draws in one kernel launch.
 
+Memory-bandwidth notes (the op is HBM-bound): mu/rho can be passed as
+bfloat16 and the output emitted as bfloat16 (``out_dtype``), halving the
+traffic — the Box–Muller math always runs in f32. The inference path
+pre-casts the posterior once and samples straight to bf16 weights for the
+MXU.
+
 Falls back to pure jnp (jax.random.normal) off-TPU; an interpret-mode path
 exists so the kernel itself is unit-testable on CPU.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -54,10 +59,13 @@ def _reparam_kernel(seed_ref, mu_ref, rho_ref, out_ref):
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     eps = r * jnp.cos(_TWO_PI * u2)
 
-    out_ref[0] = mu_ref[:] + _softplus(rho_ref[:]) * eps
+    mu = mu_ref[:].astype(jnp.float32)
+    rho = rho_ref[:].astype(jnp.float32)
+    out_ref[0] = (mu + _softplus(rho) * eps).astype(out_ref.dtype)
 
 
-def _pallas_reparam(mu2d, rho2d, seed, num_draws, *, interpret=False):
+def _pallas_reparam(mu2d, rho2d, seed, num_draws, out_dtype, *,
+                    interpret=False):
     if interpret:
         # TPU-semantics interpreter (supports pltpu.prng_* on CPU).
         interpret = pltpu.InterpretParams()
@@ -75,7 +83,7 @@ def _pallas_reparam(mu2d, rho2d, seed, num_draws, *, interpret=False):
         ],
         out_specs=pl.BlockSpec((1, BLOCK_ROWS, LANES), lambda d, i: (d, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((num_draws, rows, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_draws, rows, LANES), out_dtype),
         interpret=interpret,
     )(seed, mu2d, rho2d)
     return out
@@ -88,23 +96,29 @@ def gaussian_reparam(
     num_draws: Optional[int] = None,
     *,
     impl: str = "auto",
+    out_dtype=None,
 ) -> jax.Array:
     """Sample ``w = mu + softplus(rho) * N(0,1)``.
 
     Args:
-        mu, rho: flat f32 arrays of equal length P (P % 1024 == 0 when using
-            the Pallas path — guaranteed by bayes.packing's pad_multiple).
+        mu, rho: flat arrays of equal length P (P % 1024 == 0 when using the
+            Pallas path — guaranteed by bayes.packing's pad_multiple). May be
+            f32 or bf16 (bf16 halves the HBM read traffic).
         key: jax PRNG key.
         num_draws: if given, returns shape (num_draws, P); else (P,).
         impl: 'auto' | 'jnp' | 'pallas' | 'pallas_interpret'.
+        out_dtype: dtype of the sampled weights (default: mu.dtype).
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    out_dtype = out_dtype or mu.dtype
 
     n = 1 if num_draws is None else num_draws
     if impl == "jnp":
         eps = jax.random.normal(key, (n,) + mu.shape, jnp.float32)
-        out = mu[None] + jax.nn.softplus(rho)[None] * eps
+        mu32 = mu.astype(jnp.float32)
+        sig32 = jax.nn.softplus(rho.astype(jnp.float32))
+        out = (mu32[None] + sig32[None] * eps).astype(out_dtype)
     elif impl in ("pallas", "pallas_interpret"):
         if mu.shape[0] % LANES != 0:
             raise ValueError(f"packed size {mu.shape[0]} not a multiple of {LANES}")
@@ -115,6 +129,7 @@ def gaussian_reparam(
             rho.reshape(rows, LANES),
             seed,
             n,
+            out_dtype,
             interpret=(impl == "pallas_interpret"),
         ).reshape(n, mu.shape[0])
     else:

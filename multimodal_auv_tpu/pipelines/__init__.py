@@ -13,3 +13,21 @@ def run_auv_preprocessing(*args, **kwargs):
     )
 
     return _impl(*args, **kwargs)
+
+
+def run_noise_study(*args, **kwargs):
+    from multimodal_auv_tpu.pipelines.noise_study import run_noise_study as _impl
+
+    return _impl(*args, **kwargs)
+
+
+def run_patch_size_sweep(*args, **kwargs):
+    from multimodal_auv_tpu.pipelines.sweep import run_patch_size_sweep as _impl
+
+    return _impl(*args, **kwargs)
+
+
+def run_unimodal_training(*args, **kwargs):
+    from multimodal_auv_tpu.pipelines.unimodal import run_unimodal_training as _impl
+
+    return _impl(*args, **kwargs)

@@ -1,0 +1,144 @@
+"""Unimodal pipelines — BNN classification per single modality.
+
+Covers BASELINE.json configs[0] ("Unimodal optical-image BNN inference,
+10 MC samples") and configs[1] ("Unimodal sidescan-sonar patch BNN
+classification, train + eval, metrics CSV"), built from the reference's
+train/unimodal.py engines (the reference exposes no unimodal CLI; its
+main.py research driver trains unimodal models — main.py:94-184).
+"""
+from __future__ import annotations
+
+import csv
+import logging
+import os
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_auv_tpu.config import BNNPriorSpec
+from multimodal_auv_tpu.data.loaders import prepare_datasets_and_loaders
+from multimodal_auv_tpu.engine import uncertainty as U
+from multimodal_auv_tpu.engine.loops import (
+    train_and_evaluate_unimodal_model,
+    unimodal_input,
+)
+from multimodal_auv_tpu.engine.mc import mc_logits
+from multimodal_auv_tpu.engine.optim import BayesTrainState, StepLR, make_optimizer
+from multimodal_auv_tpu.engine.steps import make_eval_step, make_train_step
+from multimodal_auv_tpu.models.model_utils import (
+    ArchConfig,
+    ModelBundle,
+    make_unimodal_bundle,
+)
+from multimodal_auv_tpu.utils.tb import SummaryWriter
+
+logger = logging.getLogger(__name__)
+
+_CHANNELS = {"image": 3, "bathy": 3, "sss": 1}
+
+
+def unimodal_predict_and_save(
+    bundle: ModelBundle,
+    dataloader: Iterable,
+    csv_path: str,
+    num_mc_samples: int = 10,
+    *,
+    model_type: str = "image",
+    key: Optional[jax.Array] = None,
+    mc_chunk: int = 1,
+) -> str:
+    """MC inference for one modality; CSV schema mirrors the multimodal
+    predictor (predictors.py:33): variance-estimator predictive uncertainty
+    + mean-entropy aleatoric (eps 1e-7)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    module, meta = bundle.module, bundle.meta
+
+    @jax.jit
+    def step(post, batch_stats, x, k):
+        logits = mc_logits(module, meta, post, batch_stats, (x,), k,
+                           num_mc_samples, mc_chunk=mc_chunk, train=True,
+                           remat=False)
+        probs = U.softmax_probs(logits)
+        return (U.predicted_class(probs), U.variance_uncertainty(probs),
+                U.aleatoric_uncertainty(probs, eps=1e-7))
+
+    nominal = None
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["Image Name", "Predicted Class", "Predictive Uncertainty",
+                    "Aleatoric Uncertainty"])
+        for batch in dataloader:
+            if isinstance(batch, dict):
+                x = np.asarray(unimodal_input(batch, model_type))
+                names = batch.get("name", [f"sample_{i}" for i in
+                                           range(x.shape[0])])
+            else:
+                main, bathy, sss, names = batch
+                x = np.asarray({"image": main, "bathy": bathy,
+                                "sss": sss}[model_type])
+            valid = x.shape[0]
+            if nominal is None:
+                nominal = valid
+            if valid < nominal:
+                x = np.concatenate([x, np.repeat(x[-1:], nominal - valid, 0)])
+            key, sub = jax.random.split(key)
+            pred, pu, au = step(bundle.post, bundle.batch_stats,
+                                jnp.asarray(x), sub)
+            for i in range(valid):
+                name = names[i] if i < len(names) else f"sample_{i}"
+                w.writerow([name, int(pred[i]), float(pu[i]), float(au[i])])
+    logger.info("Unimodal %s inference written to %s", model_type, csv_path)
+    return csv_path
+
+
+def run_unimodal_training(
+    root_dir: str,
+    model_type: str = "sss",
+    num_epochs: int = 10,
+    num_mc: int = 5,
+    batch_size: int = 8,
+    lr: float = 1e-5,
+    weight_decay: float = 1e-5,
+    scheduler_step_size: int = 5,
+    scheduler_gamma: float = 0.571,
+    num_classes: int = 0,
+    *,
+    csv_dir: Optional[str] = None,
+    arch: Optional[ArchConfig] = None,
+    mc_chunk: int = 1,
+    seed: int = 0,
+    skip_epoch_zero: bool = True,
+) -> BayesTrainState:
+    """Train + evaluate one unimodal BNN (metrics CSVs + confusion
+    matrices), the configs[1] workload."""
+    arch = arch or ArchConfig()
+    spec = BNNPriorSpec()
+    (tl, te, _, _, actual_classes, dataset) = prepare_datasets_and_loaders(
+        root_dir, batch_size_unimodal=batch_size)
+    if num_classes in (None, 0):
+        num_classes = actual_classes
+
+    bundle = make_unimodal_bundle(_CHANNELS[model_type], num_classes, spec,
+                                  jax.random.PRNGKey(seed), arch)
+    tx = make_optimizer(lr, weight_decay)
+    state = BayesTrainState(post=bundle.post, opt_state=tx.init(bundle.post),
+                            batch_stats=bundle.batch_stats,
+                            step=jnp.zeros((), jnp.int32))
+    tstep = make_train_step(bundle.module, bundle.meta, spec, tx,
+                            num_mc=num_mc, mc_chunk=mc_chunk)
+    estep = make_eval_step(bundle.module, bundle.meta, spec, num_mc=num_mc,
+                           mc_chunk=mc_chunk)
+    csv_dir = csv_dir or os.path.join(root_dir, "csvs")
+    sw = SummaryWriter(os.path.join(csv_dir, "tb"))
+    state = train_and_evaluate_unimodal_model(
+        tl, te, num_epochs, tstep, estep, state,
+        StepLR(lr, scheduler_step_size, scheduler_gamma), csv_dir, sw,
+        jax.random.PRNGKey(seed + 1), model_type=model_type,
+        class_names=list(dataset.label_encoder.classes_),
+        skip_epoch_zero=skip_epoch_zero)
+    bundle.post = state.post
+    bundle.batch_stats = state.batch_stats
+    return state

@@ -1,0 +1,105 @@
+"""C++ native library tests (build + numerical parity with Python paths)."""
+import numpy as np
+import pytest
+
+from multimodal_auv_tpu import native
+
+
+@pytest.fixture(scope="module")
+def lib():
+    if native.lib is None:
+        pytest.skip("native toolchain unavailable")
+    return native.lib
+
+
+def test_resize_matches_cv2(lib):
+    import cv2
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (3, 64, 48, 3), np.uint8)
+    out = lib.resize_batch(imgs, 256, 256)
+    assert out.shape == (3, 256, 256, 3)
+    ref = cv2.resize(imgs[0], (256, 256), interpolation=cv2.INTER_LINEAR)
+    diff = np.abs(out[0].astype(int) - ref.astype(int))
+    assert diff.mean() < 1.0 and diff.max() <= 2  # rounding-level agreement
+
+
+def test_normalize(lib):
+    from multimodal_auv_tpu.config import OPTICAL_MEAN, OPTICAL_STD
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    out = lib.normalize(img, OPTICAL_MEAN, OPTICAL_STD)
+    ref = (img.astype(np.float32) / 255.0 - np.asarray(OPTICAL_MEAN,
+                                                       np.float32)) / \
+        np.asarray(OPTICAL_STD, np.float32)
+    np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
+def test_accumulate(lib):
+    rng = np.random.default_rng(1)
+    imgs = [rng.integers(0, 256, (8, 8, 3), np.uint8) for _ in range(5)]
+    acc = np.zeros((8, 8, 3), np.float64)
+    for im in imgs:
+        lib.accumulate(im, acc)
+    np.testing.assert_allclose(acc, np.sum([i.astype(np.float64)
+                                            for i in imgs], axis=0))
+
+
+def test_window_copy_clipping(lib):
+    src = np.arange(100, dtype=np.float32).reshape(10, 10)
+    dst = np.full((6, 6), -1.0, np.float32)
+    lib.window_copy(src, dst, -2, 7)
+    # rows -2..3 clip to 0..3 -> dst rows 2..5; cols 7..12 clip to 7..9
+    assert (dst[:2] == -1).all() and (dst[:, 3:] == -1).all()
+    np.testing.assert_array_equal(dst[2:, :3], src[:4, 7:])
+
+
+def test_lzw_matches_python(lib):
+    from multimodal_auv_tpu.dataprep.geotiff import _lzw_decode
+    from tests.test_dataprep import test_lzw_decode_roundtrip  # reuse encoder
+
+    # build a stream with the same encoder used by the python test
+    import numpy as np
+
+    # inline encoder (duplicated tiny helper)
+    def lzw_encode(data: bytes) -> bytes:
+        CLEAR, EOI = 256, 257
+        table = {bytes([i]): i for i in range(256)}
+        next_code, nbits = 258, 9
+        bits = []
+        bits.append((CLEAR, nbits))
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table or len(wc) == 1:
+                w = wc
+            else:
+                bits.append((table[w], nbits))
+                table[wc] = next_code
+                next_code += 1
+                if next_code == (1 << nbits) - 1:
+                    nbits += 1
+                if next_code >= 4094:
+                    bits.append((CLEAR, nbits))
+                    table = {bytes([i]): i for i in range(256)}
+                    next_code, nbits = 258, 9
+                w = bytes([ch])
+        if w:
+            bits.append((table[w], nbits))
+        bits.append((EOI, nbits))
+        acc, accn, out = 0, 0, bytearray()
+        for code, nb in bits:
+            acc = (acc << nb) | code
+            accn += nb
+            while accn >= 8:
+                accn -= 8
+                out.append((acc >> accn) & 0xFF)
+        if accn:
+            out.append((acc << (8 - accn)) & 0xFF)
+        return bytes(out)
+
+    rng = np.random.default_rng(2)
+    payload = bytes(rng.integers(0, 16, size=20000, dtype=np.uint8))
+    enc = lzw_encode(payload)
+    assert lib.lzw_decode(enc, len(payload)) == payload
+    assert _lzw_decode(enc, len(payload)) == payload

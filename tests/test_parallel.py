@@ -1,0 +1,103 @@
+"""Mesh/sharding tests on 8 virtual CPU devices (conftest forces
+xla_force_host_platform_device_count=8) — the SPMD analogue of the
+reference's mocked DataParallel tests (test_utils.py:56-73)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_auv_tpu.config import BNNPriorSpec, MeshSpec
+from multimodal_auv_tpu.engine.optim import BayesTrainState, make_optimizer
+from multimodal_auv_tpu.engine.steps import make_eval_step, make_train_step
+from multimodal_auv_tpu.models.model_utils import ArchConfig, make_multimodal_bundle
+from multimodal_auv_tpu.parallel import mesh as M
+
+TINY = ArchConfig.tiny()
+SPEC = BNNPriorSpec()
+
+
+def test_make_mesh_shapes():
+    mesh = M.make_mesh(MeshSpec(data=4, mc=2))
+    assert dict(mesh.shape) == {"data": 4, "mc": 2}
+    mesh2 = M.make_mesh()  # all devices on data
+    assert dict(mesh2.shape) == {"data": 8, "mc": 1}
+    with pytest.raises(ValueError):
+        M.make_mesh(MeshSpec(data=16, mc=2))
+
+
+def test_sharded_train_step_matches_single_device():
+    """The same batch + key must produce the same loss whether run
+    replicated on 1 device or sharded over an 8-device mesh."""
+    bundle = make_multimodal_bundle(3, SPEC, jax.random.PRNGKey(0), TINY)
+    tx = make_optimizer(1e-3)
+    step = make_train_step(bundle.module, bundle.meta, SPEC, tx, num_mc=2,
+                           impl="jnp")
+    state = BayesTrainState(post=bundle.post, opt_state=tx.init(bundle.post),
+                            batch_stats=bundle.batch_stats,
+                            step=jnp.zeros((), jnp.int32))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(8, 32, 32, 1)).astype(np.float32))
+    labels = jnp.asarray((np.arange(8) % 3).astype(np.int32))
+    mask = jnp.ones((8,))
+    key = jax.random.PRNGKey(1)
+
+    _, m_single = step(state, (x, x, s), labels, mask, key, 0.5, 8.0)
+
+    mesh = M.make_mesh(MeshSpec(data=8, mc=1))
+    with jax.set_mesh(mesh):
+        st = M.shard_state(mesh, state, fsdp=True)
+        xs = M.shard_batch(mesh, x)
+        ss = M.shard_batch(mesh, s)
+        ls = M.shard_batch(mesh, labels)
+        ms = M.shard_batch(mesh, mask)
+        _, m_sharded = step(st, (xs, xs, ss), ls, ms, key, 0.5, 8.0)
+
+    assert float(m_single["loss"]) == pytest.approx(float(m_sharded["loss"]),
+                                                    rel=1e-4)
+    assert float(m_single["correct"]) == float(m_sharded["correct"])
+
+
+def test_posterior_fsdp_sharding_layout():
+    bundle = make_multimodal_bundle(3, SPEC, jax.random.PRNGKey(0), TINY)
+    mesh = M.make_mesh(MeshSpec(data=4, mc=2))
+    tx = make_optimizer(1e-3)
+    state = BayesTrainState(post=bundle.post, opt_state=tx.init(bundle.post),
+                            batch_stats=bundle.batch_stats,
+                            step=jnp.zeros((), jnp.int32))
+    st = M.shard_state(mesh, state, fsdp=True)
+    # packed arrays sharded over all 8 devices
+    assert len(st.post.mu.sharding.device_set) == 8
+    assert len(st.post.rho.sharding.device_set) == 8
+    # Adam moments of packed arrays sharded identically
+    adam_mu = jax.tree_util.tree_leaves(
+        [l for l in jax.tree_util.tree_leaves(st.opt_state)
+         if hasattr(l, "ndim") and l.ndim == 1 and
+         l.shape == st.post.mu.shape])
+    assert adam_mu and all(len(a.sharding.device_set) == 8 for a in adam_mu)
+    # BN stats replicated
+    bn = jax.tree_util.tree_leaves(st.batch_stats)
+    assert all(a.sharding.is_fully_replicated for a in bn)
+
+
+def test_mc_sharding_eval():
+    """MC draws sharded over the 'mc' axis produce valid metrics."""
+    bundle = make_multimodal_bundle(3, SPEC, jax.random.PRNGKey(0), TINY)
+    mesh = M.make_mesh(MeshSpec(data=2, mc=4))
+    estep = make_eval_step(bundle.module, bundle.meta, SPEC, num_mc=4,
+                           mc_chunk=4, impl="jnp",
+                           ws_sharding=M.mc_sharding(mesh))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(4, 32, 32, 1)).astype(np.float32))
+    labels = jnp.asarray(np.zeros(4, np.int32))
+    with jax.set_mesh(mesh):
+        m = estep(bundle.post, bundle.batch_stats,
+                  (M.shard_batch(mesh, x), M.shard_batch(mesh, x),
+                   M.shard_batch(mesh, s)),
+                  M.shard_batch(mesh, labels),
+                  M.shard_batch(mesh, jnp.ones((4,))),
+                  jax.random.PRNGKey(3), 0.1)
+    assert np.isfinite(float(m["loss"]))
+    assert m["predicted"].shape == (4,)
+    assert np.isfinite(np.asarray(m["epistemic_variance"])).all()
