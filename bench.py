@@ -70,6 +70,53 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
     return batch * iters / dt
 
 
+def measure_train_tpu(batch: int, num_mc: int, iters: int,
+                      mc_chunk: int = 1) -> float:
+    """Training-step throughput (samples/sec/chip): full MC-ELBO forward +
+    backward + Adam on the 3x-ResNet-50 multimodal BNN."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+
+    from multimodal_auv_tpu.config import BNNPriorSpec
+    from multimodal_auv_tpu.engine.optim import BayesTrainState, make_optimizer
+    from multimodal_auv_tpu.engine.steps import make_train_step
+    from multimodal_auv_tpu.models.model_utils import (
+        ArchConfig,
+        make_multimodal_bundle,
+    )
+
+    spec = BNNPriorSpec()
+    bundle = make_multimodal_bundle(7, spec, jax.random.PRNGKey(0), ArchConfig())
+    tx = make_optimizer(1e-5, 1e-5)
+    state = BayesTrainState(post=bundle.post, opt_state=tx.init(bundle.post),
+                            batch_stats=bundle.batch_stats,
+                            step=jnp.zeros((), jnp.int32))
+    step = make_train_step(bundle.module, bundle.meta, spec, tx,
+                           num_mc=num_mc, mc_chunk=mc_chunk)
+    s = 256
+    key = jax.random.PRNGKey(1)
+    inputs = (jax.random.uniform(key, (batch, s, s, 3)),
+              jax.random.uniform(key, (batch, s, s, 3)),
+              jax.random.uniform(key, (batch, s, s, 1)))
+    labels = jnp.zeros((batch,), jnp.int32)
+    mask = jnp.ones((batch,))
+
+    for i in range(2):
+        state, m = step(state, inputs, labels, mask,
+                        jax.random.fold_in(key, 100 + i), 0.5, float(batch))
+        np.asarray(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, inputs, labels, mask,
+                        jax.random.fold_in(key, i), 0.5, float(batch))
+        np.asarray(m["loss"])
+    return batch * iters / (time.perf_counter() - t0)
+
+
 def measure_torch_cpu(batch: int, num_mc: int) -> float:
     """CPU PyTorch denominator: 3x ResNet-50 + fusion forward, num_mc times
     per batch (deterministic weights — a handicap in the baseline's favor).
@@ -165,10 +212,32 @@ def main():
     p.add_argument("--mc-chunk", type=int, default=1)
     p.add_argument("--impl", type=str, default="auto")
     p.add_argument("--skip-baseline", action="store_true")
+    p.add_argument("--profile", type=str, default=None,
+                   help="capture a jax profiler trace to this directory")
+    p.add_argument("--train", action="store_true",
+                   help="benchmark the training step instead of inference")
     args = p.parse_args()
 
-    value = measure_tpu(args.batch, args.num_mc, args.iters, args.mc_chunk,
-                        args.impl)
+    if args.train:
+        value = measure_train_tpu(args.batch, args.num_mc, args.iters,
+                                  args.mc_chunk)
+        print(json.dumps({
+            "metric": "multimodal_bnn_train_step_samples_per_sec",
+            "value": round(value, 3),
+            "unit": "samples/sec/chip",
+            "vs_baseline": None,
+        }))
+        return
+
+    if args.profile:
+        from multimodal_auv_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            value = measure_tpu(args.batch, args.num_mc, max(args.iters, 2),
+                                args.mc_chunk, args.impl)
+    else:
+        value = measure_tpu(args.batch, args.num_mc, args.iters,
+                            args.mc_chunk, args.impl)
 
     cache_key = f"torch_cpu_b{args.batch}_mc{args.num_mc}"
     baseline = None

@@ -162,6 +162,14 @@ def prepare_datasets_and_loaders(
             test_loader_multi, num_classes, dataset)
 
 
+def encode_labels(labels: Sequence[str]):
+    """Stray LabelEncoder helper kept for parity (loaders.py:62-66)."""
+    from sklearn.preprocessing import LabelEncoder
+
+    enc = LabelEncoder()
+    return enc.fit_transform(labels), enc
+
+
 def prepare_inference_datasets_and_loaders(
     dirs: Sequence[str], batch_size: int = 4,
     num_workers: Optional[int] = None) -> DataLoader:

@@ -108,7 +108,7 @@ def train_multimodal_model(
                                  "SSS Patch Type", "Channel Patch Type"])
 
             total_loss, correct, total = 0.0, 0.0, 0.0
-    # KL weight: 2^(epoch+1)/2^total (multimodal.py:80)
+            # KL weight: 2^(epoch+1)/2^total (multimodal.py:80)
             kl_weight = kl_annealing_weight(epoch, total_num_epochs)
             nominal = dataloader.batch_size
             last_kl, last_ce = 0.0, 0.0

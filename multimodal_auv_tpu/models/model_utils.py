@@ -119,6 +119,87 @@ def make_unimodal_bundle(input_channels: int, num_classes: int,
     return _bayesian_bundle(module, ex, spec, rng)
 
 
+def load_models(model_paths: Dict[str, str], num_classes: int = 7,
+                arch: ArchConfig = ArchConfig(),
+                rng: Optional[jax.Array] = None) -> Tuple[Any, Any, Any]:
+    """Parity with model_utils.py:66-101: load three feature-extractor
+    checkpoints ("image", "channels", "sss") from paths, tolerant of missing
+    files (warn + keep random init). Accepts orbax dirs or torch files."""
+    import logging
+    import os
+
+    logger = logging.getLogger(__name__)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, 3)
+    s = arch.image_size
+
+    out = []
+    for (key_name, channels), k in zip(
+            (("image", 3), ("channels", 3), ("sss", 1)), keys):
+        module = ResNet(stage_sizes=tuple(arch.stage_sizes), width=arch.width,
+                        num_classes=None, dtype=arch.dtype,
+                        param_dtype=arch.param_dtype)
+        variables = module.init(
+            k, jnp.zeros((1, s, s, channels), jnp.float32), train=True)
+        path = (model_paths or {}).get(key_name)
+        if path and os.path.exists(path):
+            try:
+                if os.path.isdir(path):
+                    from multimodal_auv_tpu.engine.checkpointing import (
+                        restore_pytree,
+                    )
+
+                    variables = restore_pytree(path, variables)
+                else:
+                    from multimodal_auv_tpu.interop.torch_import import (
+                        load_torch_state_dict,
+                    )
+
+                    sd = load_torch_state_dict(path)
+                    from multimodal_auv_tpu.bayes import bayesianize
+                    from multimodal_auv_tpu.config import BNNPriorSpec
+                    from multimodal_auv_tpu.interop.torch_import import (
+                        import_posterior,
+                    )
+
+                    post, meta = bayesianize(variables["params"], BNNPriorSpec())
+                    bundle = ModelBundle(module=module, post=post, meta=meta,
+                                         batch_stats=variables.get(
+                                             "batch_stats", {}))
+                    post, bs, _ = import_posterior(bundle, sd)
+                    variables = {"params": meta.unpack(post.mu, post.det),
+                                 "batch_stats": bs}
+                logger.info("%s model loaded successfully from %s",
+                            key_name.capitalize(), path)
+            except Exception as e:
+                logger.error("Failed to load %s model from %s: %s", key_name,
+                             path, e, exc_info=True)
+        else:
+            logger.warning("Path not found for model: %s -> %s", key_name, path)
+        out.append({"module": module, "variables": variables})
+    return tuple(out)
+
+
+def move_models_to_device(models: Dict[str, Any], devices=None,
+                          use_multigpu_for_multimodal: bool = True) -> Dict[str, Any]:
+    """Parity shim for utils/device.py:30: on TPU, placement is
+    sharding-driven (parallel/mesh.py); this commits every array leaf to the
+    default device(s) and returns the dict unchanged in structure."""
+    import jax as _jax
+
+    def put(x):
+        return _jax.device_put(x) if hasattr(x, "dtype") else x
+
+    for name, m in models.items():
+        if isinstance(m, ModelBundle):
+            m.post = _jax.tree_util.tree_map(put, m.post)
+            m.batch_stats = _jax.tree_util.tree_map(put, m.batch_stats)
+        elif isinstance(m, dict) and "variables" in m:
+            m["variables"] = _jax.tree_util.tree_map(put, m["variables"])
+    return models
+
+
 def define_models(num_classes: int, const_bnn_prior_parameters,
                   rng: Optional[jax.Array] = None,
                   arch: ArchConfig = ArchConfig()) -> Dict[str, Any]:

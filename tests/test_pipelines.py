@@ -1,0 +1,130 @@
+"""End-to-end pipeline tests on fixture trees (tiny arch)."""
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_auv_tpu.models.model_utils import ArchConfig
+from tests.fixtures.make_tree import make_inference_tree, make_training_tree
+
+TINY = ArchConfig.tiny(image_size=64)
+
+
+def test_run_auv_inference_random_init(tmp_path):
+    from multimodal_auv_tpu.pipelines.inference import run_auv_inference
+
+    root = make_inference_tree(str(tmp_path / "dives"), n_samples=5)
+    out_csv = str(tmp_path / "out.csv")
+    run_auv_inference(root, batch_size=2, output_csv=out_csv,
+                      num_mc_samples=3, num_classes=7,
+                      allow_random_init=True, arch=TINY)
+    rows = list(csv.reader(open(out_csv)))
+    assert rows[0] == ["Image Name", "Predicted Class",
+                       "Predictive Uncertainty", "Aleatoric Uncertainty"]
+    assert len(rows) == 6  # 5 samples + header
+    # aleatoric ~ ln(7) for a random 7-class model
+    assert float(rows[1][3]) == pytest.approx(np.log(7), abs=0.2)
+
+
+def test_run_training_from_scratch_tiny(tmp_path, monkeypatch):
+    from multimodal_auv_tpu.config import BNNPriorSpec
+    from multimodal_auv_tpu.pipelines.training import run_AUV_training_from_scratch
+
+    monkeypatch.chdir(tmp_path)  # logs/ + tensorboard_logs/ land here
+    root = make_training_tree(str(tmp_path / "data"), n_samples=6)
+    ok = run_AUV_training_from_scratch(
+        const_bnn_prior_parameters=BNNPriorSpec().to_dict(),
+        lr_multimodal_model=1e-3,
+        num_epochs_multimodal=1,
+        num_mc=2,
+        bathy_patch_base_raw=30,
+        sss_patch_base_raw=30,
+        batch_size_multimodal=3,
+        root_dir=root,
+        num_classes=0,  # derive from dataset
+        arch=TINY,
+    )
+    assert ok is True
+    csvs = os.path.join(root, "csvs")
+    assert os.path.exists(os.path.join(csvs, "multimodal_train_results.csv"))
+    assert os.path.exists(os.path.join(csvs, "multimodal_eval_results.csv"))
+    # epoch 0 checkpoint on the reference path scheme
+    assert os.path.isdir(os.path.join(root, "models"))
+
+
+def test_run_retraining_random_init(tmp_path, monkeypatch):
+    from multimodal_auv_tpu.pipelines.training import run_auv_retraining
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    root = make_training_tree(str(tmp_path / "data"), n_samples=6)
+    ok = run_auv_retraining(
+        root_dir=root, num_classes=3, epochs_multimodal=1, num_mc=2,
+        batch_size_multimodal=3, allow_random_init=True, arch=TINY)
+    assert ok is True
+
+
+def test_unimodal_training_and_inference(tmp_path):
+    from multimodal_auv_tpu.data.loaders import prepare_inference_dataloader
+    from multimodal_auv_tpu.models.model_utils import make_unimodal_bundle
+    from multimodal_auv_tpu.config import BNNPriorSpec
+    from multimodal_auv_tpu.pipelines.unimodal import (
+        run_unimodal_training,
+        unimodal_predict_and_save,
+    )
+    import jax
+
+    root = make_training_tree(str(tmp_path / "data"), n_samples=6)
+    state = run_unimodal_training(root, model_type="sss", num_epochs=2,
+                                  num_mc=2, batch_size=3,
+                                  csv_dir=str(tmp_path / "csvs"), arch=TINY)
+    assert os.path.exists(tmp_path / "csvs" / "unimodal_sss_train_results.csv")
+    assert os.path.exists(tmp_path / "csvs" / "unimodal_sss_eval_results.csv")
+
+    # unimodal optical inference (BASELINE configs[0])
+    iroot = make_inference_tree(str(tmp_path / "dives"), n_samples=4)
+    loader = prepare_inference_dataloader(iroot, batch_size=2)
+    bundle = make_unimodal_bundle(3, 7, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                  TINY)
+    out = unimodal_predict_and_save(bundle, loader,
+                                    str(tmp_path / "uni.csv"),
+                                    num_mc_samples=3, model_type="image")
+    rows = list(csv.reader(open(out)))
+    assert len(rows) == 5
+
+
+def test_patch_sweep_single_combo(tmp_path):
+    from multimodal_auv_tpu.pipelines.sweep import run_patch_size_sweep
+
+    root = make_training_tree(str(tmp_path / "data"), n_samples=6,
+                              patch_sizes=("10m",))
+    results = run_patch_size_sweep(
+        root, str(tmp_path / "sweep"), bathy_sizes=[10], sss_sizes=[10],
+        num_epochs=1, num_mc=2, batch_size=3, arch=TINY)
+    assert len(results) == 1
+    summary = list(csv.reader(open(tmp_path / "sweep" /
+                                   "patch_sweep_summary.csv")))
+    assert summary[0] == ["bathy_patch_m", "sss_patch_m",
+                          "final_eval_accuracy"]
+    assert summary[1][:2] == ["10", "10"]
+
+
+def test_load_models_and_move_to_device(tmp_path):
+    import jax
+
+    from multimodal_auv_tpu.config import BNNPriorSpec
+    from multimodal_auv_tpu.models.model_utils import (
+        define_models,
+        load_models,
+        move_models_to_device,
+    )
+
+    # missing paths tolerated (reference model_utils.py:66-101)
+    image, channels, sss = load_models({"image": str(tmp_path / "nope")},
+                                       arch=TINY)
+    assert "params" in image["variables"]
+    models = define_models(3, BNNPriorSpec().to_dict(), jax.random.PRNGKey(0),
+                           TINY)
+    models = move_models_to_device(models)
+    assert models["multimodal_model"].post.mu.devices()
