@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_auv_tpu.bayes import PackMeta, PackedPosterior
-from multimodal_auv_tpu.ops.sampling import gaussian_reparam
+from multimodal_auv_tpu.ops.sampling import gaussian_shift_scale
 
 
 def mc_logits(
@@ -56,10 +56,16 @@ def mc_logits(
         raise ValueError(f"num_mc={num_mc} must be divisible by mc_chunk={mc_chunk}")
     nchunks = num_mc // mc_chunk
 
-    mu, rho = post.mu, post.rho
+    # sigma = softplus(rho) is loop-invariant across draws: computed once
+    # per step (f32 for accuracy), then cast with mu for the sampling kernel.
+    mu = post.mu
+    sigma = jax.nn.softplus(post.rho.astype(jnp.float32))
     if sample_dtype is not None and mu.dtype != sample_dtype:
         mu = mu.astype(sample_dtype)
-        rho = rho.astype(sample_dtype)
+    if sample_dtype is not None:
+        sigma = sigma.astype(sample_dtype)
+    else:
+        sigma = sigma.astype(mu.dtype)
 
     def fwd(w_flat):
         params = meta.unpack(w_flat, post.det)
@@ -76,8 +82,8 @@ def mc_logits(
         fwd = jax.checkpoint(fwd)
 
     def chunk_step(_, k):
-        ws = gaussian_reparam(mu, rho, k, num_draws=mc_chunk, impl=impl,
-                              out_dtype=sample_dtype)
+        ws = gaussian_shift_scale(mu, sigma, k, num_draws=mc_chunk, impl=impl,
+                                  out_dtype=sample_dtype)
         if ws_sharding is not None:
             ws = jax.lax.with_sharding_constraint(ws, ws_sharding)
         if mc_chunk == 1:

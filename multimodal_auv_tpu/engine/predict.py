@@ -58,6 +58,80 @@ def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
     return step
 
 
+def make_packed_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
+                             mc_chunk: int = 1, impl: str = "auto",
+                             sample_dtype=jnp.bfloat16):
+    """Predict step over *uint8* device batches: the host ships 1 byte/px
+    (4x less transfer than the reference's float32 tensors) and the
+    /255 + optical normalization runs on-chip, fused by XLA into the first
+    convolutions (ops/preprocess.py)."""
+    from multimodal_auv_tpu.ops.preprocess import normalize_multimodal
+
+    module, meta = bundle.module, bundle.meta
+
+    @jax.jit
+    def step(post, batch_stats, u8_inputs, key):
+        inputs = normalize_multimodal(*u8_inputs)
+        logits = mc_logits(module, meta, post, batch_stats, inputs, key,
+                           num_mc_samples, mc_chunk=mc_chunk, impl=impl,
+                           train=True, remat=False,
+                           sample_dtype=sample_dtype)
+        probs = U.softmax_probs(logits)
+        return {
+            "predicted": U.predicted_class(probs),
+            "predictive_uncertainty": U.variance_uncertainty(probs),
+            "aleatoric_uncertainty": U.aleatoric_uncertainty(probs, eps=1e-7),
+            "mean_prob": U.mean_probs(probs),
+        }
+
+    return step
+
+
+def multimodal_predict_and_save_packed(
+    bundle: ModelBundle,
+    packed_dir: str,
+    csv_path: str,
+    num_mc_samples: int = 10,
+    batch_size: int = 4,
+    *,
+    key: Optional[jax.Array] = None,
+    mc_chunk: int = 1,
+    impl: str = "auto",
+) -> None:
+    """Inference over a packed (decode-once) dataset — data/packing.py.
+    Same CSV schema as multimodal_predict_and_save."""
+    from multimodal_auv_tpu.data.packing import PackedBatches, load_packed
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    packed = load_packed(packed_dir)
+    batches = PackedBatches(packed, batch_size)
+    step = make_packed_predict_step(bundle, num_mc_samples,
+                                    mc_chunk=mc_chunk, impl=impl)
+
+    with open(csv_path, mode="w", newline="") as csvfile:
+        writer = csv.writer(csvfile)
+        writer.writerow(["Image Name", "Predicted Class",
+                         "Predictive Uncertainty", "Aleatoric Uncertainty"])
+        for main, bathy, sss, names in batches:
+            valid = main.shape[0]
+            if valid < batch_size:
+                pad = batch_size - valid
+                main = np.concatenate([main, np.repeat(main[-1:], pad, 0)])
+                bathy = np.concatenate([bathy, np.repeat(bathy[-1:], pad, 0)])
+                sss = np.concatenate([sss, np.repeat(sss[-1:], pad, 0)])
+            key, sub = jax.random.split(key)
+            out = step(bundle.post, bundle.batch_stats,
+                       (jnp.asarray(main), jnp.asarray(bathy),
+                        jnp.asarray(sss)), sub)
+            pred = np.asarray(out["predicted"])
+            pu = np.asarray(out["predictive_uncertainty"])
+            au = np.asarray(out["aleatoric_uncertainty"])
+            for i in range(valid):
+                writer.writerow([names[i], int(pred[i]), float(pu[i]),
+                                 float(au[i])])
+
+
 def multimodal_predict_and_save(
     bundle: ModelBundle,
     dataloader: Iterable,

@@ -40,39 +40,59 @@ def _softplus(x):
     return jnp.where(x > 20.0, x, jnp.log1p(jnp.exp(jnp.minimum(x, 20.0))))
 
 
+def _normal_block(shape):
+    """(rows, LANES) standard normals via sin/cos-paired Box–Muller: one
+    (log, sqrt) pair yields TWO normals, halving transcendental cost.
+    Random bits come back as signed int32 and Mosaic cannot cast uint32 to
+    f32 — the low 24 bits (non-negative int32) are the uniform source."""
+    half = (shape[0] // 2, shape[1])
+    b1 = pltpu.prng_random_bits(half)
+    b2 = pltpu.prng_random_bits(half)
+    m24 = jnp.int32(0xFFFFFF)
+    # uniforms in (0, 1]: 24 random bits, +1 to avoid zero.
+    u1 = ((b1 & m24).astype(jnp.float32) + 1.0) * (1.0 / 16777216.0)
+    u2 = (b2 & m24).astype(jnp.float32) * (1.0 / 16777216.0)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = _TWO_PI * u2
+    return jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=0)
+
+
 def _reparam_kernel(seed_ref, mu_ref, rho_ref, out_ref):
     draw = pl.program_id(0)
     blk = pl.program_id(1)
     nblk = pl.num_programs(1)
     pltpu.prng_seed(seed_ref[0] + draw * nblk + blk)
 
-    shape = mu_ref.shape  # (BLOCK_ROWS, LANES)
-    # random bits come back as signed int32 and Mosaic cannot cast uint32 to
-    # f32 — keep the low 24 bits (non-negative int32) as the uniform source.
-    b1 = pltpu.prng_random_bits(shape)
-    b2 = pltpu.prng_random_bits(shape)
-    m24 = jnp.int32(0xFFFFFF)
-    # uniforms in (0, 1]: 24 random bits, +1 to avoid zero.
-    u1 = ((b1 & m24).astype(jnp.float32) + 1.0) * (1.0 / 16777216.0)
-    u2 = (b2 & m24).astype(jnp.float32) * (1.0 / 16777216.0)
-    # Box–Muller
-    r = jnp.sqrt(-2.0 * jnp.log(u1))
-    eps = r * jnp.cos(_TWO_PI * u2)
-
+    eps = _normal_block(mu_ref.shape)
     mu = mu_ref[:].astype(jnp.float32)
     rho = rho_ref[:].astype(jnp.float32)
     out_ref[0] = (mu + _softplus(rho) * eps).astype(out_ref.dtype)
 
 
+def _reparam_sigma_kernel(seed_ref, mu_ref, sigma_ref, out_ref):
+    """Variant taking a precomputed sigma = softplus(rho): sigma is constant
+    across the MC draws of a step, so the softplus is hoisted out of the
+    kernel (one elementwise pass per step instead of one per draw)."""
+    draw = pl.program_id(0)
+    blk = pl.program_id(1)
+    nblk = pl.num_programs(1)
+    pltpu.prng_seed(seed_ref[0] + draw * nblk + blk)
+
+    eps = _normal_block(mu_ref.shape)
+    mu = mu_ref[:].astype(jnp.float32)
+    sigma = sigma_ref[:].astype(jnp.float32)
+    out_ref[0] = (mu + sigma * eps).astype(out_ref.dtype)
+
+
 def _pallas_reparam(mu2d, rho2d, seed, num_draws, out_dtype, *,
-                    interpret=False):
+                    kernel=_reparam_kernel, interpret=False):
     if interpret:
         # TPU-semantics interpreter (supports pltpu.prng_* on CPU).
         interpret = pltpu.InterpretParams()
     rows = mu2d.shape[0]
     grid = (num_draws, pl.cdiv(rows, BLOCK_ROWS))
     out = pl.pallas_call(
-        _reparam_kernel,
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -136,3 +156,84 @@ def gaussian_reparam(
         raise ValueError(f"unknown impl {impl!r}")
 
     return out[0] if num_draws is None else out
+
+
+def _shift_scale_impl(mu, sigma, key, num_draws, impl, out_dtype):
+    n = 1 if num_draws is None else num_draws
+    if impl == "jnp":
+        eps = jax.random.normal(key, (n,) + mu.shape, jnp.float32)
+        out = (mu.astype(jnp.float32)[None]
+               + sigma.astype(jnp.float32)[None] * eps).astype(out_dtype)
+    elif impl in ("pallas", "pallas_interpret"):
+        if mu.shape[0] % LANES != 0:
+            raise ValueError(f"packed size {mu.shape[0]} not a multiple of {LANES}")
+        rows = mu.shape[0] // LANES
+        seed = jax.random.bits(key, shape=(1,), dtype=jnp.uint32).astype(jnp.int32)
+        out = _pallas_reparam(
+            mu.reshape(rows, LANES),
+            sigma.reshape(rows, LANES),
+            seed,
+            n,
+            out_dtype,
+            kernel=_reparam_sigma_kernel,
+            interpret=(impl == "pallas_interpret"),
+        ).reshape(n, mu.shape[0])
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
+    return out[0] if num_draws is None else out
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _gss(mu, sigma, key, num_draws, impl, out_dtype):
+    return _shift_scale_impl(mu, sigma, key, num_draws, impl, out_dtype)
+
+
+def _gss_fwd(mu, sigma, key, num_draws, impl, out_dtype):
+    w = _shift_scale_impl(mu, sigma, key, num_draws, impl, out_dtype)
+    # residuals must be a pytree of arrays; mu/sigma carry shape+dtype info
+    return w, (key, mu, sigma)
+
+
+def _gss_bwd(num_draws, impl, out_dtype, res, g):
+    """Reparameterization VJP: dmu = sum_draws g, dsigma = sum_draws g*eps.
+    eps is *regenerated* from the saved PRNG key (same kernel, mu=0,
+    sigma=1) — bit-exact, no eps storage, robust to tiny sigmas
+    (no (w-mu)/sigma cancellation)."""
+    key, mu, sigma = res
+    eps = _shift_scale_impl(jnp.zeros(mu.shape, jnp.float32),
+                            jnp.ones(mu.shape, jnp.float32), key, num_draws,
+                            impl, jnp.float32)
+    g32 = g.astype(jnp.float32)
+    if num_draws is None:
+        dmu, dsigma = g32, g32 * eps
+    else:
+        dmu = jnp.sum(g32, axis=0)
+        dsigma = jnp.sum(g32 * eps, axis=0)
+    return dmu.astype(mu.dtype), dsigma.astype(sigma.dtype), None
+
+
+_gss.defvjp(_gss_fwd, _gss_bwd)
+
+
+def gaussian_shift_scale(
+    mu: jax.Array,
+    sigma: jax.Array,
+    key: jax.Array,
+    num_draws: Optional[int] = None,
+    *,
+    impl: str = "auto",
+    out_dtype=None,
+) -> jax.Array:
+    """Sample ``w = mu + sigma * N(0,1)`` with a *precomputed* sigma.
+
+    The fast path for MC loops: sigma = softplus(rho) is loop-invariant
+    across a step's draws, so callers compute it once (see engine/mc.py)
+    and the kernel is a pure shift-scale of on-chip noise. Differentiable
+    (custom VJP — the Pallas path has no built-in autodiff rule)."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    out_dtype = out_dtype or mu.dtype
+    return _gss(mu, sigma, key, num_draws, impl, out_dtype)

@@ -34,6 +34,8 @@ def run_auv_inference(
     arch: Optional[ArchConfig] = None,
     mc_chunk: int = 1,
     seed: int = 0,
+    use_packed_loader: bool = False,
+    packed_cache_dir: Optional[str] = None,
 ):
     """Run multimodal BNN inference over a survey directory.
 
@@ -69,12 +71,32 @@ def run_auv_inference(
     else:
         logger.warning("Proceeding with randomly initialised model.")
 
-    dataloader = prepare_inference_dataloader(data_directory, batch_size)
-    multimodal_predict_and_save(
-        bundle, dataloader, output_csv,
-        num_mc_samples=num_mc_samples,
-        key=jax.random.PRNGKey(seed + 1),
-        mc_chunk=mc_chunk,
-        model_type="multimodal")
+    if use_packed_loader:
+        # decode-once fast path: uint8 memmap batches, normalize on-chip
+        import os
+
+        from multimodal_auv_tpu.data.datasets import InferenceFolderDataset
+        from multimodal_auv_tpu.data.packing import pack_inference_dataset
+        from multimodal_auv_tpu.engine.predict import (
+            multimodal_predict_and_save_packed,
+        )
+
+        cache = packed_cache_dir or os.path.join(data_directory,
+                                                 ".packed_cache")
+        if not os.path.exists(os.path.join(cache, "names.json")):
+            pack_inference_dataset(InferenceFolderDataset(data_directory),
+                                   cache)
+        multimodal_predict_and_save_packed(
+            bundle, cache, output_csv, num_mc_samples=num_mc_samples,
+            batch_size=batch_size, key=jax.random.PRNGKey(seed + 1),
+            mc_chunk=mc_chunk)
+    else:
+        dataloader = prepare_inference_dataloader(data_directory, batch_size)
+        multimodal_predict_and_save(
+            bundle, dataloader, output_csv,
+            num_mc_samples=num_mc_samples,
+            key=jax.random.PRNGKey(seed + 1),
+            mc_chunk=mc_chunk,
+            model_type="multimodal")
     logger.info("Final inference process completed successfully.")
     return output_csv

@@ -47,12 +47,30 @@ def _degrade(main_np, key, turbidity_range, depth_value):
     return degrade_uniform(jnp.asarray(main_np), float(turb), depth_value)
 
 
+def _build_inputs(batch, kd, turbidity_range, depth_value, modality,
+                  bathy_patch_type, sss_patch_type, nominal):
+    """Degraded input tuple + labels + mask for either modality."""
+    main = np.asarray(batch["main_image"])
+    labels = np.asarray(batch["label"], np.int32)
+    if modality == "multimodal":
+        arrays = [main,
+                  np.asarray(select_patch(batch, bathy_patch_type, "bathy")),
+                  np.asarray(select_patch(batch, sss_patch_type, "sss"))]
+    else:  # unimodal optical
+        arrays = [main]
+    arrays, labels, mask = _pad_batch(arrays, labels, nominal)
+    degraded = _degrade(arrays[0], kd, turbidity_range, depth_value)
+    inputs = (degraded,) + tuple(jnp.asarray(a) for a in arrays[1:])
+    return inputs, labels, mask, labels.shape[0]
+
+
 def evaluate_with_degradation(
     eval_step, state: BayesTrainState, dataloader, epoch: int,
     total_num_epochs: int, csv_path: str, model_type: str, key: jax.Array,
     turbidity_range: Tuple[float, float], depth_value: float,
     bathy_patch_type: Optional[str] = None,
     sss_patch_type: Optional[str] = None,
+    modality: str = "multimodal",
 ) -> dict:
     """Degraded MC evaluation epoch with the noise study's extended metric
     set. Writes the standard eval CSV row, then appends AUROC / F1 / ECE /
@@ -70,17 +88,12 @@ def evaluate_with_degradation(
 
     for batch in dataloader:
         key, kd, ke = jax.random.split(key, 3)
-        main = np.asarray(batch["main_image"])
-        inputs = [main,
-                  np.asarray(select_patch(batch, bathy_patch_type, "bathy")),
-                  np.asarray(select_patch(batch, sss_patch_type, "sss"))]
-        labels = np.asarray(batch["label"], np.int32)
-        valid = labels.shape[0]
-        inputs, labels, mask = _pad_batch(inputs, labels, nominal)
-
-        degraded = _degrade(inputs[0], kd, turbidity_range, depth_value)
-        m = eval_step(state.post, state.batch_stats,
-                      (degraded, jnp.asarray(inputs[1]), jnp.asarray(inputs[2])),
+        labels_np = np.asarray(batch["label"], np.int32)
+        valid = labels_np.shape[0]
+        inputs, labels, mask, _ = _build_inputs(
+            batch, kd, turbidity_range, depth_value, modality,
+            bathy_patch_type, sss_patch_type, nominal)
+        m = eval_step(state.post, state.batch_stats, inputs,
                       jnp.asarray(labels), jnp.asarray(mask), ke, kl_scale)
         total_loss += float(m["loss"])
         correct += float(m["correct"])
@@ -162,10 +175,15 @@ def run_noise_study(
     seed: int = 0,
     bathy_patch_type: Optional[str] = None,
     sss_patch_type: Optional[str] = None,
+    modality: str = "multimodal",
 ) -> List[dict]:
     """Sweep driver: 6 turbidity centers linspace(0.05, 2.05) x depth levels
     (pass 6 levels for the `_safe` variant). Per step: optional degraded
-    fine-tuning epochs, then a degraded extended-metrics evaluation."""
+    fine-tuning epochs, then a degraded extended-metrics evaluation.
+
+    ``modality='image'`` runs the unimodal variant ("Example unimodal
+    training with image noise.py" — degradation on the optical input of a
+    single-trunk BNN)."""
     if turbidity_centers is None:
         turbidity_centers = np.linspace(0.05, 2.05, 6)
     arch = arch or ArchConfig()
@@ -176,8 +194,16 @@ def run_noise_study(
     if num_classes in (None, 0):
         num_classes = actual_classes
 
-    bundle = make_multimodal_bundle(num_classes, spec,
-                                    jax.random.PRNGKey(seed), arch)
+    if modality == "multimodal":
+        bundle = make_multimodal_bundle(num_classes, spec,
+                                        jax.random.PRNGKey(seed), arch)
+    elif modality == "image":
+        from multimodal_auv_tpu.models.model_utils import make_unimodal_bundle
+
+        bundle = make_unimodal_bundle(3, num_classes, spec,
+                                      jax.random.PRNGKey(seed), arch)
+    else:
+        raise ValueError(f"unsupported noise-study modality {modality!r}")
     if model_weights_path:
         from multimodal_auv_tpu.interop.torch_import import (
             load_and_prepare_multimodal_model,
@@ -210,21 +236,13 @@ def run_noise_study(
                 kl_weight = kl_annealing_weight(ep, total_epochs)
                 for batch in train_loader:
                     key, kd, kt = jax.random.split(key, 3)
-                    main = np.asarray(batch["main_image"])
-                    inputs = [main,
-                              np.asarray(select_patch(batch, bathy_patch_type,
-                                                      "bathy")),
-                              np.asarray(select_patch(batch, sss_patch_type,
-                                                      "sss"))]
-                    labels = np.asarray(batch["label"], np.int32)
-                    inputs, labels, mask = _pad_batch(
-                        inputs, labels, train_loader.batch_size)
-                    degraded = _degrade(inputs[0], kd, trange, depth)
+                    inputs, labels, mask, _ = _build_inputs(
+                        batch, kd, trange, depth, modality,
+                        bathy_patch_type, sss_patch_type,
+                        train_loader.batch_size)
                     state, _ = train_step(
-                        state,
-                        (degraded, jnp.asarray(inputs[1]),
-                         jnp.asarray(inputs[2])),
-                        jnp.asarray(labels), jnp.asarray(mask), kt, kl_weight,
+                        state, inputs, jnp.asarray(labels),
+                        jnp.asarray(mask), kt, kl_weight,
                         float(train_loader.batch_size))
 
             key, ke = jax.random.split(key)
@@ -233,10 +251,10 @@ def run_noise_study(
             res = evaluate_with_degradation(
                 eval_step, state, test_loader,
                 epoch=step_idx, total_num_epochs=len(turbidity_centers),
-                csv_path=csv_path, model_type="multimodal", key=ke,
+                csv_path=csv_path, model_type=modality, key=ke,
                 turbidity_range=trange, depth_value=float(depth),
                 bathy_patch_type=bathy_patch_type,
-                sss_patch_type=sss_patch_type)
+                sss_patch_type=sss_patch_type, modality=modality)
             res.update({"turbidity": float(center), "depth": float(depth)})
             all_results.append(res)
     return all_results
