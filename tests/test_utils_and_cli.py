@@ -1,0 +1,124 @@
+"""L0 utils + CLI arg handling — analogue of the reference's
+unittests/test_utils.py plus CLI coverage it lacks."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from multimodal_auv_tpu.utils.devices import (
+    check_model_devices,
+    get_available_devices,
+    setup_environment_and_devices,
+)
+
+
+def test_get_available_devices_virtual_mesh():
+    devs = get_available_devices()
+    assert len(devs) == 8  # conftest forces 8 virtual CPU devices
+    assert all(d.platform == "cpu" for d in devs)
+
+
+def test_setup_environment_and_devices(monkeypatch, tmp_path):
+    monkeypatch.setenv("MULTIMODAL_AUV_ROOT", str(tmp_path))
+    root, devs = setup_environment_and_devices()
+    assert root == str(tmp_path)
+    assert len(devs) == 8
+    monkeypatch.delenv("MULTIMODAL_AUV_ROOT")
+    root2, _ = setup_environment_and_devices("/somewhere")
+    assert root2 == "/somewhere"
+
+
+def test_check_model_devices_logs(caplog):
+    import logging
+
+    tree = {"a": jax.numpy.ones((2, 2))}
+    with caplog.at_level(logging.INFO,
+                         logger="multimodal_auv_tpu.utils.devices"):
+        check_model_devices(tree)
+    assert any("a" in r.message for r in caplog.records)
+
+
+def test_tb_writer_csv_fallback(tmp_path, monkeypatch):
+    """SummaryWriter must degrade to CSV when torch TB is unavailable."""
+    import multimodal_auv_tpu.utils.tb as tb
+
+    class Boom:
+        def __init__(self, *a, **k):
+            raise ImportError("no tb")
+
+    monkeypatch.setattr("torch.utils.tensorboard.SummaryWriter", Boom,
+                        raising=False)
+    w = tb.SummaryWriter(str(tmp_path / "tb"))
+    w.add_scalar("Loss/train", 1.5, 0)
+    w.add_scalar("Loss/train", 1.2, 1)
+    if w._tb is None:
+        rows = open(tmp_path / "tb" / "scalars.csv").read().strip().split("\n")
+        assert len(rows) == 3
+
+
+def test_scheduler_steplr_semantics():
+    from multimodal_auv_tpu.engine.optim import StepLR, kl_annealing_weight
+
+    s = StepLR(1e-3, step_size=2, gamma=0.5)
+    lrs = []
+    for _ in range(5):
+        lrs.append(s.lr)
+        s.step()
+    assert lrs == [1e-3, 1e-3, 5e-4, 5e-4, 2.5e-4]
+    # KL annealing: 2^(e+1)/2^E (multimodal.py:80)
+    assert kl_annealing_weight(0, 4) == pytest.approx(2 ** -3)
+    assert kl_annealing_weight(3, 4) == pytest.approx(1.0)
+
+
+def test_cli_help_and_bad_command(capsys):
+    from multimodal_auv_tpu.cli import main
+
+    assert main(["nope"]) == 2
+    assert main([]) == 2
+    with pytest.raises(SystemExit):
+        main(["inference", "--help"])
+
+
+def test_cli_inference_flag_parity():
+    """Reference flags (cli.py:75-78) must parse."""
+    import argparse
+
+    from multimodal_auv_tpu import cli
+
+    # patch the pipeline out; only flag parsing is under test
+    captured = {}
+
+    def fake(**kw):
+        captured.update(kw)
+
+    import multimodal_auv_tpu.pipelines as P
+
+    orig = P.run_auv_inference
+    P.run_auv_inference = fake
+    try:
+        rc = cli.inference_cli([
+            "--data_dir", "/d", "--output_csv", "/o.csv",
+            "--batch_size", "8", "--num_mc_samples", "20"])
+    finally:
+        P.run_auv_inference = orig
+    assert rc == 0
+    assert captured["data_directory"] == "/d"
+    assert captured["batch_size"] == 8
+    assert captured["num_mc_samples"] == 20
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    from multimodal_auv_tpu.config import BNNPriorSpec, load_yaml
+
+    p = tmp_path / "c.yaml"
+    p.write_text("num_classes: 5\nbnn:\n  moped_delta: 0.2\n"
+                 "training:\n  num_mc: 7\nmesh:\n  fsdp: true\n")
+    c = load_yaml(str(p))
+    assert c.num_classes == 5
+    assert c.bnn.moped_delta == 0.2
+    assert c.training.num_mc == 7
+    assert c.mesh.fsdp is True
+    # BNNPriorSpec dict round-trip (reference param-dict convention)
+    d = BNNPriorSpec().to_dict()
+    assert BNNPriorSpec.from_dict(d) == BNNPriorSpec()
