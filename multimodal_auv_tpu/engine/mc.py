@@ -42,6 +42,7 @@ def mc_logits(
     remat: bool = True,
     ws_sharding=None,
     sample_dtype=None,
+    antithetic: bool = False,
 ) -> jax.Array:
     """Stacked logits over MC draws: (num_mc, batch, num_classes).
 
@@ -51,10 +52,18 @@ def mc_logits(
 
     ``sample_dtype``: dtype for the sampled weights. Setting bfloat16 on the
     inference path pre-casts (mu, rho) once and samples straight to bf16,
-    halving the sampling HBM traffic (the op is bandwidth-bound)."""
-    if num_mc % mc_chunk != 0:
-        raise ValueError(f"num_mc={num_mc} must be divisible by mc_chunk={mc_chunk}")
-    nchunks = num_mc // mc_chunk
+    halving the sampling HBM traffic (the op is bandwidth-bound).
+
+    ``antithetic``: pair each draw with its mirror (w, 2mu - w) — halves the
+    on-chip RNG work and is a classic MC variance-reduction scheme. OFF by
+    default: draws are then no longer i.i.d., which deviates from the
+    reference's estimator semantics (BASELINE parity)."""
+    draws_per_chunk = mc_chunk * (2 if antithetic else 1)
+    if num_mc % draws_per_chunk != 0:
+        raise ValueError(
+            f"num_mc={num_mc} must be divisible by "
+            f"{'2*' if antithetic else ''}mc_chunk={mc_chunk}")
+    nchunks = num_mc // draws_per_chunk
 
     # sigma = softplus(rho) is loop-invariant across draws: computed once
     # per step (f32 for accuracy), then cast with mu for the sampling kernel.
@@ -84,9 +93,13 @@ def mc_logits(
     def chunk_step(_, k):
         ws = gaussian_shift_scale(mu, sigma, k, num_draws=mc_chunk, impl=impl,
                                   out_dtype=sample_dtype)
+        if antithetic:
+            mirror = (2.0 * mu.astype(jnp.float32)
+                      - ws.astype(jnp.float32)).astype(ws.dtype)
+            ws = jnp.concatenate([ws, mirror], axis=0)
         if ws_sharding is not None:
             ws = jax.lax.with_sharding_constraint(ws, ws_sharding)
-        if mc_chunk == 1:
+        if ws.shape[0] == 1:
             logits = fwd(ws[0])[None]
         else:
             logits = jax.vmap(fwd)(ws)

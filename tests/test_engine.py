@@ -82,6 +82,34 @@ def test_mc_logits_shape_and_stochasticity():
     assert float(jnp.abs(logits[0] - logits[1]).max()) > 1e-6
 
 
+def test_antithetic_mc_pairs_mirror_around_mu():
+    """antithetic=True: draw k and its pair satisfy w+ + w- == 2*mu, so the
+    pairwise weight mean is exactly mu (variance reduction)."""
+    from multimodal_auv_tpu.ops.sampling import gaussian_shift_scale
+
+    bundle, _, _ = _mm_state()
+    x = jax.random.uniform(jax.random.PRNGKey(9), (2, S, S, 3))
+    s = jax.random.uniform(jax.random.PRNGKey(10), (2, S, S, 1))
+    logits = mc_logits(bundle.module, bundle.meta, bundle.post,
+                       bundle.batch_stats, (x, x, s), jax.random.PRNGKey(0),
+                       num_mc=4, mc_chunk=1, impl="jnp", antithetic=True)
+    assert logits.shape == (4, 2, 3)
+
+    # weight-level mirror property
+    mu = jnp.zeros(256)
+    sigma = jnp.ones(256)
+    w = gaussian_shift_scale(mu, sigma, jax.random.PRNGKey(1), num_draws=2,
+                             impl="jnp")
+    np.testing.assert_allclose(np.asarray(w[0] + (2 * mu - w[0])),
+                               np.zeros(256), atol=1e-6)
+
+    # invalid divisibility
+    with pytest.raises(ValueError):
+        mc_logits(bundle.module, bundle.meta, bundle.post,
+                  bundle.batch_stats, (x, x, s), jax.random.PRNGKey(0),
+                  num_mc=3, mc_chunk=1, impl="jnp", antithetic=True)
+
+
 def test_train_step_updates_weights_and_guards_nan():
     bundle, tx, state = _mm_state()
     step = make_train_step(bundle.module, bundle.meta, SPEC, tx, num_mc=2,
