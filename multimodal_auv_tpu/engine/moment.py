@@ -1,0 +1,253 @@
+"""Deterministic variance propagation (DVP) — single probabilistic forward
+pass.
+
+An optional fast-inference mode beyond the reference's capabilities
+(literature: single-pass BNN acceleration via moment propagation, see
+PAPERS.md): instead of num_mc sampled forwards, propagate the activation
+mean and (diagonal) variance analytically through the trunks —
+
+  conv/dense:  m' = conv(m, Mw);  v' = conv(v, Mw^2) + conv(m^2 + v, Vw)
+  ReLU:        Gaussian closed form via Phi/phi
+  BatchNorm:   train-mode stats of the mean map (+ mean input variance)
+  pool/GAP:    max-of-means / independence-sum approximations
+
+and Monte-Carlo sample only the *feature* distribution into the tiny
+fusion/classifier head. Cost: ~2 deterministic trunk passes instead of
+num_mc sampled ones (~10x at 20 MC), at a documented approximation cost
+(diagonal covariance, moment-matched ReLU, BN/pool approximations).
+
+This mode is OPT-IN (`run DVP` via engine.moment.make_dvp_predict_step);
+the default MC path retains exact reference estimator semantics.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_auv_tpu.bayes import PackMeta, PackedPosterior
+from multimodal_auv_tpu.engine import uncertainty as U
+
+_SQRT2 = math.sqrt(2.0)
+_INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+
+# ---------------------------------------------------------------------------
+# moment primitives
+# ---------------------------------------------------------------------------
+
+def relu_moments(m: jax.Array, v: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """E[max(0,X)], Var[max(0,X)] for X ~ N(m, v), elementwise."""
+    sd = jnp.sqrt(jnp.maximum(v, 1e-12))
+    a = m / sd
+    cdf = 0.5 * (1.0 + jax.lax.erf(a / _SQRT2))
+    pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * a * a)
+    mean = m * cdf + sd * pdf
+    second = (m * m + v) * cdf + m * sd * pdf
+    var = jnp.maximum(second - mean * mean, 0.0)
+    # degenerate v -> plain ReLU
+    mean = jnp.where(v <= 1e-12, jnp.maximum(m, 0.0), mean)
+    var = jnp.where(v <= 1e-12, 0.0, var)
+    return mean, var
+
+
+def conv_moments(m, v, mu_k, var_k, *, strides, padding):
+    """Gaussian weights (mu_k, var_k), independent of inputs with moments
+    (m, v): m' = m * Mw ; v' = v * Mw^2 + (m^2 + v) * Vw (elementwise
+    notation; * = convolution)."""
+    dn = jax.lax.conv_dimension_numbers(m.shape, mu_k.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    conv = lambda x, k: jax.lax.conv_general_dilated(
+        x, k, window_strides=strides, padding=padding, dimension_numbers=dn)
+    m_out = conv(m, mu_k)
+    v_out = conv(v, mu_k * mu_k) + conv(m * m + v, var_k)
+    return m_out, jnp.maximum(v_out, 0.0)
+
+
+def dense_moments(m, v, mu_w, var_w, mu_b=None, var_b=None):
+    m_out = m @ mu_w
+    v_out = v @ (mu_w * mu_w) + (m * m + v) @ var_w
+    if mu_b is not None:
+        m_out = m_out + mu_b
+    if var_b is not None:
+        v_out = v_out + var_b
+    return m_out, jnp.maximum(v_out, 0.0)
+
+
+def batchnorm_moments(m, v, scale, bias, eps=1e-5):
+    """Train-mode BN approximation: batch statistics from the mean map plus
+    the average input variance; output variance scaled by the same factor."""
+    axes = tuple(range(m.ndim - 1))
+    bm = jnp.mean(m, axis=axes)
+    bv = jnp.var(m, axis=axes) + jnp.mean(v, axis=axes)
+    inv = scale / jnp.sqrt(bv + eps)
+    m_out = (m - bm) * inv + bias
+    v_out = v * (inv * inv)
+    return m_out, v_out
+
+
+def maxpool_moments(m, v, window=(3, 3), strides=(2, 2), padding=((1, 1), (1, 1))):
+    """Max-of-means approximation; variance taken at the max positions
+    (approximated by max-pooling the variance map — an upper bound)."""
+    pads = ((0, 0), padding[0], padding[1], (0, 0))
+    m_out = jax.lax.reduce_window(m, -jnp.inf, jax.lax.max,
+                                  (1,) + window + (1,),
+                                  (1,) + strides + (1,), pads)
+    v_out = jax.lax.reduce_window(v, -jnp.inf, jax.lax.max,
+                                  (1,) + window + (1,),
+                                  (1,) + strides + (1,), pads)
+    return m_out, v_out
+
+
+def gap_moments(m, v):
+    """Global average pool: mean of means; variance / N under independence."""
+    n = m.shape[1] * m.shape[2]
+    return jnp.mean(m, axis=(1, 2)), jnp.sum(v, axis=(1, 2)) / (n * n)
+
+
+# ---------------------------------------------------------------------------
+# moment ResNet trunk (mirrors models/resnet.py topology)
+# ---------------------------------------------------------------------------
+
+def _g(tree, *path):
+    node = tree
+    for p in path:
+        node = node[p]
+    return node
+
+
+def _conv_m(mp, vp, name, m, v, stride):
+    kernel = _g(mp, name, "kernel")
+    p = kernel.shape[0] // 2  # torch-style symmetric padding (resnet.py)
+    return conv_moments(m, v, kernel, _g(vp, name, "kernel"),
+                        strides=(stride, stride), padding=[(p, p), (p, p)])
+
+
+def _bn_m(mp, name, m, v):
+    return batchnorm_moments(m, v, _g(mp, name, "scale"), _g(mp, name, "bias"))
+
+
+def _bottleneck_moments(mp, vp, m, v, stride, downsample):
+    im, iv = m, v
+    m, v = _conv_m(mp, vp, "conv1", m, v, 1)
+    m, v = _bn_m(mp, "bn1", m, v)
+    m, v = relu_moments(m, v)
+    m, v = _conv_m(mp, vp, "conv2", m, v, stride)
+    m, v = _bn_m(mp, "bn2", m, v)
+    m, v = relu_moments(m, v)
+    m, v = _conv_m(mp, vp, "conv3", m, v, 1)
+    m, v = _bn_m(mp, "bn3", m, v)
+    if downsample:
+        im, iv = _conv_m(mp, vp, "downsample_conv", im, iv, stride)
+        im, iv = _bn_m(mp, "downsample_bn", im, iv)
+    return relu_moments(m + im, v + iv)
+
+
+def moment_resnet_features(mu_params: Dict, var_params: Dict, x: jax.Array,
+                           stage_sizes=(3, 4, 6, 3)) -> Tuple[jax.Array, jax.Array]:
+    """(mean, var) of the 2048-d pooled features for deterministic input x."""
+    m, v = conv_moments(x, jnp.zeros_like(x),
+                        _g(mu_params, "conv1", "kernel"),
+                        _g(var_params, "conv1", "kernel"),
+                        strides=(2, 2), padding=[(3, 3), (3, 3)])
+    m, v = _bn_m(mu_params, "bn1", m, v)
+    m, v = relu_moments(m, v)
+    m, v = maxpool_moments(m, v)
+    for stage, blocks in enumerate(stage_sizes):
+        for blk in range(blocks):
+            stride = 2 if (stage > 0 and blk == 0) else 1
+            name = f"layer{stage + 1}_{blk}"
+            m, v = _bottleneck_moments(_g(mu_params, name), _g(var_params, name),
+                                       m, v, stride, downsample=(blk == 0))
+    return gap_moments(m, v)
+
+
+# ---------------------------------------------------------------------------
+# DVP predict step for the multimodal model
+# ---------------------------------------------------------------------------
+
+def _split_trees(meta: PackMeta, post: PackedPosterior):
+    sigma = jax.nn.softplus(post.rho)
+    mu_tree = meta.unpack(post.mu, post.det)
+    zero_det = jax.tree_util.tree_map(jnp.zeros_like, post.det)
+    var_tree = meta.unpack(sigma * sigma, zero_det)
+    return mu_tree, var_tree
+
+
+def make_dvp_predict_step(bundle, num_feature_samples: int = 20):
+    """Single-probabilistic-pass predict step: moment-propagated trunks +
+    MC over feature noise and head weights only. Same output schema as
+    engine.predict.make_predict_step."""
+    meta = bundle.meta
+    module = bundle.module
+    stage_sizes = tuple(module.stage_sizes)
+
+    @jax.jit
+    def step(post, batch_stats, inputs, key):
+        del batch_stats  # trunk BN handled by the moment approximation
+        mu_tree, var_tree = _split_trees(meta, post)
+        main, bathy, sss = inputs
+        feats = []
+        for name, x in (("image_model_feat", main),
+                        ("bathy_model_feat", bathy),
+                        ("sss_model_feat", sss)):
+            fm, fv = moment_resnet_features(
+                mu_tree[name], var_tree[name], x.astype(jnp.float32),
+                stage_sizes)
+            feats.append((fm, fv))
+
+        # sample feature noise + head weights; run the tiny head in MC
+        def head_one(k):
+            ks = jax.random.split(k, 7)
+            outs = []
+            for i, ((fm, fv), mod) in enumerate(zip(
+                    feats, ("image", "bathy", "sss"))):
+                f = fm + jnp.sqrt(fv) * jax.random.normal(ks[i], fm.shape)
+                att = f"attention_{mod}"
+                att_mu, att_var = mu_tree[att], var_tree[att]
+
+                def dense(x, leaf, kk):
+                    w = att_mu[leaf]["kernel"] + jnp.sqrt(
+                        att_var[leaf]["kernel"]) * jax.random.normal(
+                        kk, att_mu[leaf]["kernel"].shape)
+                    b = att_mu[leaf]["bias"] + jnp.sqrt(
+                        att_var[leaf]["bias"]) * jax.random.normal(
+                        jax.random.fold_in(kk, 1),
+                        att_mu[leaf]["bias"].shape)
+                    return x @ w + b
+
+                kq = jax.random.fold_in(ks[i], 10)
+                keys_ = dense(f, "key_projection", jax.random.fold_in(kq, 0))
+                vals = dense(f, "value_projection", jax.random.fold_in(kq, 1))
+                quer = dense(f, "query_projection", jax.random.fold_in(kq, 2))
+                scores = jnp.tanh(quer + keys_)
+                wts = jax.nn.softmax(
+                    dense(scores, "attention_mechanism",
+                          jax.random.fold_in(kq, 3)), axis=1)
+                outs.append(vals * wts)
+            x = jnp.concatenate(outs, axis=1)
+            for i, fc in enumerate(("fc", "fc1", "fc2")):
+                w = mu_tree[fc]["kernel"] + jnp.sqrt(
+                    var_tree[fc]["kernel"]) * jax.random.normal(
+                    jax.random.fold_in(ks[3 + i], 0),
+                    mu_tree[fc]["kernel"].shape)
+                b = mu_tree[fc]["bias"] + jnp.sqrt(
+                    var_tree[fc]["bias"]) * jax.random.normal(
+                    jax.random.fold_in(ks[3 + i], 1),
+                    mu_tree[fc]["bias"].shape)
+                x = x @ w + b
+            return x
+
+        logits = jax.vmap(head_one)(
+            jax.random.split(key, num_feature_samples))
+        probs = U.softmax_probs(logits)
+        return {
+            "predicted": U.predicted_class(probs),
+            "predictive_uncertainty": U.variance_uncertainty(probs),
+            "aleatoric_uncertainty": U.aleatoric_uncertainty(probs, eps=1e-7),
+            "mean_prob": U.mean_probs(probs),
+        }
+
+    return step
