@@ -29,7 +29,7 @@ CACHE = os.path.join(REPO, "BASELINE_LOCAL.json")
 
 
 def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
-                impl: str = "auto") -> float:
+                impl: str = "auto", dvp: bool = False) -> float:
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -42,7 +42,12 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
 
     bundle = make_multimodal_bundle(7, BNNPriorSpec(), jax.random.PRNGKey(0),
                                     ArchConfig())
-    step = make_predict_step(bundle, num_mc, mc_chunk=mc_chunk, impl=impl)
+    if dvp:
+        from multimodal_auv_tpu.engine.moment import make_dvp_predict_step
+
+        step = make_dvp_predict_step(bundle, num_feature_samples=num_mc)
+    else:
+        step = make_predict_step(bundle, num_mc, mc_chunk=mc_chunk, impl=impl)
 
     s = 256
     key = jax.random.PRNGKey(1)
@@ -216,6 +221,8 @@ def main():
                    help="capture a jax profiler trace to this directory")
     p.add_argument("--train", action="store_true",
                    help="benchmark the training step instead of inference")
+    p.add_argument("--dvp", action="store_true",
+                   help="benchmark the single-pass moment-propagation mode")
     args = p.parse_args()
 
     if args.train:
@@ -234,10 +241,10 @@ def main():
 
         with trace(args.profile):
             value = measure_tpu(args.batch, args.num_mc, max(args.iters, 2),
-                                args.mc_chunk, args.impl)
+                                args.mc_chunk, args.impl, args.dvp)
     else:
         value = measure_tpu(args.batch, args.num_mc, args.iters,
-                            args.mc_chunk, args.impl)
+                            args.mc_chunk, args.impl, args.dvp)
 
     cache_key = f"torch_cpu_b{args.batch}_mc{args.num_mc}"
     baseline = None

@@ -109,6 +109,9 @@ def retraining_cli(argv=None):
                         help="Informational on TPU; placement is mesh-driven.")
     parser.add_argument("--model_weights", type=str, default=None)
     parser.add_argument("--allow_random_init", action="store_true")
+    parser.add_argument("--freeze_backbone", action="store_true",
+                        help="Train only the fusion head (foundation-model "
+                             "fine-tuning with frozen ResNet trunks).")
     parser.add_argument("--mc_chunk", type=int, default=1)
     parser.add_argument("--tiny", action="store_true", help=argparse.SUPPRESS)
     args = parser.parse_args(argv)
@@ -127,6 +130,7 @@ def retraining_cli(argv=None):
         batch_size_multimodal=args.batch_size_multimodal,
         model_weights_path=args.model_weights,
         allow_random_init=args.allow_random_init,
+        freeze_backbone=args.freeze_backbone,
         arch=_arch(args),
         mc_chunk=args.mc_chunk,
     )

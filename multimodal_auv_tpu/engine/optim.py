@@ -105,6 +105,60 @@ def define_optimizers_and_schedulers(
     return out
 
 
+def make_backbone_freeze_mask(meta, post,
+                              trainable_prefixes=("attention_", "fc")):
+    """Elementwise update mask for foundation-model fine-tuning with a
+    frozen backbone (BASELINE configs[3]): 1.0 on packed-posterior regions
+    whose top-level module matches a trainable prefix (the fusion head:
+    attention_*, fc/fc1/fc2), 0.0 on the ResNet trunks, pad region, and all
+    deterministic (BatchNorm) leaves."""
+    import numpy as np
+
+    mask = np.zeros(meta.n_padded, np.float32)
+    for e in meta.entries:
+        if any(e.path[0].startswith(p) for p in trainable_prefixes):
+            mask[e.offset:e.offset + e.size] = 1.0
+    flat = jax.numpy.asarray(mask)
+    det_mask = jax.tree_util.tree_map(
+        lambda x: jax.numpy.zeros_like(x), post.det)
+    return PackedPosterior(mu=flat, rho=flat, det=det_mask)
+
+
+def freeze_transform(mask_post) -> optax.GradientTransformation:
+    """Elementwise gradient gate — optax.masked works per-leaf only, and the
+    packed posterior holds trunk+head in one leaf."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        gated = jax.tree_util.tree_map(lambda u, m: u * m, updates, mask_post)
+        return gated, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_optimizer_with_freeze(lr: float, weight_decay: float,
+                               mask_post) -> optax.GradientTransformation:
+    """Adam with the frozen-backbone gate in front (moments of frozen
+    elements stay exactly zero)."""
+
+    def tx(learning_rate):
+        chain = []
+        if weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay))
+        # gate AFTER decay so frozen params neither decay nor accumulate
+        # Adam moments
+        chain += [freeze_transform(mask_post),
+                  optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+                  optax.scale(-learning_rate)]
+        return optax.chain(*chain)
+
+    return optax.inject_hyperparams(tx)(learning_rate=lr)
+
+
 def kl_annealing_weight(epoch: int, total_num_epochs: int) -> float:
     """kl_weight = 2^(epoch+1) / 2^total_epochs
     (/root/reference/src/Multimodal_AUV/train/multimodal.py:80)."""

@@ -56,6 +56,7 @@ def _train_multimodal_common(
     seed: int = 0,
     double_scheduler_step: bool = True,
     resume_checkpoint: Optional[str] = None,
+    freeze_backbone: bool = False,
 ):
     log_dir = setup_pipeline_logging()
     sum_writer = SummaryWriter(os.path.join("tensorboard_logs",
@@ -70,7 +71,16 @@ def _train_multimodal_common(
         logger.warning("Configured num_classes (%d) differs from detected (%d); "
                        "using configured.", num_classes, actual_num_classes)
 
-    tx = make_optimizer(lr, weight_decay)
+    if freeze_backbone:
+        from multimodal_auv_tpu.engine.optim import (
+            make_backbone_freeze_mask,
+            make_optimizer_with_freeze,
+        )
+
+        mask = make_backbone_freeze_mask(bundle.meta, bundle.post)
+        tx = make_optimizer_with_freeze(lr, weight_decay, mask)
+    else:
+        tx = make_optimizer(lr, weight_decay)
     state = BayesTrainState(post=bundle.post, opt_state=tx.init(bundle.post),
                             batch_stats=bundle.batch_stats,
                             step=jnp.zeros((), jnp.int32))
@@ -171,10 +181,13 @@ def run_auv_retraining(
     mc_chunk: int = 1,
     seed: int = 0,
     resume_checkpoint: Optional[str] = None,
+    freeze_backbone: bool = False,
 ) -> bool:
     """Foundation-model retraining (functions.py:84-258): pretrained HF
-    weights, fc2 head swapped when num_classes != 7, then full multimodal
-    fine-tuning."""
+    weights, fc2 head swapped when num_classes != 7, then multimodal
+    fine-tuning. ``freeze_backbone=True`` trains only the fusion head
+    (attention_*, fc/fc1/fc2) — BASELINE configs[3]'s frozen-backbone
+    workload, which the reference gestures at but cannot express."""
     try:
         spec = (BNNPriorSpec.from_dict(const_bnn_prior_parameters)
                 if isinstance(const_bnn_prior_parameters, dict)
@@ -209,6 +222,7 @@ def run_auv_retraining(
             sss_patch_base=sss_patch_base,
             spec=spec, mc_chunk=mc_chunk, seed=seed,
             resume_checkpoint=resume_checkpoint,
+            freeze_backbone=freeze_backbone,
         )
         return True
     except Exception as e:
