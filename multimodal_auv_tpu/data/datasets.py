@@ -281,3 +281,11 @@ class ConcatDataset:
     def __getitem__(self, idx: int):
         ds = int(np.searchsorted(self._offsets, idx, side="right") - 1)
         return self.datasets[ds][idx - int(self._offsets[ds])]
+
+    @property
+    def data(self):
+        """Chained per-sample path records (for data/packing.py)."""
+        out = []
+        for d in self.datasets:
+            out.extend(getattr(d, "data", []))
+        return out

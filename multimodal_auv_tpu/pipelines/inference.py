@@ -23,7 +23,7 @@ from multimodal_auv_tpu.models.model_utils import ArchConfig, make_multimodal_bu
 
 
 def run_auv_inference(
-    data_directory: str,
+    data_directory,
     batch_size: int = 4,
     output_csv: str = "./inference_results.csv",
     num_mc_samples: int = 5,
@@ -37,12 +37,14 @@ def run_auv_inference(
     use_packed_loader: bool = False,
     packed_cache_dir: Optional[str] = None,
 ):
-    """Run multimodal BNN inference over a survey directory.
+    """Run multimodal BNN inference over one survey directory or a list of
+    them (the reference's main.py:186-272 sweeps two sites via
+    ConcatDataset — pass a list here for the same whole-survey run).
 
     Args mirror functions.py:26-31; extensions: ``model_weights_path`` (local
     torch checkpoint instead of the HF download), ``allow_random_init``
     (proceed without pretrained weights — for smoke tests/offline),
-    ``arch``/``mc_chunk``/``seed`` (TPU knobs).
+    ``arch``/``mc_chunk``/``seed``/``use_packed_loader`` (TPU knobs).
     """
     logging.basicConfig(
         level=logging.INFO,
@@ -71,27 +73,36 @@ def run_auv_inference(
     else:
         logger.warning("Proceeding with randomly initialised model.")
 
+    dirs = ([data_directory] if isinstance(data_directory, (str, bytes))
+            else list(data_directory))
     if use_packed_loader:
         # decode-once fast path: uint8 memmap batches, normalize on-chip
         import os
 
-        from multimodal_auv_tpu.data.datasets import InferenceFolderDataset
+        from multimodal_auv_tpu.data.datasets import (
+            ConcatDataset,
+            InferenceFolderDataset,
+        )
         from multimodal_auv_tpu.data.packing import pack_inference_dataset
         from multimodal_auv_tpu.engine.predict import (
             multimodal_predict_and_save_packed,
         )
 
-        cache = packed_cache_dir or os.path.join(data_directory,
-                                                 ".packed_cache")
+        cache = packed_cache_dir or os.path.join(dirs[0], ".packed_cache")
         if not os.path.exists(os.path.join(cache, "names.json")):
-            pack_inference_dataset(InferenceFolderDataset(data_directory),
-                                   cache)
+            datasets = [InferenceFolderDataset(d) for d in dirs]
+            ds = datasets[0] if len(datasets) == 1 else ConcatDataset(datasets)
+            pack_inference_dataset(ds, cache)
         multimodal_predict_and_save_packed(
             bundle, cache, output_csv, num_mc_samples=num_mc_samples,
             batch_size=batch_size, key=jax.random.PRNGKey(seed + 1),
             mc_chunk=mc_chunk)
     else:
-        dataloader = prepare_inference_dataloader(data_directory, batch_size)
+        from multimodal_auv_tpu.data.loaders import (
+            prepare_inference_datasets_and_loaders,
+        )
+
+        dataloader = prepare_inference_datasets_and_loaders(dirs, batch_size)
         multimodal_predict_and_save(
             bundle, dataloader, output_csv,
             num_mc_samples=num_mc_samples,
