@@ -29,7 +29,8 @@ CACHE = os.path.join(REPO, "BASELINE_LOCAL.json")
 
 
 def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
-                impl: str = "auto", dvp: bool = False) -> float:
+                impl: str = "auto", dvp: bool = False,
+                antithetic: bool = False) -> float:
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -47,7 +48,8 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
 
         step = make_dvp_predict_step(bundle, num_feature_samples=num_mc)
     else:
-        step = make_predict_step(bundle, num_mc, mc_chunk=mc_chunk, impl=impl)
+        step = make_predict_step(bundle, num_mc, mc_chunk=mc_chunk, impl=impl,
+                                 antithetic=antithetic)
 
     s = 256
     key = jax.random.PRNGKey(1)
@@ -223,6 +225,8 @@ def main():
                    help="benchmark the training step instead of inference")
     p.add_argument("--dvp", action="store_true",
                    help="benchmark the single-pass moment-propagation mode")
+    p.add_argument("--antithetic", action="store_true",
+                   help="pair MC draws antithetically (variance reduction)")
     args = p.parse_args()
 
     if args.train:
@@ -241,10 +245,12 @@ def main():
 
         with trace(args.profile):
             value = measure_tpu(args.batch, args.num_mc, max(args.iters, 2),
-                                args.mc_chunk, args.impl, args.dvp)
+                                args.mc_chunk, args.impl, args.dvp,
+                                args.antithetic)
     else:
         value = measure_tpu(args.batch, args.num_mc, args.iters,
-                            args.mc_chunk, args.impl, args.dvp)
+                            args.mc_chunk, args.impl, args.dvp,
+                            args.antithetic)
 
     cache_key = f"torch_cpu_b{args.batch}_mc{args.num_mc}"
     baseline = None

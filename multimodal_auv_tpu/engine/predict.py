@@ -30,7 +30,8 @@ logger = logging.getLogger(__name__)
 
 def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
                       mc_chunk: int = 1, impl: str = "auto",
-                      sample_dtype=jnp.bfloat16, donate: bool = False):
+                      sample_dtype=jnp.bfloat16, antithetic: bool = False,
+                      donate: bool = False):
     """Build a jitted predict step: (post, batch_stats, inputs, key) ->
     {predicted, predictive_uncertainty, aleatoric_uncertainty, mean_prob}.
 
@@ -46,7 +47,7 @@ def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
         logits = mc_logits(module, meta, post, batch_stats, inputs, key,
                            num_mc_samples, mc_chunk=mc_chunk, impl=impl,
                            train=True, remat=False,
-                           sample_dtype=sample_dtype)
+                           sample_dtype=sample_dtype, antithetic=antithetic)
         probs = U.softmax_probs(logits)
         return {
             "predicted": U.predicted_class(probs),
