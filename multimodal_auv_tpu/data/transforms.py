@@ -22,13 +22,34 @@ _MEAN = np.asarray(OPTICAL_MEAN, np.float32)
 _STD = np.asarray(OPTICAL_STD, np.float32)
 
 
+def _native_lib():
+    try:
+        from multimodal_auv_tpu.native import lib
+
+        return lib
+    except Exception:
+        return None
+
+
 def load_image(path: str, mode: str = "RGB",
                size: Tuple[int, int] = (IMAGE_SIZE, IMAGE_SIZE)) -> np.ndarray:
     """Decode + bilinear resize + scale to [0,1]. Returns (H, W, C) f32;
-    grayscale ('L') keeps a trailing channel dim of 1."""
+    grayscale ('L') keeps a trailing channel dim of 1.
+
+    Resize runs through the C++ native runtime when built (threaded
+    bilinear, cv2-parity — native/csrc/auvnative.cpp); PIL otherwise."""
     with Image.open(path) as img:
         img = img.convert(mode)
         if img.size != (size[1], size[0]):
+            lib = _native_lib()
+            if lib is not None:
+                arr = np.asarray(img, np.uint8)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                arr = lib.resize_batch(arr[None], size[0], size[1],
+                                       nthreads=1)[0]
+                arr = arr.astype(np.float32) / 255.0
+                return arr if arr.ndim == 3 else arr[:, :, None]
             img = img.resize((size[1], size[0]), Image.BILINEAR)
         arr = np.asarray(img, np.float32) / 255.0
     if arr.ndim == 2:

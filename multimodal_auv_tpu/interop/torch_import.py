@@ -112,7 +112,7 @@ def torch_key_to_flax(key: str) -> Optional[Tuple[Tuple[str, ...], str, str]]:
     return None
 
 
-def _to_flax_array(arr: np.ndarray, is_bias_or_bn: bool) -> np.ndarray:
+def _to_flax_array(arr: np.ndarray) -> np.ndarray:
     if arr.ndim == 4:  # conv OIHW -> HWIO
         return np.transpose(arr, (2, 3, 1, 0))
     if arr.ndim == 2:  # linear (out,in) -> (in,out)
@@ -180,7 +180,7 @@ def import_posterior(
         if kind in ("mu", "rho"):
             path = mods + (leaf,)
             e = var_paths.get(path)
-            val = _to_flax_array(arr, leaf == "bias")
+            val = _to_flax_array(arr)
             if e is None or tuple(val.shape) != e.shape:
                 stats["dropped"] += 1
                 logger.warning("Dropping %s (no variational match at %s)", key, path)
@@ -216,7 +216,7 @@ def import_posterior(
                 # deterministic conv/linear weight -> variational mu (MOPED init)
                 path = mods + ("kernel",)
                 e = var_paths.get(path)
-                val = _to_flax_array(arr, False)
+                val = _to_flax_array(arr)
                 if e is not None and tuple(val.shape) == e.shape:
                     _set(mu_tree, path, val)
                     stats["loaded"] += 1
