@@ -176,6 +176,46 @@ def _split_trees(meta: PackMeta, post: PackedPosterior):
     return mu_tree, var_tree
 
 
+def _sample_dense(mu_node, var_node, x, key):
+    w = mu_node["kernel"] + jnp.sqrt(var_node["kernel"]) * jax.random.normal(
+        key, mu_node["kernel"].shape)
+    b = mu_node["bias"] + jnp.sqrt(var_node["bias"]) * jax.random.normal(
+        jax.random.fold_in(key, 1), mu_node["bias"].shape)
+    return x @ w + b
+
+
+def make_unimodal_dvp_predict_step(bundle, num_feature_samples: int = 20):
+    """Single-pass DVP for a unimodal ResNet50Custom bundle: moment-propagate
+    the trunk, MC-sample feature noise + the fc head only."""
+    meta = bundle.meta
+    stage_sizes = tuple(bundle.module.stage_sizes)
+
+    @jax.jit
+    def step(post, batch_stats, inputs, key):
+        del batch_stats
+        mu_tree, var_tree = _split_trees(meta, post)
+        (x,) = inputs
+        fm, fv = moment_resnet_features(mu_tree["model"], var_tree["model"],
+                                        x.astype(jnp.float32), stage_sizes)
+
+        def head_one(k):
+            f = fm + jnp.sqrt(fv) * jax.random.normal(k, fm.shape)
+            return _sample_dense(mu_tree["model"]["fc"],
+                                 var_tree["model"]["fc"], f,
+                                 jax.random.fold_in(k, 7))
+
+        logits = jax.vmap(head_one)(jax.random.split(key, num_feature_samples))
+        probs = U.softmax_probs(logits)
+        return {
+            "predicted": U.predicted_class(probs),
+            "predictive_uncertainty": U.variance_uncertainty(probs),
+            "aleatoric_uncertainty": U.aleatoric_uncertainty(probs, eps=1e-7),
+            "mean_prob": U.mean_probs(probs),
+        }
+
+    return step
+
+
 def make_dvp_predict_step(bundle, num_feature_samples: int = 20):
     """Single-probabilistic-pass predict step: moment-propagated trunks +
     MC over feature noise and head weights only. Same output schema as

@@ -145,14 +145,31 @@ def multimodal_predict_and_save(
     sss_patch_type: Optional[str] = "",
     channel_patch_type: Optional[str] = "",
     model_type: str = "multimodal",
+    mesh=None,
 ) -> None:
     """Iterate an inference loader of (main, bathy, sss, names) batches and
     write the reference-schema CSV. Ragged final batches are padded to the
-    nominal batch size so a single compiled program serves every batch."""
+    nominal batch size so a single compiled program serves every batch.
+
+    ``mesh``: optional jax.sharding.Mesh — batches are sharded over its
+    'data' axis and the posterior replicated (multi-chip serving; the
+    nominal batch size must be divisible by the data-axis size)."""
     if key is None:
         key = jax.random.PRNGKey(0)
 
     step = make_predict_step(bundle, num_mc_samples, mc_chunk=mc_chunk, impl=impl)
+
+    place = jnp.asarray
+    if mesh is not None:
+        from multimodal_auv_tpu.parallel import mesh as M
+
+        bundle.post = M.shard_state(mesh, bundle.post)
+        bundle.batch_stats = jax.device_put(bundle.batch_stats,
+                                            M.replicated(mesh))
+
+        def place(a):  # noqa: F811
+            a = np.asarray(a)
+            return jax.device_put(a, M.batch_sharding(mesh, a.ndim))
     logger.info("CSV will be saved to: %s", csv_path)
 
     nominal = None
@@ -177,8 +194,7 @@ def multimodal_predict_and_save(
 
             key, sub = jax.random.split(key)
             out = step(bundle.post, bundle.batch_stats,
-                       (jnp.asarray(main), jnp.asarray(bathy), jnp.asarray(sss)),
-                       sub)
+                       (place(main), place(bathy), place(sss)), sub)
             pred = np.asarray(out["predicted"])
             pu = np.asarray(out["predictive_uncertainty"])
             au = np.asarray(out["aleatoric_uncertainty"])

@@ -36,6 +36,7 @@ def run_auv_inference(
     seed: int = 0,
     use_packed_loader: bool = False,
     packed_cache_dir: Optional[str] = None,
+    mesh_spec=None,
 ):
     """Run multimodal BNN inference over one survey directory or a list of
     them (the reference's main.py:186-272 sweeps two sites via
@@ -103,11 +104,17 @@ def run_auv_inference(
         )
 
         dataloader = prepare_inference_datasets_and_loaders(dirs, batch_size)
+        mesh = None
+        if mesh_spec is not None:
+            from multimodal_auv_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(mesh_spec)
         multimodal_predict_and_save(
             bundle, dataloader, output_csv,
             num_mc_samples=num_mc_samples,
             key=jax.random.PRNGKey(seed + 1),
             mc_chunk=mc_chunk,
-            model_type="multimodal")
+            model_type="multimodal",
+            mesh=mesh)
     logger.info("Final inference process completed successfully.")
     return output_csv

@@ -133,3 +133,23 @@ def test_dvp_predict_against_mc(tmp_path):
     assert agree >= 0.5, f"DVP/MC argmax agreement too low: {agree}"
     assert prob_diff < 0.25, f"DVP/MC prob divergence too high: {prob_diff}"
     assert np.isfinite(np.asarray(dvp["predictive_uncertainty"])).all()
+
+
+def test_unimodal_dvp(tmp_path):
+    from multimodal_auv_tpu.config import BNNPriorSpec
+    from multimodal_auv_tpu.engine.moment import make_unimodal_dvp_predict_step
+    from multimodal_auv_tpu.models.model_utils import (
+        ArchConfig,
+        make_unimodal_bundle,
+    )
+
+    arch = ArchConfig(stage_sizes=(1, 1, 1, 1), width=8, image_size=32,
+                      dtype=jnp.float32)
+    bundle = make_unimodal_bundle(3, 4, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                  arch)
+    step = make_unimodal_dvp_predict_step(bundle, num_feature_samples=16)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (3, 32, 32, 3))
+    out = step(bundle.post, bundle.batch_stats, (x,), jax.random.PRNGKey(2))
+    assert out["predicted"].shape == (3,)
+    assert out["mean_prob"].shape == (3, 4)
+    assert np.isfinite(np.asarray(out["mean_prob"])).all()

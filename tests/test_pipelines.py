@@ -128,3 +128,19 @@ def test_load_models_and_move_to_device(tmp_path):
                            TINY)
     models = move_models_to_device(models)
     assert models["multimodal_model"].post.mu.devices()
+
+
+def test_run_auv_inference_with_mesh(tmp_path):
+    """Multi-chip serving path: batch sharded over the 'data' axis of a
+    4-device mesh (virtual CPU devices)."""
+    from multimodal_auv_tpu.config import MeshSpec
+    from multimodal_auv_tpu.pipelines.inference import run_auv_inference
+
+    root = make_inference_tree(str(tmp_path / "dives"), n_samples=5)
+    out_csv = str(tmp_path / "mesh_out.csv")
+    run_auv_inference(root, batch_size=4, output_csv=out_csv,
+                      num_mc_samples=2, num_classes=7,
+                      allow_random_init=True, arch=TINY,
+                      mesh_spec=MeshSpec(data=4, mc=1))
+    rows = list(csv.reader(open(out_csv)))
+    assert len(rows) == 6
