@@ -31,14 +31,18 @@ logger = logging.getLogger(__name__)
 def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
                       mc_chunk: int = 1, impl: str = "auto",
                       sample_dtype=jnp.bfloat16, antithetic: bool = False,
-                      donate: bool = False):
+                      donate: bool = False, ws_sharding=None):
     """Build a jitted predict step: (post, batch_stats, inputs, key) ->
     {predicted, predictive_uncertainty, aleatoric_uncertainty, mean_prob}.
 
     ``sample_dtype=bfloat16`` (default) pre-casts the posterior once inside
     the program and samples weights straight to bf16 — the inference analogue
     of the reference's autocast (predictors.py:55), and a 2x cut of the
-    bandwidth-bound sampling traffic."""
+    bandwidth-bound sampling traffic.
+
+    ``ws_sharding``: optional NamedSharding for the (mc_chunk, P) weight
+    stack — parallel.mesh.mc_sharding(mesh) spreads the MC ensemble over the
+    'mc' mesh axis for multi-chip serving."""
 
     module, meta = bundle.module, bundle.meta
 
@@ -47,7 +51,8 @@ def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
         logits = mc_logits(module, meta, post, batch_stats, inputs, key,
                            num_mc_samples, mc_chunk=mc_chunk, impl=impl,
                            train=True, remat=False,
-                           sample_dtype=sample_dtype, antithetic=antithetic)
+                           sample_dtype=sample_dtype, antithetic=antithetic,
+                           ws_sharding=ws_sharding)
         probs = U.softmax_probs(logits)
         return {
             "predicted": U.predicted_class(probs),
