@@ -103,7 +103,7 @@ def measure_train_tpu(batch: int, num_mc: int, iters: int,
                             batch_stats=bundle.batch_stats,
                             step=jnp.zeros((), jnp.int32))
     step = make_train_step(bundle.module, bundle.meta, spec, tx,
-                           num_mc=num_mc, mc_chunk=mc_chunk)
+                           num_mc=num_mc, mc_chunk=mc_chunk, donate=True)
     s = 256
     key = jax.random.PRNGKey(1)
     inputs = (jax.random.uniform(key, (batch, s, s, 3)),
@@ -124,10 +124,9 @@ def measure_train_tpu(batch: int, num_mc: int, iters: int,
     return batch * iters / (time.perf_counter() - t0)
 
 
-def measure_torch_cpu(batch: int, num_mc: int) -> float:
-    """CPU PyTorch denominator: 3x ResNet-50 + fusion forward, num_mc times
-    per batch (deterministic weights — a handicap in the baseline's favor).
-    Extrapolated from 2 MC draws to keep the measurement affordable."""
+def _torch_fusion_twin():
+    """Build the torch twin of the multimodal model (3x ResNet-50 + additive
+    attention fusion) used as the CPU baseline denominator."""
     import torch
     import torch.nn as nn
 
@@ -195,7 +194,16 @@ def measure_torch_cpu(batch: int, num_mc: int) -> float:
             return self.fc2(self.fc1(self.fc(x)))
 
     torch.manual_seed(0)
-    model = Fusion().train()
+    return Fusion()
+
+
+def measure_torch_cpu(batch: int, num_mc: int) -> float:
+    """CPU PyTorch denominator: 3x ResNet-50 + fusion forward, num_mc times
+    per batch (deterministic weights — a handicap in the baseline's favor).
+    Extrapolated from 2 MC draws to keep the measurement affordable."""
+    import torch
+
+    model = _torch_fusion_twin().train()
     a = torch.rand(batch, 3, 256, 256)
     b = torch.rand(batch, 3, 256, 256)
     c = torch.rand(batch, 1, 256, 256)
@@ -209,6 +217,40 @@ def measure_torch_cpu(batch: int, num_mc: int) -> float:
         dt = time.perf_counter() - t0
     per_draw = dt / draws
     return batch / (per_draw * num_mc)
+
+
+def measure_torch_cpu_train(batch: int, num_mc: int) -> float:
+    """CPU torch train-step denominator: the reference's MC-ELBO step is
+    num_mc stochastic forwards, CE on the mean logits, one backward through
+    all num_mc graphs, and an Adam step (train/multimodal.py:104-145).
+    Measured as one (forward+backward) at the target batch and extrapolated
+    x num_mc (deterministic weights — a handicap in the baseline's favor),
+    plus one measured Adam step."""
+    import torch
+
+    model = _torch_fusion_twin()
+    model.train()
+    a = torch.rand(batch, 3, 256, 256)
+    b = torch.rand(batch, 3, 256, 256)
+    c = torch.rand(batch, 1, 256, 256)
+    labels = torch.zeros(batch, dtype=torch.long)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-5)
+    lossf = torch.nn.CrossEntropyLoss()
+
+    # warmup
+    loss = lossf(model(a, b, c), labels)
+    loss.backward()
+    opt.zero_grad(set_to_none=True)
+
+    t0 = time.perf_counter()
+    loss = lossf(model(a, b, c), labels)
+    loss.backward()
+    t_fwd_bwd = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    opt.step()
+    t_opt = time.perf_counter() - t0
+    step_time = num_mc * t_fwd_bwd + t_opt
+    return batch / step_time
 
 
 def main():
@@ -232,11 +274,29 @@ def main():
     if args.train:
         value = measure_train_tpu(args.batch, args.num_mc, args.iters,
                                   args.mc_chunk)
+        cache_key = f"torch_cpu_train_b{args.batch}_mc{args.num_mc}"
+        baseline = None
+        if os.path.exists(CACHE):
+            try:
+                baseline = json.load(open(CACHE)).get(cache_key)
+            except Exception:
+                baseline = None
+        if baseline is None and not args.skip_baseline:
+            baseline = measure_torch_cpu_train(args.batch, args.num_mc)
+            data = {}
+            if os.path.exists(CACHE):
+                try:
+                    data = json.load(open(CACHE))
+                except Exception:
+                    data = {}
+            data[cache_key] = baseline
+            json.dump(data, open(CACHE, "w"), indent=1)
+        vs = (value / baseline) if baseline else None
         print(json.dumps({
             "metric": "multimodal_bnn_train_step_samples_per_sec",
             "value": round(value, 3),
             "unit": "samples/sec/chip",
-            "vs_baseline": None,
+            "vs_baseline": round(vs, 2) if vs else None,
         }))
         return
 

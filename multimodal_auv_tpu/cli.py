@@ -151,6 +151,10 @@ def training_from_scratch_cli(argv=None):
     parser.add_argument("--bathy_patch_base", type=int, default=30)
     parser.add_argument("--sss_patch_base", type=int, default=30)
     parser.add_argument("--mc_chunk", type=int, default=1)
+    parser.add_argument("--pretrained_trunks", type=str, default=None,
+                        help="torchvision-named ResNet-50 state dict (.pth): "
+                             "MOPED-initialise all three feature trunks "
+                             "(offline stand-in for IMAGENET1K_V1)")
     parser.add_argument("--tiny", action="store_true", help=argparse.SUPPRESS)
     args = parser.parse_args(argv)
 
@@ -169,6 +173,7 @@ def training_from_scratch_cli(argv=None):
         num_classes=args.num_classes,
         arch=_arch(args),
         mc_chunk=args.mc_chunk,
+        pretrained_trunks=args.pretrained_trunks,
     )
     return 0 if ok else 1
 

@@ -56,13 +56,29 @@ _T_GDAL_NODATA = 42113
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
                11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
 
+# Robustness caps: a corrupt/malicious header must degrade to a clean
+# TiffError (a skipped sample in a sweep), never an unbounded allocation or
+# an uncaught struct/index error (rasterio's robustness role,
+# geospatial.py:61-98).
+_MAX_IFD_ENTRIES = 4096
+_MAX_TAG_BYTES = 1 << 26       # 64 MiB per tag payload
+_MAX_DIM = 1 << 20             # 1M pixels per axis
+_MAX_BLOCK_BYTES = 1 << 31     # 2 GiB decoded per strip/tile
+
+
+class TiffError(ValueError):
+    """Malformed, truncated, or unsupported TIFF — safe to skip."""
+
 
 def _dtype_of(bits: int, fmt: int) -> np.dtype:
-    if fmt == 3:
-        return np.dtype({32: np.float32, 64: np.float64}[bits])
-    if fmt == 2:
-        return np.dtype({8: np.int8, 16: np.int16, 32: np.int32}[bits])
-    return np.dtype({8: np.uint8, 16: np.uint16, 32: np.uint32}[bits])
+    try:
+        if fmt == 3:
+            return np.dtype({32: np.float32, 64: np.float64}[bits])
+        if fmt == 2:
+            return np.dtype({8: np.int8, 16: np.int16, 32: np.int32}[bits])
+        return np.dtype({8: np.uint8, 16: np.uint16, 32: np.uint32}[bits])
+    except KeyError:
+        raise TiffError(f"unsupported sample format {fmt}/{bits}bit") from None
 
 
 def _unpackbits_decode(data: bytes, expected: int) -> bytes:
@@ -104,6 +120,8 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
         if code == EOI:
             break
         if prev is None:
+            if code >= len(table):
+                break  # corrupt stream: first code must be a literal
             entry = table[code]
         elif code < len(table):
             entry = table[code]
@@ -146,24 +164,35 @@ class GeoTiff:
     @classmethod
     def open(cls, path: str) -> "GeoTiff":
         g = cls(path=path)
-        with open(path, "rb") as f:
-            header = f.read(16)
-            if header[:2] == b"II":
-                end = "<"
-            elif header[:2] == b"MM":
-                end = ">"
-            else:
-                raise ValueError(f"{path}: not a TIFF")
-            magic = struct.unpack(end + "H", header[2:4])[0]
-            big = magic == 43
-            if magic not in (42, 43):
-                raise ValueError(f"{path}: bad TIFF magic {magic}")
-            if big:
-                off = struct.unpack(end + "Q", header[8:16])[0]
-            else:
-                off = struct.unpack(end + "I", header[4:8])[0]
-            tags = g._read_ifd(f, off, end, big)
-        g._apply_tags(tags)
+        try:
+            with open(path, "rb") as f:
+                header = f.read(16)
+                if len(header) < 8:
+                    raise TiffError(f"{path}: truncated header")
+                if header[:2] == b"II":
+                    end = "<"
+                elif header[:2] == b"MM":
+                    end = ">"
+                else:
+                    raise TiffError(f"{path}: not a TIFF")
+                magic = struct.unpack(end + "H", header[2:4])[0]
+                big = magic == 43
+                if magic not in (42, 43):
+                    raise TiffError(f"{path}: bad TIFF magic {magic}")
+                if big:
+                    if len(header) < 16:
+                        raise TiffError(f"{path}: truncated BigTIFF header")
+                    off = struct.unpack(end + "Q", header[8:16])[0]
+                else:
+                    off = struct.unpack(end + "I", header[4:8])[0]
+                tags = g._read_ifd(f, off, end, big)
+            g._apply_tags(tags)
+        except TiffError:
+            raise
+        except (struct.error, KeyError, IndexError, OverflowError,
+                ValueError) as e:
+            # a corrupt file must fail cleanly, never crash a sweep
+            raise TiffError(f"{path}: malformed TIFF ({e})") from e
         return g
 
     def _read_ifd(self, f, off: int, end: str, big: bool) -> Dict[int, np.ndarray]:
@@ -174,7 +203,12 @@ class GeoTiff:
         else:
             n = struct.unpack(end + "H", f.read(2))[0]
             entry_size, cnt_fmt, val_len = 12, "I", 4
+        if n > _MAX_IFD_ENTRIES:
+            raise TiffError(f"{self.path}: IFD claims {n} entries")
         raw = f.read(entry_size * n)
+        if len(raw) < entry_size * n:
+            raise TiffError(f"{self.path}: truncated IFD "
+                            f"({len(raw)}/{entry_size * n} bytes)")
         tags: Dict[int, np.ndarray] = {}
         fmt_map = {1: "B", 2: "c", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i",
                    11: "f", 12: "d", 16: "Q", 17: "q"}
@@ -183,6 +217,8 @@ class GeoTiff:
             tag, typ = struct.unpack(end + "HH", e[:4])
             cnt = struct.unpack(end + cnt_fmt, e[4:4 + (8 if big else 4)])[0]
             size = _TYPE_SIZES.get(typ, 1) * cnt
+            if size > _MAX_TAG_BYTES:
+                raise TiffError(f"{self.path}: tag {tag} claims {size} bytes")
             voff = 4 + (8 if big else 4)
             if size <= val_len:
                 data = e[voff:voff + size]
@@ -192,6 +228,8 @@ class GeoTiff:
                 f.seek(ptr)
                 data = f.read(size)
                 f.seek(pos)
+                if len(data) < size:
+                    raise TiffError(f"{self.path}: tag {tag} data truncated")
             if typ in (5, 10):  # rationals
                 ints = struct.unpack(end + ("I" if typ == 5 else "i") * (cnt * 2), data)
                 vals = np.asarray([ints[2 * i] / max(ints[2 * i + 1], 1)
@@ -210,9 +248,16 @@ class GeoTiff:
             v = tags.get(t)
             return default if v is None or len(v) == 0 else v[0]
 
-        self.width = int(get1(_T_WIDTH))
-        self.height = int(get1(_T_HEIGHT))
+        w, h = get1(_T_WIDTH), get1(_T_HEIGHT)
+        if w is None or h is None:
+            raise TiffError(f"{self.path}: missing width/height tags")
+        self.width, self.height = int(w), int(h)
+        if not (0 < self.width <= _MAX_DIM and 0 < self.height <= _MAX_DIM):
+            raise TiffError(f"{self.path}: implausible dimensions "
+                            f"{self.width}x{self.height}")
         self.count = int(get1(_T_SPP, 1))
+        if not 0 < self.count <= 1024:
+            raise TiffError(f"{self.path}: implausible band count {self.count}")
         bits = int(tags.get(_T_BITS, np.asarray([8]))[0])
         fmt = int(tags.get(_T_SAMPLE_FORMAT, np.asarray([1]))[0])
         self.dtype = _dtype_of(bits, fmt)
@@ -220,14 +265,28 @@ class GeoTiff:
         self.predictor = int(get1(_T_PREDICTOR, 1))
         self.planar = int(get1(_T_PLANAR, 1))
         if _T_TILE_OFFSETS in tags:
-            self.tile_width = int(get1(_T_TILE_WIDTH))
-            self.tile_height = int(get1(_T_TILE_HEIGHT))
+            tw, th = get1(_T_TILE_WIDTH), get1(_T_TILE_HEIGHT)
+            if tw is None or th is None or _T_TILE_COUNTS not in tags:
+                raise TiffError(f"{self.path}: incomplete tile tags")
+            self.tile_width = int(tw)
+            self.tile_height = int(th)
+            if not (0 < self.tile_width <= _MAX_DIM
+                    and 0 < self.tile_height <= _MAX_DIM):
+                raise TiffError(f"{self.path}: implausible tile size")
             self._offsets = tags[_T_TILE_OFFSETS].astype(np.int64)
             self._counts = tags[_T_TILE_COUNTS].astype(np.int64)
         else:
+            if _T_STRIP_OFFSETS not in tags or _T_STRIP_COUNTS not in tags:
+                raise TiffError(f"{self.path}: missing strip offset/count tags")
             self.rows_per_strip = int(get1(_T_ROWS_PER_STRIP, self.height))
+            if self.rows_per_strip <= 0:
+                raise TiffError(f"{self.path}: bad RowsPerStrip")
             self._offsets = tags[_T_STRIP_OFFSETS].astype(np.int64)
             self._counts = tags[_T_STRIP_COUNTS].astype(np.int64)
+        if len(self._offsets) != len(self._counts) or len(self._offsets) == 0:
+            raise TiffError(f"{self.path}: strip/tile offsets vs counts "
+                            f"mismatch ({len(self._offsets)} vs "
+                            f"{len(self._counts)})")
 
         if _T_MODEL_TRANSFORM in tags and len(tags[_T_MODEL_TRANSFORM]) >= 16:
             m = tags[_T_MODEL_TRANSFORM]
@@ -270,13 +329,26 @@ class GeoTiff:
 
     # ------------------------------------------------------------------
     def _decode_block(self, idx: int, nbytes_expected: int) -> np.ndarray:
+        if nbytes_expected > _MAX_BLOCK_BYTES:
+            raise TiffError(f"{self.path}: block {idx} claims "
+                            f"{nbytes_expected} decoded bytes")
+        if not 0 <= idx < len(self._offsets):
+            raise TiffError(f"{self.path}: block index {idx} out of range "
+                            f"({len(self._offsets)} blocks)")
+        count = int(self._counts[idx])
+        if count < 0 or int(self._offsets[idx]) < 0:
+            raise TiffError(f"{self.path}: negative strip offset/count")
         with open(self.path, "rb") as f:
             f.seek(int(self._offsets[idx]))
-            raw = f.read(int(self._counts[idx]))
+            raw = f.read(min(count, _MAX_BLOCK_BYTES))
         if self.compression == 1:
             data = raw
         elif self.compression in (8, 32946):  # deflate
-            data = zlib.decompress(raw)
+            try:
+                data = zlib.decompress(raw)
+            except zlib.error as e:
+                raise TiffError(f"{self.path}: corrupt deflate block {idx} "
+                                f"({e})") from e
         elif self.compression == 5:
             data = _native_or_py_lzw(raw, nbytes_expected)
         elif self.compression == 32773:
@@ -285,6 +357,7 @@ class GeoTiff:
             raise NotImplementedError(
                 f"{self.path}: TIFF compression {self.compression} unsupported")
         if len(data) < nbytes_expected:
+            # truncated strip: pad with zeros (degrade, don't crash)
             data = data + b"\0" * (nbytes_expected - len(data))
         return np.frombuffer(data, self.dtype, count=nbytes_expected //
                              self.dtype.itemsize)

@@ -58,6 +58,33 @@ def select_patch(batch: Dict, patch_type: Optional[str], kind: str) -> np.ndarra
     return full
 
 
+class _LaggedFetch:
+    """One-batch-lagged device->host metrics pipeline.
+
+    Reading a scalar from a just-dispatched step blocks the host on the
+    device and defeats the prefetch loader's pipelining; holding each batch's
+    metrics for one step lets the device run ahead while the host accounts
+    for the previous batch. ``push`` returns the *previous* batch's metrics
+    (as one bulk device_get) or None; ``flush`` drains the last one."""
+
+    def __init__(self):
+        self._pending = None
+
+    def push(self, item):
+        prev, self._pending = self._pending, item
+        if prev is None:
+            return None
+        idx, m = prev
+        return idx, jax.device_get(m)
+
+    def flush(self):
+        prev, self._pending = self._pending, None
+        if prev is None:
+            return None
+        idx, m = prev
+        return idx, jax.device_get(m)
+
+
 def _pad_batch(arrays, labels, nominal: int):
     """Pad ragged final batches to the nominal size; returns mask."""
     n = labels.shape[0]
@@ -114,6 +141,24 @@ def train_multimodal_model(
             last_kl, last_ce = 0.0, 0.0
             skipped = 0
 
+            lag = _LaggedFetch()
+
+            def account(done):
+                nonlocal total_loss, correct, total, last_kl, last_ce, skipped
+                if done is None:
+                    return
+                j, m = done
+                loss = float(m["loss"])
+                if bool(m["skipped"]):
+                    skipped += 1
+                    logger.warning("Skipping batch %d due to NaN/Inf", j)
+                if np.isfinite(loss):
+                    total_loss += loss
+                correct += float(m["correct"])
+                total += float(m["total"])
+                last_kl, last_ce = float(m["scaled_kl"]), float(m["cross_entropy"])
+                sum_writer.add_scalar("Loss/train", loss, j)
+
             for i, batch in enumerate(dataloader):
                 inputs = [np.asarray(batch["main_image"]),
                           np.asarray(select_patch(batch, bathy_patch_type, "bathy")),
@@ -125,16 +170,8 @@ def train_multimodal_model(
                 state, m = train_step(state, tuple(jnp.asarray(a) for a in inputs),
                                       jnp.asarray(labels), jnp.asarray(mask),
                                       sub, kl_weight, float(nominal))
-                loss = float(m["loss"])
-                if bool(m["skipped"]):
-                    skipped += 1
-                    logger.warning("Skipping batch %d due to NaN/Inf", i)
-                if np.isfinite(loss):
-                    total_loss += loss
-                correct += float(m["correct"])
-                total += float(m["total"])
-                last_kl, last_ce = float(m["scaled_kl"]), float(m["cross_entropy"])
-                sum_writer.add_scalar("Loss/train", loss, i)
+                account(lag.push((i, m)))
+            account(lag.flush())
 
             train_accuracy = correct / max(total, 1.0)
             train_loss = total_loss / max(total, 1.0)
@@ -186,6 +223,22 @@ def evaluate_multimodal_model(
             all_predictive, all_model_unc = [], []
             last_kl, last_ce = 0.0, 0.0
 
+            lag = _LaggedFetch()
+
+            def account(done):
+                nonlocal total_loss, correct, total, last_kl, last_ce
+                if done is None:
+                    return
+                (_, labels, valid), m = done
+                total_loss += float(m["loss"])
+                correct += float(m["correct"])
+                total += float(m["total"])
+                all_pred.extend(np.asarray(m["predicted"])[:valid])
+                all_lab.extend(labels[:valid])
+                all_predictive.extend(np.asarray(m["predictive_entropy"])[:valid])
+                all_model_unc.extend(np.asarray(m["model_uncertainty"])[:valid])
+                last_kl, last_ce = float(m["kl_scaled"]), float(m["cross_entropy"])
+
             for i, batch in enumerate(dataloader):
                 inputs = [np.asarray(batch["main_image"]),
                           np.asarray(select_patch(batch, bathy_patch_type, "bathy")),
@@ -199,14 +252,8 @@ def evaluate_multimodal_model(
                               tuple(jnp.asarray(a) for a in inputs),
                               jnp.asarray(labels), jnp.asarray(mask), sub,
                               kl_scale)
-                total_loss += float(m["loss"])
-                correct += float(m["correct"])
-                total += float(m["total"])
-                all_pred.extend(np.asarray(m["predicted"])[:valid])
-                all_lab.extend(labels[:valid])
-                all_predictive.extend(np.asarray(m["predictive_entropy"])[:valid])
-                all_model_unc.extend(np.asarray(m["model_uncertainty"])[:valid])
-                last_kl, last_ce = float(m["kl_scaled"]), float(m["cross_entropy"])
+                account(lag.push(((i, labels, valid), m)))
+            account(lag.flush())
 
             test_accuracy = correct / max(total, 1.0)
             test_loss = total_loss / max(len(dataloader), 1)
@@ -251,6 +298,20 @@ def train_unimodal_model(
             kl_weight = kl_annealing_weight(epoch, total_num_epochs)
             nominal = dataloader.batch_size
 
+            lag = _LaggedFetch()
+
+            def account(done):
+                nonlocal total_loss, correct, total
+                if done is None:
+                    return
+                j, m = done
+                loss = float(m["loss"])
+                if np.isfinite(loss):
+                    total_loss += loss
+                correct += float(m["correct"])
+                total += float(m["total"])
+                sum_writer.add_scalar("Loss/train", loss, j)
+
             for i, batch in enumerate(dataloader):
                 inputs = [np.asarray(unimodal_input(batch, model_type))]
                 labels = np.asarray(batch["label"], np.int32)
@@ -260,12 +321,8 @@ def train_unimodal_model(
                 state, m = train_step(state, (jnp.asarray(inputs[0]),),
                                       jnp.asarray(labels), jnp.asarray(mask),
                                       sub, kl_weight, float(nominal))
-                loss = float(m["loss"])
-                if np.isfinite(loss):
-                    total_loss += loss
-                correct += float(m["correct"])
-                total += float(m["total"])
-                sum_writer.add_scalar("Loss/train", loss, i)
+                account(lag.push((i, m)))
+            account(lag.flush())
 
             train_accuracy = correct / max(total, 1.0)
             train_loss = total_loss / max(total, 1.0)
@@ -306,6 +363,21 @@ def evaluate_unimodal_model(
             total_loss, correct, total = 0.0, 0.0, 0.0
             all_pred, all_lab, all_epi, all_alea = [], [], [], []
 
+            lag = _LaggedFetch()
+
+            def account(done):
+                nonlocal total_loss, correct, total
+                if done is None:
+                    return
+                (_, labels, valid), m = done
+                total_loss += float(m["loss"])
+                correct += float(m["correct"])
+                total += float(m["total"])
+                all_pred.extend(np.asarray(m["predicted"])[:valid])
+                all_lab.extend(labels[:valid])
+                all_epi.extend(np.asarray(m["epistemic_variance"])[:valid])
+                all_alea.extend(np.asarray(m["aleatoric_mc_entropy"])[:valid])
+
             for i, batch in enumerate(dataloader):
                 inputs = [np.asarray(unimodal_input(batch, model_type))]
                 labels = np.asarray(batch["label"], np.int32)
@@ -316,13 +388,8 @@ def evaluate_unimodal_model(
                 m = eval_step(state.post, state.batch_stats,
                               (jnp.asarray(inputs[0]),), jnp.asarray(labels),
                               jnp.asarray(mask), sub, kl_scale)
-                total_loss += float(m["loss"])
-                correct += float(m["correct"])
-                total += float(m["total"])
-                all_pred.extend(np.asarray(m["predicted"])[:valid])
-                all_lab.extend(labels[:valid])
-                all_epi.extend(np.asarray(m["epistemic_variance"])[:valid])
-                all_alea.extend(np.asarray(m["aleatoric_mc_entropy"])[:valid])
+                account(lag.push(((i, labels, valid), m)))
+            account(lag.flush())
 
             accuracy = correct / max(total, 1.0)
             avg_loss = total_loss / max(total, 1.0)

@@ -24,7 +24,10 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_auv_tpu.bayes import PackMeta, PackedPosterior
-from multimodal_auv_tpu.ops.sampling import gaussian_shift_scale
+from multimodal_auv_tpu.ops.sampling import (
+    gaussian_shift_scale,
+    gaussian_shift_scale_split,
+)
 
 
 def mc_logits(
@@ -43,6 +46,9 @@ def mc_logits(
     ws_sharding=None,
     sample_dtype=None,
     antithetic: bool = False,
+    batch_mask=None,
+    return_batch_stats: bool = False,
+    split_sampling: bool = False,
 ) -> jax.Array:
     """Stacked logits over MC draws: (num_mc, batch, num_classes).
 
@@ -57,7 +63,19 @@ def mc_logits(
     ``antithetic``: pair each draw with its mirror (w, 2mu - w) — halves the
     on-chip RNG work and is a classic MC variance-reduction scheme. OFF by
     default: draws are then no longer i.i.d., which deviates from the
-    reference's estimator semantics (BASELINE parity)."""
+    reference's estimator semantics (BASELINE parity).
+
+    ``return_batch_stats``: also return the running batch_stats after
+    chaining each draw's BN momentum update through the MC loop — exactly
+    the reference's semantics, where every train-mode stochastic forward
+    advances the running statistics (train/multimodal.py:104-117), at zero
+    extra forwards. Returns (logits, new_batch_stats).
+
+    ``split_sampling``: sample each chunk's draws as SEPARATE arrays from
+    one kernel launch (ops/sampling.py::gaussian_shift_scale_split). The
+    (mu, sigma) HBM reads amortise over the chunk while each draw consumes
+    like a single-draw output (slicing a stacked output measured ~3x slower
+    end-to-end on v5e). Inference-only: not differentiable."""
     draws_per_chunk = mc_chunk * (2 if antithetic else 1)
     if num_mc % draws_per_chunk != 0:
         raise ValueError(
@@ -80,17 +98,79 @@ def mc_logits(
         params = meta.unpack(w_flat, post.det)
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
-            # train-mode BN normalises by current-batch stats; the running-stat
-            # update it emits is discarded here (refreshed once per train step).
+            # train-mode BN normalises by current-batch stats (excluding
+            # padded rows when batch_mask is given); the running-stat update
+            # it emits is discarded here (refreshed once per train step).
             out, _ = module.apply(variables, *inputs, train=True,
+                                  batch_mask=batch_mask,
                                   mutable=["batch_stats"])
             return out
         return module.apply(variables, *inputs, train=False)
 
+    def fwd_bs(bs, w_flat):
+        # forward that also chains the BN running-stat momentum update —
+        # the reference advances running stats on every stochastic forward
+        # (train/multimodal.py:104-117). Normalisation still uses the
+        # current batch's stats, so logits are unchanged.
+        params = meta.unpack(w_flat, post.det)
+        out, upd = module.apply({"params": params, "batch_stats": bs},
+                                *inputs, train=True, batch_mask=batch_mask,
+                                mutable=["batch_stats"])
+        return out, upd["batch_stats"]
+
     if remat:
         fwd = jax.checkpoint(fwd)
+        fwd_bs = jax.checkpoint(fwd_bs)
+
+    if return_batch_stats:
+        if not train:
+            raise ValueError("return_batch_stats requires train=True")
+        if ws_sharding is not None or antithetic:
+            raise ValueError("return_batch_stats: chained BN updates are "
+                             "sequential per draw — incompatible with "
+                             "mc-sharded or antithetic draws")
+
+        def chunk_step_bs(bs, k):
+            ws = gaussian_shift_scale(mu, sigma, k, num_draws=mc_chunk,
+                                      impl=impl, out_dtype=sample_dtype)
+            if ws.shape[0] <= 4:
+                outs = []
+                for i in range(ws.shape[0]):
+                    out, bs = fwd_bs(bs, ws[i])
+                    outs.append(out)
+                return bs, jnp.stack(outs)
+            bs, logits = jax.lax.scan(fwd_bs, bs, ws)
+            return bs, logits
+
+        keys = jax.random.split(key, nchunks)
+        if nchunks == 1:
+            new_bs, logits = chunk_step_bs(batch_stats, keys[0])
+        else:
+            new_bs, logits = jax.lax.scan(chunk_step_bs, batch_stats, keys)
+            logits = logits.reshape((num_mc,) + logits.shape[2:])
+        return logits, new_bs
+
+    if split_sampling and ws_sharding is None and not antithetic:
+        def chunk_step_split(_, k):
+            ws_list = gaussian_shift_scale_split(
+                mu, sigma, k, num_draws=mc_chunk, impl=impl,
+                out_dtype=sample_dtype)
+            # unrolled sequential forwards over independent per-draw arrays
+            return None, jnp.stack([fwd(w) for w in ws_list])
+
+        keys = jax.random.split(key, nchunks)
+        if nchunks == 1:
+            _, logits = chunk_step_split(None, keys[0])
+        else:
+            _, logits = jax.lax.scan(chunk_step_split, None, keys)
+            logits = logits.reshape((num_mc,) + logits.shape[2:])
+        return logits
 
     def chunk_step(_, k):
+        # One kernel launch samples the whole chunk: with the block-major
+        # grid (ops/sampling.py) the (mu, sigma) HBM reads are amortised
+        # over the chunk's draws, so larger chunks cut the bandwidth-bound
+        # sampling cost per draw (~2.7x at chunk 20, bf16).
         ws = gaussian_shift_scale(mu, sigma, k, num_draws=mc_chunk, impl=impl,
                                   out_dtype=sample_dtype)
         if antithetic:
@@ -98,14 +178,20 @@ def mc_logits(
                       - ws.astype(jnp.float32)).astype(ws.dtype)
             ws = jnp.concatenate([ws, mirror], axis=0)
         if ws_sharding is not None:
+            # mc-axis ensemble parallelism: draws spread over devices, so the
+            # forward must be batched over the draw axis.
             ws = jax.lax.with_sharding_constraint(ws, ws_sharding)
-        if ws_sharding is None and ws.shape[0] <= 4:
+            logits = jax.vmap(fwd)(ws)
+        elif ws.shape[0] <= 4:
             # unrolled sequential forwards: unbatched weights keep convs in
             # their most MXU-efficient form (vmapped weights measured ~20%
-            # slower); vmap only for large chunks or mc-axis sharding
+            # slower on v5e)
             logits = jnp.stack([fwd(ws[i]) for i in range(ws.shape[0])])
         else:
-            logits = jax.vmap(fwd)(ws)
+            # large chunks: still sequential (one compiled forward scanned
+            # over the draw stack) — the chunk exists to amortise sampling,
+            # not to batch the convs.
+            _, logits = jax.lax.scan(lambda c, w: (c, fwd(w)), None, ws)
         return None, logits
 
     keys = jax.random.split(key, nchunks)
@@ -117,7 +203,8 @@ def mc_logits(
     return logits
 
 
-def refresh_batch_stats(module, meta, post, batch_stats, inputs):
+def refresh_batch_stats(module, meta, post, batch_stats, inputs,
+                        batch_mask=None):
     """One posterior-mean forward with mutable batch_stats to advance the
     running statistics (momentum 0.9, as torch BN momentum=0.1)."""
     params = meta.unpack(post.mu, post.det)
@@ -125,6 +212,7 @@ def refresh_batch_stats(module, meta, post, batch_stats, inputs):
         {"params": params, "batch_stats": batch_stats},
         *inputs,
         train=True,
+        batch_mask=batch_mask,
         mutable=["batch_stats"],
     )
     return updated["batch_stats"]

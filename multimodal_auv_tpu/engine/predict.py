@@ -47,12 +47,16 @@ def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
     module, meta = bundle.module, bundle.meta
 
     @partial(jax.jit, static_argnames=())
-    def step(post, batch_stats, inputs, key):
+    def step(post, batch_stats, inputs, key, mask=None):
+        # mask: optional f32[batch] validity mask — padded ragged-tail rows
+        # are excluded from train-mode BN statistics so real rows' outputs
+        # equal an unpadded run (the reference never pads).
         logits = mc_logits(module, meta, post, batch_stats, inputs, key,
                            num_mc_samples, mc_chunk=mc_chunk, impl=impl,
                            train=True, remat=False,
                            sample_dtype=sample_dtype, antithetic=antithetic,
-                           ws_sharding=ws_sharding)
+                           ws_sharding=ws_sharding, batch_mask=mask,
+                           split_sampling=True)
         probs = U.softmax_probs(logits)
         return {
             "predicted": U.predicted_class(probs),
@@ -76,12 +80,13 @@ def make_packed_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
     module, meta = bundle.module, bundle.meta
 
     @jax.jit
-    def step(post, batch_stats, u8_inputs, key):
+    def step(post, batch_stats, u8_inputs, key, mask=None):
         inputs = normalize_multimodal(*u8_inputs)
         logits = mc_logits(module, meta, post, batch_stats, inputs, key,
                            num_mc_samples, mc_chunk=mc_chunk, impl=impl,
                            train=True, remat=False,
-                           sample_dtype=sample_dtype)
+                           sample_dtype=sample_dtype, batch_mask=mask,
+                           split_sampling=True)
         probs = U.softmax_probs(logits)
         return {
             "predicted": U.predicted_class(probs),
@@ -121,15 +126,17 @@ def multimodal_predict_and_save_packed(
                          "Predictive Uncertainty", "Aleatoric Uncertainty"])
         for main, bathy, sss, names in batches:
             valid = main.shape[0]
+            mask = np.ones((batch_size,), np.float32)
             if valid < batch_size:
                 pad = batch_size - valid
+                mask[valid:] = 0.0
                 main = np.concatenate([main, np.repeat(main[-1:], pad, 0)])
                 bathy = np.concatenate([bathy, np.repeat(bathy[-1:], pad, 0)])
                 sss = np.concatenate([sss, np.repeat(sss[-1:], pad, 0)])
             key, sub = jax.random.split(key)
             out = step(bundle.post, bundle.batch_stats,
                        (jnp.asarray(main), jnp.asarray(bathy),
-                        jnp.asarray(sss)), sub)
+                        jnp.asarray(sss)), sub, jnp.asarray(mask))
             pred = np.asarray(out["predicted"])
             pu = np.asarray(out["predictive_uncertainty"])
             au = np.asarray(out["aleatoric_uncertainty"])
@@ -191,15 +198,18 @@ def multimodal_predict_and_save(
             valid = main.shape[0]
             if nominal is None:
                 nominal = valid
+            mask = np.ones((nominal,), np.float32)
             if valid < nominal:
                 pad = nominal - valid
+                mask[valid:] = 0.0
                 main = np.concatenate([main, np.repeat(main[-1:], pad, 0)])
                 bathy = np.concatenate([bathy, np.repeat(bathy[-1:], pad, 0)])
                 sss = np.concatenate([sss, np.repeat(sss[-1:], pad, 0)])
 
             key, sub = jax.random.split(key)
             out = step(bundle.post, bundle.batch_stats,
-                       (place(main), place(bathy), place(sss)), sub)
+                       (place(main), place(bathy), place(sss)), sub,
+                       place(mask))
             pred = np.asarray(out["predicted"])
             pu = np.asarray(out["predictive_uncertainty"])
             au = np.asarray(out["aleatoric_uncertainty"])

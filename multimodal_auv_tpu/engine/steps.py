@@ -37,28 +37,50 @@ from multimodal_auv_tpu.engine.optim import BayesTrainState
 
 def make_train_step(module, meta, spec: BNNPriorSpec, tx, num_mc: int, *,
                     mc_chunk: int = 1, impl: str = "auto",
-                    update_batch_stats: bool = True, ws_sharding=None):
+                    update_batch_stats: bool = True, ws_sharding=None,
+                    donate: bool = False):
     """Returns jitted (state, inputs, labels, key, kl_weight, batch_size_scale)
-    -> (state, metrics)."""
+    -> (state, metrics).
+
+    BN running stats are chained through the MC loop (one momentum update per
+    stochastic forward — exact reference semantics, train/multimodal.py:
+    104-117) at zero extra cost; with an mc-sharded weight stack the chain
+    would serialise the ensemble axis, so a single posterior-mean refresh is
+    used instead.
+
+    ``donate``: donate the input state's buffers to the step so XLA updates
+    the ~1.2 GB packed posterior + Adam moments in place. OFF by default —
+    a donated state must never be touched again, which would break the epoch
+    loops' crash-save path (they checkpoint ``state.post`` if a step raises);
+    bench.py turns it on."""
+    chained_bn = update_batch_stats and ws_sharding is None
 
     def loss_fn(post, batch_stats, inputs, labels, mask, key, kl_weight,
                 bs_scale):
-        logits = mc_logits(module, meta, post, batch_stats, inputs, key,
-                           num_mc, mc_chunk=mc_chunk, impl=impl, train=True,
-                           remat=True, ws_sharding=ws_sharding)
+        if chained_bn:
+            logits, new_bs = mc_logits(
+                module, meta, post, batch_stats, inputs, key, num_mc,
+                mc_chunk=mc_chunk, impl=impl, train=True, remat=True,
+                batch_mask=mask, return_batch_stats=True)
+        else:
+            new_bs = None
+            logits = mc_logits(module, meta, post, batch_stats, inputs, key,
+                               num_mc, mc_chunk=mc_chunk, impl=impl,
+                               train=True, remat=True,
+                               ws_sharding=ws_sharding, batch_mask=mask)
         output = jnp.mean(logits.astype(jnp.float32), axis=0)
         ce_vec = optax.softmax_cross_entropy_with_integer_labels(output, labels)
         ce = jnp.sum(ce_vec * mask) / jnp.maximum(jnp.sum(mask), 1.0)
         scaled_kl = kl_divergence(post, spec) / bs_scale * kl_weight
         loss = ce + scaled_kl
-        return loss, (output, ce, scaled_kl)
+        return loss, (output, ce, scaled_kl, new_bs)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: BayesTrainState, inputs, labels, mask, key, kl_weight,
              batch_size_scale) -> Tuple[BayesTrainState, Any]:
         """mask: f32[batch], 1.0 for real rows, 0.0 for padding of ragged
         final batches (keeps one compiled program for every batch)."""
-        (loss, (output, ce, scaled_kl)), grads = jax.value_and_grad(
+        (loss, (output, ce, scaled_kl, chained_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.post, state.batch_stats, inputs,
                                    labels, mask, key, kl_weight,
                                    batch_size_scale)
@@ -80,9 +102,12 @@ def make_train_step(module, meta, spec: BNNPriorSpec, tx, num_mc: int, *,
             lambda new, old: jnp.where(ok, new, old) if hasattr(new, "dtype") else new,
             new_opt_state, state.opt_state)
 
-        if update_batch_stats:
+        if chained_bn:
+            new_bs = chained_bs
+        elif update_batch_stats:
             new_bs = refresh_batch_stats(module, meta, state.post,
-                                         state.batch_stats, inputs)
+                                         state.batch_stats, inputs,
+                                         batch_mask=mask)
         else:
             new_bs = state.batch_stats
 
@@ -119,7 +144,8 @@ def make_eval_step(module, meta, spec: BNNPriorSpec, num_mc: int, *,
     def step(post, batch_stats, inputs, labels, mask, key, kl_scale):
         logits = mc_logits(module, meta, post, batch_stats, inputs, key,
                            num_mc, mc_chunk=mc_chunk, impl=impl, train=True,
-                           remat=False, ws_sharding=ws_sharding)
+                           remat=False, ws_sharding=ws_sharding,
+                           batch_mask=mask, split_sampling=True)
         probs = U.softmax_probs(logits)
         output_mean = jnp.mean(logits.astype(jnp.float32), axis=0)
         ce_vec = optax.softmax_cross_entropy_with_integer_labels(

@@ -254,6 +254,33 @@ def import_posterior(
     return new_post, bs, stats
 
 
+def init_trunks_from_torchvision(
+    bundle,
+    state_dict: Dict[str, np.ndarray],
+    prefixes: Tuple[str, ...] = ("image_model_feat", "bathy_model_feat",
+                                 "sss_model_feat"),
+    *,
+    spec: Optional[BNNPriorSpec] = None,
+) -> Tuple[PackedPosterior, Any, Dict[str, int]]:
+    """MOPED-initialise ResNet trunks from a torchvision-*named* ResNet-50
+    state dict (plain ``conv1.weight``, ``layer1.0.conv1.weight``,
+    ``fc.weight`` keys — the IMAGENET1K_V1 format the reference feeds to
+    ``dnn_to_bnn`` + MOPED, models/model_utils.py:26-64).
+
+    The dict is re-keyed under each trunk prefix and merged; deterministic
+    weights become mu with sigma = delta*|w| (MOPED), BN affine + running
+    stats load directly, and keys with no geometric match (the 1000-class
+    ``fc.*`` head; ``conv1`` for the 1-channel SSS trunk) are dropped —
+    mirroring the reference's fc->Identity replacement and fresh conv1.
+    """
+    rekeyed = {}
+    for p in prefixes:
+        pref = f"{p}." if p else ""
+        for k, v in state_dict.items():
+            rekeyed[f"{pref}{k}"] = v
+    return import_posterior(bundle, rekeyed, spec=spec)
+
+
 def load_and_prepare_multimodal_model(bundle, weights_path: str,
                                       num_classes: int = 7):
     """End-to-end equivalent of Example_Inference_model.py:78-112."""

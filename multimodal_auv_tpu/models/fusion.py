@@ -51,7 +51,8 @@ class MultiModalModel(nn.Module):
     fusion_dims: Tuple[int, int] = (1284, 32)
 
     @nn.compact
-    def __call__(self, inputs, bathy_tensor, sss_image, train: bool = True):
+    def __call__(self, inputs, bathy_tensor, sss_image, train: bool = True,
+                 batch_mask=None):
         trunk = lambda name: ResNet(
             stage_sizes=self.stage_sizes, width=self.width, num_classes=None,
             dtype=self.dtype, param_dtype=self.param_dtype, name=name,
@@ -61,9 +62,12 @@ class MultiModalModel(nn.Module):
             param_dtype=self.param_dtype, name=name,
         )
 
-        image_features = trunk("image_model_feat")(inputs, train=train)
-        bathy_features = trunk("bathy_model_feat")(bathy_tensor, train=train)
-        sss_features = trunk("sss_model_feat")(sss_image, train=train)
+        image_features = trunk("image_model_feat")(
+            inputs, train=train, batch_mask=batch_mask)
+        bathy_features = trunk("bathy_model_feat")(
+            bathy_tensor, train=train, batch_mask=batch_mask)
+        sss_features = trunk("sss_model_feat")(
+            sss_image, train=train, batch_mask=batch_mask)
 
         image_attended = attn("attention_image")(image_features)
         bathy_attended = attn("attention_bathy")(bathy_features)

@@ -202,11 +202,20 @@ def move_models_to_device(models: Dict[str, Any], devices=None,
 
 def define_models(num_classes: int, const_bnn_prior_parameters,
                   rng: Optional[jax.Array] = None,
-                  arch: ArchConfig = ArchConfig()) -> Dict[str, Any]:
+                  arch: ArchConfig = ArchConfig(),
+                  pretrained_paths: Optional[Dict[str, str]] = None
+                  ) -> Dict[str, Any]:
     """Seven-entry model dict with the reference's keys
     (model_utils.py:37-45): three Bayesian unimodal classifiers, the
     Bayesian multimodal fusion model, and three deterministic feature
-    trunks."""
+    trunks.
+
+    ``pretrained_paths``: optional {"image": ..., "channels": ..., "sss": ...}
+    paths to torchvision-*named* ResNet-50 state dicts (the offline stand-in
+    for the reference's IMAGENET1K_V1 download). Trunk weights MOPED-init
+    the posteriors (sigma = delta*|w|); the 1000-class fc head and any
+    channel-mismatched conv1 are dropped, as in the reference's fc->Identity
+    swap (model_utils.py:26-64)."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     if isinstance(const_bnn_prior_parameters, dict):
@@ -217,20 +226,73 @@ def define_models(num_classes: int, const_bnn_prior_parameters,
     keys = jax.random.split(rng, 7)
     s = arch.image_size
 
-    def feat(input_channels, key):
+    sds: Dict[str, Any] = {}
+    if pretrained_paths:
+        from multimodal_auv_tpu.interop.torch_import import load_torch_state_dict
+
+        for name, path in pretrained_paths.items():
+            try:
+                sds[name] = load_torch_state_dict(path)
+            except Exception:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "Could not load pretrained trunk %s from %s", name, path,
+                    exc_info=True)
+
+    def moped_trunks(bundle, by_prefix: Dict[str, str]):
+        """MOPED-init the bundle's trunks from torchvision dicts, keyed by
+        flax submodule prefix -> pretrained_paths name."""
+        from multimodal_auv_tpu.interop.torch_import import (
+            init_trunks_from_torchvision,
+        )
+
+        for prefix, sd_name in by_prefix.items():
+            sd = sds.get(sd_name)
+            if sd is None:
+                continue
+            post, bs, _ = init_trunks_from_torchvision(
+                bundle, sd, prefixes=(prefix,) if prefix else ("",), spec=spec)
+            bundle.post, bundle.batch_stats = post, bs
+        return bundle
+
+    def feat(input_channels, key, sd_name):
         module = ResNet(stage_sizes=tuple(arch.stage_sizes), width=arch.width,
                         num_classes=None, dtype=arch.dtype,
                         param_dtype=arch.param_dtype)
         variables = module.init(
             key, jnp.zeros((1, s, s, input_channels), jnp.float32), train=True)
+        sd = sds.get(sd_name)
+        if sd is not None:
+            from multimodal_auv_tpu.bayes import bayesianize
+            from multimodal_auv_tpu.interop.torch_import import (
+                init_trunks_from_torchvision,
+            )
+
+            post, meta = bayesianize(variables["params"], spec)
+            tmp = ModelBundle(module=module, post=post, meta=meta,
+                              batch_stats=variables.get("batch_stats", {}))
+            post, bs, _ = init_trunks_from_torchvision(tmp, sd, prefixes=("",),
+                                                       spec=spec)
+            variables = {"params": meta.unpack(post.mu, post.det),
+                         "batch_stats": bs}
         return {"module": module, "variables": variables}
 
     return {
-        "image_model": make_unimodal_bundle(3, num_classes, spec, keys[0], arch),
-        "bathy_model": make_unimodal_bundle(3, num_classes, spec, keys[1], arch),
-        "sss_model": make_unimodal_bundle(1, num_classes, spec, keys[2], arch),
-        "multimodal_model": make_multimodal_bundle(num_classes, spec, keys[3], arch),
-        "image_model_feat": feat(3, keys[4]),
-        "bathy_model_feat": feat(3, keys[5]),
-        "sss_model_feat": feat(1, keys[6]),
+        "image_model": moped_trunks(
+            make_unimodal_bundle(3, num_classes, spec, keys[0], arch),
+            {"model": "image"}),
+        "bathy_model": moped_trunks(
+            make_unimodal_bundle(3, num_classes, spec, keys[1], arch),
+            {"model": "channels"}),
+        "sss_model": moped_trunks(
+            make_unimodal_bundle(1, num_classes, spec, keys[2], arch),
+            {"model": "sss"}),
+        "multimodal_model": moped_trunks(
+            make_multimodal_bundle(num_classes, spec, keys[3], arch),
+            {"image_model_feat": "image", "bathy_model_feat": "channels",
+             "sss_model_feat": "sss"}),
+        "image_model_feat": feat(3, keys[4], "image"),
+        "bathy_model_feat": feat(3, keys[5], "channels"),
+        "sss_model_feat": feat(1, keys[6], "sss"),
     }

@@ -39,16 +39,19 @@ class Bottleneck(nn.Module):
     expansion: int = 4
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, batch_mask=None):
         conv = lambda f, k, s, name: nn.Conv(
             f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
             use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
             name=name,
         )
-        bn = lambda name: nn.BatchNorm(
+        # batch_mask: optional bool (B,1,1,1) — train-mode statistics are
+        # computed over real rows only, so padded ragged-tail rows cannot
+        # pollute BN (exact-batch parity with the reference, which never pads).
+        bn = lambda name: (lambda y: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=self.param_dtype, name=name,
-        )
+        )(y, mask=batch_mask))
 
         identity = x
         out = conv(self.planes, 1, 1, "conv1")(x)
@@ -77,14 +80,17 @@ class ResNet(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, batch_mask=None):
+        if batch_mask is not None and batch_mask.ndim == 1:
+            batch_mask = batch_mask.reshape(-1, 1, 1, 1).astype(bool)
         x = nn.Conv(self.width, (7, 7), strides=(2, 2),
                     padding=[(3, 3), (3, 3)], use_bias=False,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="bn1")(x)
+                         param_dtype=self.param_dtype, name="bn1")(
+                             x, mask=batch_mask)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -99,7 +105,7 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     name=f"layer{stage + 1}_{blk}",
-                )(x, train=train)
+                )(x, train=train, batch_mask=batch_mask)
             planes *= 2
 
         x = jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 2048)
@@ -137,10 +143,11 @@ class ResNet50Custom(nn.Module):
     stage_sizes: Tuple[int, ...] = (3, 4, 6, 3)
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, batch_mask=None):
         return ResNet(stage_sizes=self.stage_sizes, width=self.width,
                       num_classes=self.num_classes, dtype=self.dtype,
-                      param_dtype=self.param_dtype, name="model")(x, train=train)
+                      param_dtype=self.param_dtype, name="model")(
+                          x, train=train, batch_mask=batch_mask)
 
     def get_feature_size(self) -> int:
         return self.width * 8 * Bottleneck.expansion

@@ -58,9 +58,9 @@ def _normal_block(shape):
 
 
 def _reparam_kernel(seed_ref, mu_ref, rho_ref, out_ref):
-    draw = pl.program_id(0)
-    blk = pl.program_id(1)
-    nblk = pl.num_programs(1)
+    blk = pl.program_id(0)
+    draw = pl.program_id(1)
+    nblk = pl.num_programs(0)
     pltpu.prng_seed(seed_ref[0] + draw * nblk + blk)
 
     eps = _normal_block(mu_ref.shape)
@@ -73,9 +73,9 @@ def _reparam_sigma_kernel(seed_ref, mu_ref, sigma_ref, out_ref):
     """Variant taking a precomputed sigma = softplus(rho): sigma is constant
     across the MC draws of a step, so the softplus is hoisted out of the
     kernel (one elementwise pass per step instead of one per draw)."""
-    draw = pl.program_id(0)
-    blk = pl.program_id(1)
-    nblk = pl.num_programs(1)
+    blk = pl.program_id(0)
+    draw = pl.program_id(1)
+    nblk = pl.num_programs(0)
     pltpu.prng_seed(seed_ref[0] + draw * nblk + blk)
 
     eps = _normal_block(mu_ref.shape)
@@ -84,29 +84,136 @@ def _reparam_sigma_kernel(seed_ref, mu_ref, sigma_ref, out_ref):
     out_ref[0] = (mu + sigma * eps).astype(out_ref.dtype)
 
 
+def _eps_kernel(seed_ref, out_ref):
+    """Noise-only variant for the custom-VJP backward: regenerates eps from
+    the seed without streaming mu/sigma (the zeros/ones the generic kernel
+    would read are 8 bytes/param of dead HBM traffic). Seeding is identical
+    to the sampling kernels, so eps is bit-exact the forward's."""
+    blk = pl.program_id(0)
+    draw = pl.program_id(1)
+    nblk = pl.num_programs(0)
+    pltpu.prng_seed(seed_ref[0] + draw * nblk + blk)
+    out_ref[0] = _normal_block(out_ref.shape[1:]).astype(out_ref.dtype)
+
+
 def _pallas_reparam(mu2d, rho2d, seed, num_draws, out_dtype, *,
                     kernel=_reparam_kernel, interpret=False):
     if interpret:
         # TPU-semantics interpreter (supports pltpu.prng_* on CPU).
         interpret = pltpu.InterpretParams()
     rows = mu2d.shape[0]
-    grid = (num_draws, pl.cdiv(rows, BLOCK_ROWS))
+    # Grid order: parameter blocks MAJOR, draws MINOR. Consecutive grid steps
+    # then map to the *same* (mu, sigma) block, so Mosaic elides the input
+    # DMAs across draws — (mu, sigma) are streamed from HBM once per chunk
+    # instead of once per draw. Per-draw HBM traffic drops from
+    # (mu + sigma + w) to (mu + sigma)/num_draws + w: ~2.7x less for a
+    # 20-draw chunk in bf16. The seed derivation is per-(draw, blk), so the
+    # samples are bit-identical to the draw-major order.
+    grid = (pl.cdiv(rows, BLOCK_ROWS), num_draws)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((BLOCK_ROWS, LANES), lambda d, i: (i, 0),
+            pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, d: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_ROWS, LANES), lambda d, i: (i, 0),
+            pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, d: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BLOCK_ROWS, LANES), lambda d, i: (d, i, 0),
+        out_specs=pl.BlockSpec((1, BLOCK_ROWS, LANES), lambda i, d: (d, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((num_draws, rows, LANES), out_dtype),
         interpret=interpret,
     )(seed, mu2d, rho2d)
     return out
+
+
+def _pallas_reparam_split(mu2d, sigma2d, seed, num_draws, out_dtype, *,
+                          interpret=False):
+    """One launch, ``num_draws`` SEPARATE (rows, LANES) outputs.
+
+    Measured on v5e: consuming draws by slicing a stacked (n, P) output
+    costs ~6 ms/draw of extra time in the full model (XLA fails to fuse the
+    cross-draw slices into the convolutions), while separate arrays consume
+    exactly like single-draw outputs. The (mu, sigma) blocks stay resident
+    across the inner draw axis (same elision as the stacked variant), and
+    each output block is written once under a pl.when guard and flushed when
+    the parameter block advances. Seeding matches the stacked kernel
+    bit-for-bit."""
+    if interpret:
+        interpret = pltpu.InterpretParams()
+    rows = mu2d.shape[0]
+    grid = (pl.cdiv(rows, BLOCK_ROWS), num_draws)
+
+    def kernel(seed_ref, mu_ref, sg_ref, *out_refs):
+        blk = pl.program_id(0)
+        draw = pl.program_id(1)
+        nblk = pl.num_programs(0)
+        pltpu.prng_seed(seed_ref[0] + draw * nblk + blk)
+        eps = _normal_block(mu_ref.shape)
+        val = (mu_ref[:].astype(jnp.float32)
+               + sg_ref[:].astype(jnp.float32) * eps)
+        for j in range(num_draws):
+            @pl.when(draw == j)
+            def _(j=j):
+                out_refs[j][...] = val.astype(out_refs[j].dtype)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, d: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, d: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, d: (i, 0),
+                                memory_space=pltpu.VMEM)] * num_draws,
+        out_shape=[jax.ShapeDtypeStruct((rows, LANES), out_dtype)] * num_draws,
+        interpret=interpret,
+    )(seed, mu2d, sigma2d)
+    return list(outs) if isinstance(outs, (list, tuple)) else [outs]
+
+
+def gaussian_shift_scale_split(mu, sigma, key, num_draws, *,
+                               impl: str = "auto", out_dtype=None):
+    """Sample ``num_draws`` posterior draws as a LIST of flat arrays (the
+    fast inference path — see _pallas_reparam_split). Not differentiable;
+    training uses gaussian_shift_scale."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    out_dtype = out_dtype or mu.dtype
+    if impl == "jnp":
+        ws = _shift_scale_impl(mu, sigma, key, num_draws, "jnp", out_dtype)
+        return [ws[i] for i in range(num_draws)]
+    if mu.shape[0] % LANES != 0:
+        raise ValueError(f"packed size {mu.shape[0]} not a multiple of {LANES}")
+    rows = mu.shape[0] // LANES
+    seed = jax.random.bits(key, shape=(1,), dtype=jnp.uint32).astype(jnp.int32)
+    outs = _pallas_reparam_split(
+        mu.reshape(rows, LANES), sigma.reshape(rows, LANES), seed, num_draws,
+        out_dtype, interpret=(impl == "pallas_interpret"))
+    return [o.reshape(mu.shape[0]) for o in outs]
+
+
+def _pallas_eps(numel, seed, num_draws, out_dtype, *, interpret=False):
+    """(num_draws, numel) standard normals, seeded exactly like
+    _pallas_reparam — used by the VJP backward to regenerate eps."""
+    if interpret:
+        interpret = pltpu.InterpretParams()
+    rows = numel // LANES
+    grid = (pl.cdiv(rows, BLOCK_ROWS), num_draws)
+    out = pl.pallas_call(
+        _eps_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, BLOCK_ROWS, LANES), lambda i, d: (d, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_draws, rows, LANES), out_dtype),
+        interpret=interpret,
+    )(seed)
+    return out.reshape(num_draws, numel)
 
 
 def gaussian_reparam(
@@ -199,13 +306,21 @@ def _gss_fwd(mu, sigma, key, num_draws, impl, out_dtype):
 
 def _gss_bwd(num_draws, impl, out_dtype, res, g):
     """Reparameterization VJP: dmu = sum_draws g, dsigma = sum_draws g*eps.
-    eps is *regenerated* from the saved PRNG key (same kernel, mu=0,
-    sigma=1) — bit-exact, no eps storage, robust to tiny sigmas
-    (no (w-mu)/sigma cancellation)."""
+    eps is *regenerated* from the saved PRNG key via a noise-only kernel —
+    bit-exact, no eps storage, no dead mu/sigma streaming, robust to tiny
+    sigmas (no (w-mu)/sigma cancellation)."""
     key, mu, sigma = res
-    eps = _shift_scale_impl(jnp.zeros(mu.shape, jnp.float32),
-                            jnp.ones(mu.shape, jnp.float32), key, num_draws,
-                            impl, jnp.float32)
+    n = 1 if num_draws is None else num_draws
+    if impl == "jnp":
+        eps = jax.random.normal(key, (n,) + mu.shape, jnp.float32)
+        if num_draws is None:
+            eps = eps[0]
+    else:
+        seed = jax.random.bits(key, shape=(1,), dtype=jnp.uint32).astype(jnp.int32)
+        eps = _pallas_eps(mu.shape[0], seed, n, jnp.float32,
+                          interpret=(impl == "pallas_interpret"))
+        if num_draws is None:
+            eps = eps[0]
     g32 = g.astype(jnp.float32)
     if num_draws is None:
         dmu, dsigma = g32, g32 * eps

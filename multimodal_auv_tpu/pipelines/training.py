@@ -126,9 +126,15 @@ def run_AUV_training_from_scratch(
     scheduler_step_size: int = 7,
     scheduler_gamma: float = 0.752,
     resume_checkpoint: Optional[str] = None,
+    pretrained_trunks: Optional[str] = None,
 ) -> bool:
     """Signature parity with functions.py:361-374 (``devices`` accepted for
-    API compatibility; placement is mesh-driven on TPU)."""
+    API compatibility; placement is mesh-driven on TPU).
+
+    ``pretrained_trunks``: optional path to a torchvision-*named* ResNet-50
+    state dict; MOPED-initialises all three feature trunks — the offline
+    equivalent of the reference's IMAGENET1K_V1 download
+    (models/model_utils.py:26-64)."""
     try:
         spec = (BNNPriorSpec.from_dict(const_bnn_prior_parameters)
                 if isinstance(const_bnn_prior_parameters, dict)
@@ -141,6 +147,17 @@ def run_AUV_training_from_scratch(
             num_classes = MultimodalFolderDataset(root_dir).num_classes
         bundle = make_multimodal_bundle(num_classes, spec,
                                         jax.random.PRNGKey(seed), arch)
+        if pretrained_trunks:
+            from multimodal_auv_tpu.interop.torch_import import (
+                init_trunks_from_torchvision,
+                load_torch_state_dict,
+            )
+
+            sd = load_torch_state_dict(pretrained_trunks)
+            post, bs, st = init_trunks_from_torchvision(bundle, sd, spec=spec)
+            bundle.post, bundle.batch_stats = post, bs
+            logger.info("Pretrained trunk init from %s: %s",
+                        pretrained_trunks, st)
         _train_multimodal_common(
             root_dir=root_dir, bundle=bundle, num_classes=num_classes,
             lr=lr_multimodal_model, weight_decay=weight_decay,

@@ -25,6 +25,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: re-jitting the tiny models dominated the
+# suite's wall time (~18 min cold); cached compiles cut repeat runs to a
+# fraction. Safe to share with the TPU cache dir (entries are keyed by
+# platform + HLO).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pytest  # noqa: E402
 
 

@@ -278,3 +278,70 @@ def test_checkpoint_roundtrip(tmp_path):
     assert not ok
     ckpt.save_model(state.post, str(tmp_path / "x" / "y.csv"), "multimodal")
     assert os.path.exists(tmp_path / "models" / "bayesian_model_typemultimodal")
+
+
+def test_masked_bn_ragged_batch_equals_unpadded():
+    """Padded ragged-tail rows must not pollute train-mode BN statistics:
+    the real rows of a padded+masked batch equal the same rows run unpadded
+    (the reference never pads — exact-batch semantics of
+    train/multimodal.py:93-130)."""
+    bundle, _, _ = _mm_state()
+    rng = np.random.default_rng(3)
+    valid, nominal = 3, 6
+    ins = [rng.normal(size=(valid, S, S, c)).astype(np.float32)
+           for c in (3, 3, 1)]
+    labels = np.arange(valid).astype(np.int32) % 3
+    key = jax.random.PRNGKey(5)
+
+    step = make_eval_step(bundle.module, bundle.meta, SPEC, num_mc=2,
+                          impl="jnp")
+    # unpadded run at the true batch size
+    m_ref = step(bundle.post, bundle.batch_stats,
+                 tuple(jnp.asarray(a) for a in ins), jnp.asarray(labels),
+                 jnp.ones((valid,)), key, 0.1)
+    # padded run: repeat last row, mask it out
+    pad = nominal - valid
+    ins_p = [np.concatenate([a, np.repeat(a[-1:], pad, 0)]) for a in ins]
+    lab_p = np.concatenate([labels, np.repeat(labels[-1:], pad)])
+    mask = np.concatenate([np.ones(valid), np.zeros(pad)]).astype(np.float32)
+    m_pad = step(bundle.post, bundle.batch_stats,
+                 tuple(jnp.asarray(a) for a in ins_p), jnp.asarray(lab_p),
+                 jnp.asarray(mask), key, 0.1)
+
+    np.testing.assert_allclose(
+        np.asarray(m_pad["predicted"])[:valid], np.asarray(m_ref["predicted"]))
+    for k in ("mean_prob", "epistemic_variance", "predictive_entropy"):
+        np.testing.assert_allclose(np.asarray(m_pad[k])[:valid],
+                                   np.asarray(m_ref[k]), rtol=2e-4, atol=2e-6)
+    # masked scalar reductions must also agree (they ignore padded rows)
+    np.testing.assert_allclose(float(m_pad["cross_entropy"]),
+                               float(m_ref["cross_entropy"]), rtol=2e-4)
+
+
+def test_masked_bn_train_step_running_stats_exclude_padding():
+    """refresh_batch_stats with a mask must move the running stats exactly as
+    an unpadded batch does."""
+    from multimodal_auv_tpu.engine.mc import refresh_batch_stats
+
+    bundle, _, _ = _mm_state()
+    rng = np.random.default_rng(4)
+    valid, nominal = 2, 4
+    ins = [rng.normal(size=(valid, S, S, c)).astype(np.float32)
+           for c in (3, 3, 1)]
+    bs_ref = refresh_batch_stats(bundle.module, bundle.meta, bundle.post,
+                                 bundle.batch_stats,
+                                 tuple(jnp.asarray(a) for a in ins))
+    ins_p = [np.concatenate([a, np.repeat(a[-1:], nominal - valid, 0)])
+             for a in ins]
+    mask = jnp.asarray(
+        np.concatenate([np.ones(valid), np.zeros(nominal - valid)]),
+        jnp.float32)
+    bs_pad = refresh_batch_stats(bundle.module, bundle.meta, bundle.post,
+                                 bundle.batch_stats,
+                                 tuple(jnp.asarray(a) for a in ins_p),
+                                 batch_mask=mask)
+    ref_leaves = jax.tree_util.tree_leaves(bs_ref)
+    pad_leaves = jax.tree_util.tree_leaves(bs_pad)
+    for a, b in zip(ref_leaves, pad_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)

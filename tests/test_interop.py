@@ -155,3 +155,189 @@ def test_dense_semantics_match_torch():
     jy = dense.apply({"params": {"kernel": jnp.asarray(w.T),
                                  "bias": jnp.asarray(b)}}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(jy), ty, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Whole-model golden: torch twin forward vs imported flax model
+# (reference semantics: predictors.py:52-95, Example_Inference_model.py:78-112)
+# ---------------------------------------------------------------------------
+
+def _flax_path_to_torch_key(path):
+    """Inverse of torch_key_to_flax for the twin's deterministic names."""
+    segs = []
+    for p in path[:-1]:
+        if p.startswith("layer") and "_" in p:
+            stage, blk = p[5:].split("_")
+            segs.append(f"layer{stage}.{blk}")
+        elif p == "downsample_conv":
+            segs.append("downsample.0")
+        elif p == "downsample_bn":
+            segs.append("downsample.1")
+        else:
+            segs.append(p)
+    leaf = {"kernel": "weight", "bias": "bias"}[path[-1]]
+    return ".".join(segs + [leaf])
+
+
+def _to_flax_layout(a):
+    if a.ndim == 4:
+        return np.transpose(a, (2, 3, 1, 0))
+    if a.ndim == 2:
+        return np.transpose(a, (1, 0))
+    return a
+
+
+def test_full_model_torch_parity():
+    """End-to-end numerical parity with the reference stack: a torch twin of
+    the multimodal BNN (same geometry, bayesian-torch-style state dict) and
+    the flax model under imported weights must produce (1) identical
+    deterministic logits at the posterior mean and (2) identical per-draw
+    logits and uncertainty estimators under matched eps draws — the
+    whole-model analogue of predictors.py:52-95."""
+    import torch
+
+    from multimodal_auv_tpu.engine import uncertainty as U
+    from tests.torch_twin import (
+        TorchMultiModal,
+        bayesianize_state_dict,
+        set_draw,
+    )
+
+    torch.manual_seed(0)
+    twin = TorchMultiModal(num_classes=7, width=TINY.width,
+                           stage_sizes=tuple(TINY.stage_sizes))
+    sd, sigmas = bayesianize_state_dict(twin, delta=0.05)
+    mus = {k: p.detach().cpu().numpy().copy()
+           for k, p in twin.named_parameters()}
+
+    bundle = make_multimodal_bundle(7, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                    TINY)
+    from multimodal_auv_tpu.interop.torch_import import import_posterior as ip
+    post, bs, stats = ip(bundle, sd)
+    assert stats["dropped"] == 0, f"geometry mismatch: {stats}"
+    bundle.post, bundle.batch_stats = post, bs
+
+    rng = np.random.default_rng(7)
+    s = TINY.image_size
+    a = rng.uniform(size=(2, s, s, 3)).astype(np.float32)
+    b = rng.uniform(size=(2, s, s, 3)).astype(np.float32)
+    c = rng.uniform(size=(2, s, s, 1)).astype(np.float32)
+    t_in = [torch.from_numpy(np.transpose(x, (0, 3, 1, 2))) for x in (a, b, c)]
+    f_in = tuple(jnp.asarray(x) for x in (a, b, c))
+
+    twin.train()  # reference runs BN in train mode even at inference
+    with torch.no_grad():
+        det_t = twin(*t_in).numpy()
+    det_f, _ = bundle.apply_with_weights(bundle.post.mu, *f_in, train=True,
+                                         mutable=True)
+    np.testing.assert_allclose(np.asarray(det_f), det_t, rtol=2e-3, atol=2e-4)
+
+    # matched-eps MC draws
+    mu_packed = np.asarray(bundle.post.mu).copy()
+    rho_packed = np.asarray(bundle.post.rho)
+    sigma_packed = np.logaddexp(rho_packed, 0.0)  # softplus
+    logits_t, logits_f = [], []
+    for k in range(4):
+        eps_by_key = {key: rng.normal(size=v.shape).astype(np.float32)
+                      for key, v in sigmas.items()}
+        set_draw(twin, mus, sigmas, eps_by_key)
+        with torch.no_grad():
+            logits_t.append(twin(*t_in).numpy())
+
+        eps_packed = np.zeros_like(mu_packed)
+        for e in bundle.meta.entries:
+            tk = _flax_path_to_torch_key(e.path)
+            if tk in eps_by_key:
+                eps_packed[e.offset:e.offset + e.size] = np.ravel(
+                    _to_flax_layout(eps_by_key[tk]))
+        w = (mu_packed + sigma_packed * eps_packed).astype(np.float32)
+        out_f, _ = bundle.apply_with_weights(jnp.asarray(w), *f_in,
+                                             train=True, mutable=True)
+        logits_f.append(np.asarray(out_f))
+        np.testing.assert_allclose(logits_f[-1], logits_t[-1],
+                                   rtol=2e-3, atol=3e-4)
+
+    lt = jnp.asarray(np.stack(logits_t))
+    lf = jnp.asarray(np.stack(logits_f))
+    # both uncertainty families, computed by our estimators on both stacks
+    for fam in (U.variance_uncertainty,
+                lambda p: U.aleatoric_uncertainty(p, eps=1e-7)):
+        ut = np.asarray(fam(U.softmax_probs(lt)))
+        uf = np.asarray(fam(U.softmax_probs(lf)))
+        np.testing.assert_allclose(uf, ut, rtol=5e-3, atol=1e-6)
+    # reference variance estimator re-derived in numpy (predictors.py:67-76):
+    # mean over classes of the per-class variance across draws (ddof=1)
+    probs_t = np.asarray(U.softmax_probs(lt))
+    ref_var = probs_t.var(axis=0, ddof=1).mean(axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(U.variance_uncertainty(U.softmax_probs(lf))),
+        ref_var, rtol=5e-3, atol=1e-7)
+
+
+def test_torchvision_named_pretrained_trunk_init(tmp_path):
+    """The production fine-tuning path: a torchvision-*named* ResNet-50
+    state dict (conv1.weight, layer1.0.conv1.weight, fc.weight, ...) must
+    MOPED-initialise the trunks of define_models/load_models — the offline
+    equivalent of the reference's IMAGENET1K_V1 init
+    (models/model_utils.py:26-64)."""
+    import torch
+
+    from multimodal_auv_tpu.bayes import softplus_inv
+    from multimodal_auv_tpu.models.model_utils import define_models, load_models
+    from tests.torch_twin import TorchResNetTrunk
+
+    torch.manual_seed(1)
+    trunk = TorchResNetTrunk(3, width=TINY.width,
+                             stage_sizes=tuple(TINY.stage_sizes))
+    sd = {k: v for k, v in trunk.state_dict().items()}
+    feat = trunk.feature_size
+    sd["fc.weight"] = torch.randn(1000, feat)  # torchvision classifier head
+    sd["fc.bias"] = torch.randn(1000)
+    path = str(tmp_path / "resnet50_imagenet.pth")
+    torch.save(sd, path)
+
+    spec = BNNPriorSpec()
+    models = define_models(7, spec, jax.random.PRNGKey(0), TINY,
+                           pretrained_paths={"image": path, "channels": path,
+                                             "sss": path})
+
+    conv1_t = sd["conv1.weight"].numpy().transpose(2, 3, 1, 0)
+
+    # multimodal trunks: image (3-ch) loads conv1; sss (1-ch) drops it
+    mm = models["multimodal_model"]
+    entries = {e.path: e for e in mm.meta.entries}
+    mu = np.asarray(mm.post.mu)
+    rho = np.asarray(mm.post.rho)
+    e_img = entries[("image_model_feat", "conv1", "kernel")]
+    got = mu[e_img.offset:e_img.offset + e_img.size].reshape(e_img.shape)
+    np.testing.assert_allclose(got, conv1_t, rtol=1e-6)
+    # MOPED sigma = delta * |mu|
+    sig = np.asarray(jax.nn.softplus(
+        rho[e_img.offset:e_img.offset + e_img.size])).reshape(e_img.shape)
+    np.testing.assert_allclose(sig, np.maximum(
+        spec.moped_delta * np.abs(conv1_t), 1e-12), rtol=1e-5)
+    e_sss = entries[("sss_model_feat", "conv1", "kernel")]
+    got_sss = mu[e_sss.offset:e_sss.offset + e_sss.size].reshape(e_sss.shape)
+    assert got_sss.shape[2] == 1 and not np.allclose(
+        got_sss, conv1_t[:, :, :1, :])  # channel mismatch -> kept random
+
+    # unimodal classifier trunk (prefix "model"), BN stats included
+    um = models["image_model"]
+    ue = {e.path: e for e in um.meta.entries}[("model", "conv1", "kernel")]
+    np.testing.assert_allclose(
+        np.asarray(um.post.mu)[ue.offset:ue.offset + ue.size].reshape(ue.shape),
+        conv1_t, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(um.batch_stats["model"]["bn1"]["mean"]),
+        sd["bn1.running_mean"].numpy(), rtol=1e-6)
+
+    # deterministic feature trunk dict
+    fv = models["image_model_feat"]["variables"]
+    np.testing.assert_allclose(np.asarray(fv["params"]["conv1"]["kernel"]),
+                               conv1_t, rtol=1e-6)
+
+    # load_models path ("image" slot) with the same file
+    (img, _, _) = load_models({"image": path}, arch=TINY)
+    np.testing.assert_allclose(
+        np.asarray(img["variables"]["params"]["conv1"]["kernel"]),
+        conv1_t, rtol=1e-6)

@@ -101,3 +101,73 @@ def test_mc_sharding_eval():
     assert np.isfinite(float(m["loss"]))
     assert m["predicted"].shape == (4,)
     assert np.isfinite(np.asarray(m["epistemic_variance"])).all()
+
+
+# ---------------------------------------------------------------------------
+# Multi-process input feeding (DDP-analogue, SURVEY.md §2.8)
+# ---------------------------------------------------------------------------
+
+def test_host_shard_indices_cover_disjointly():
+    """Across process counts and ragged dataset sizes, the per-host shards
+    partition range(n): disjoint, complete, contiguous — the
+    DistributedSampler analogue (train/multimodal.py:109-110)."""
+    from multimodal_auv_tpu.parallel.distributed import host_shard_indices
+
+    for n in (1, 5, 8, 9, 10, 17, 64):
+        for pc in (1, 2, 3, 4, 8):
+            shards = [host_shard_indices(n, process_index=pi, process_count=pc)
+                      for pi in range(pc)]
+            flat = [i for s in shards for i in s]
+            assert flat == list(range(n)), (n, pc)
+            sizes = [len(s) for s in shards]
+            assert max(sizes) - min(s for s in sizes if True) <= -(-n // pc)
+
+
+def test_make_global_batch_places_data_sharded():
+    from multimodal_auv_tpu.parallel.distributed import make_global_batch
+
+    mesh = M.make_mesh(MeshSpec(data=8, mc=1))
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    (gx,) = make_global_batch(mesh, [x])
+    assert gx.shape == (8, 3)
+    np.testing.assert_allclose(np.asarray(gx), x)
+    # each device holds exactly its batch row
+    for shard in gx.addressable_shards:
+        np.testing.assert_allclose(np.asarray(shard.data),
+                                   x[shard.index[0]])
+
+
+def test_simulated_two_host_ragged_feed_matches_single_host():
+    """Simulate two hosts feeding a ragged global batch: each host takes its
+    host_shard_indices slice, pads its final local batch with mask=0 rows
+    (the loops' _pad_batch machinery), and the concatenated global batch +
+    mask must reproduce the single-host padded batch exactly."""
+    from multimodal_auv_tpu.engine.loops import _pad_batch
+    from multimodal_auv_tpu.parallel.distributed import host_shard_indices
+
+    n, pc = 10, 2
+    per_host_nominal = 3  # global batch 6, last global batch ragged (4 valid)
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(n, 4)).astype(np.float32)
+    labels = (np.arange(n) % 3).astype(np.int32)
+
+    def host_batches(pi):
+        idx = host_shard_indices(n, process_index=pi, process_count=pc)
+        out = []
+        for k in range(0, len(idx), per_host_nominal):
+            sel = idx[k:k + per_host_nominal]
+            (arr,), lab, mask = _pad_batch([data[sel]], labels[sel],
+                                           per_host_nominal)
+            out.append((arr, lab, mask))
+        return out
+
+    b0, b1 = host_batches(0), host_batches(1)
+    assert len(b0) == len(b1)  # equal step counts -- no deadlocked host
+    # global view of the last (ragged) step
+    ga = np.concatenate([b0[-1][0], b1[-1][0]])
+    gm = np.concatenate([b0[-1][2], b1[-1][2]])
+    assert ga.shape[0] == pc * per_host_nominal
+    assert gm.sum() == 4  # 10 - 6 valid rows in the ragged step
+    valid_rows = ga[gm > 0]
+    np.testing.assert_allclose(
+        valid_rows, np.concatenate([data[3:5], data[8:10]]))
