@@ -124,6 +124,17 @@ def multimodal_predict_and_save_packed(
         writer = csv.writer(csvfile)
         writer.writerow(["Image Name", "Predicted Class",
                          "Predictive Uncertainty", "Aleatoric Uncertainty"])
+        pending = None
+
+        def drain(p):
+            out, names, valid = p
+            pred = np.asarray(out["predicted"])
+            pu = np.asarray(out["predictive_uncertainty"])
+            au = np.asarray(out["aleatoric_uncertainty"])
+            for i in range(valid):
+                writer.writerow([names[i], int(pred[i]), float(pu[i]),
+                                 float(au[i])])
+
         for main, bathy, sss, names in batches:
             valid = main.shape[0]
             mask = np.ones((batch_size,), np.float32)
@@ -137,12 +148,11 @@ def multimodal_predict_and_save_packed(
             out = step(bundle.post, bundle.batch_stats,
                        (jnp.asarray(main), jnp.asarray(bathy),
                         jnp.asarray(sss)), sub, jnp.asarray(mask))
-            pred = np.asarray(out["predicted"])
-            pu = np.asarray(out["predictive_uncertainty"])
-            au = np.asarray(out["aleatoric_uncertainty"])
-            for i in range(valid):
-                writer.writerow([names[i], int(pred[i]), float(pu[i]),
-                                 float(au[i])])
+            if pending is not None:
+                drain(pending)
+            pending = (out, names, valid)
+        if pending is not None:
+            drain(pending)
 
 
 def multimodal_predict_and_save(
@@ -191,6 +201,21 @@ def multimodal_predict_and_save(
                   "Aleatoric Uncertainty"]
         writer.writerow(header)
 
+        # One-batch-lagged result fetch: dispatch batch k, then drain batch
+        # k-1's (device-resident) outputs — the host<->device round trip
+        # overlaps the next batch's compute instead of serialising with it.
+        pending = None
+
+        def drain(p):
+            out, names, valid = p
+            pred = np.asarray(out["predicted"])
+            pu = np.asarray(out["predictive_uncertainty"])
+            au = np.asarray(out["aleatoric_uncertainty"])
+            for i in range(valid):
+                name = (names[i] if isinstance(names, (list, tuple, np.ndarray))
+                        else names)
+                writer.writerow([name, int(pred[i]), float(pu[i]), float(au[i])])
+
         for batch_idx, (main, bathy, sss, names) in enumerate(dataloader):
             main = np.asarray(main)
             bathy = np.asarray(bathy)
@@ -210,12 +235,10 @@ def multimodal_predict_and_save(
             out = step(bundle.post, bundle.batch_stats,
                        (place(main), place(bathy), place(sss)), sub,
                        place(mask))
-            pred = np.asarray(out["predicted"])
-            pu = np.asarray(out["predictive_uncertainty"])
-            au = np.asarray(out["aleatoric_uncertainty"])
-
-            for i in range(valid):
-                name = names[i] if isinstance(names, (list, tuple, np.ndarray)) else names
-                writer.writerow([name, int(pred[i]), float(pu[i]), float(au[i])])
+            if pending is not None:
+                drain(pending)
+            pending = (out, names, valid)
+        if pending is not None:
+            drain(pending)
 
     logger.info("Completed: multimodal_predict_and_save")

@@ -40,21 +40,65 @@ def _softplus(x):
     return jnp.where(x > 20.0, x, jnp.log1p(jnp.exp(jnp.minimum(x, 20.0))))
 
 
+_LN2 = 0.6931471805599453
+
+
+def _fast_ln(f):
+    """ln(f) for f32 f in [1, 2^24] (integers exactly representable), to
+    ~2e-6 relative: exponent extracted by bit twiddling, mantissa log via
+    the atanh series ln(m) = 2z(1 + z²/3 + z⁴/5 + ...), z=(m-1)/(m+1),
+    |z| <= 1/3. ~12 VPU ops vs ~30 for the lowered builtin — the sampling
+    kernel is VPU-bound on exactly these (measured 1.2 ms/draw of
+    transcendentals vs a 0.34 ms/draw memory floor)."""
+    i = jax.lax.bitcast_convert_type(f, jnp.int32)
+    e = jax.lax.shift_right_arithmetic(i, 23) - 127
+    m = jax.lax.bitcast_convert_type(
+        jnp.bitwise_or(jnp.bitwise_and(i, jnp.int32(0x7FFFFF)),
+                       jnp.int32(0x3F800000)), jnp.float32)
+    z = (m - 1.0) / (m + 1.0)
+    z2 = z * z
+    p = 1.0 + z2 * (1.0 / 3.0 + z2 * (1.0 / 5.0 + z2 * (1.0 / 7.0
+                                                        + z2 * (1.0 / 9.0))))
+    return e.astype(jnp.float32) * _LN2 + 2.0 * z * p
+
+
+def _fast_sincos_2pi(u):
+    """(sin(2πu), cos(2πu)) for u in [0,1), ~3e-7 abs error: range-reduce to
+    [-π/4, π/4] with quadrant selects + degree-7/8 Taylor polynomials."""
+    x = (u - 0.5) * _TWO_PI  # [-π, π)
+    q = jnp.floor(x * (2.0 / 3.141592653589793) + 0.5)
+    y = x - q * (3.141592653589793 / 2.0)
+    y2 = y * y
+    s = y * (1.0 + y2 * (-1.0 / 6.0 + y2 * (1.0 / 120.0 + y2 * (-1.0 / 5040.0))))
+    c = 1.0 + y2 * (-0.5 + y2 * (1.0 / 24.0 + y2 * (-1.0 / 720.0
+                                                    + y2 * (1.0 / 40320.0))))
+    qm = jnp.bitwise_and(q.astype(jnp.int32), jnp.int32(3))
+    # sin(x) for x = y + q·π/2, then negate both for the +π of (u-0.5)·2π
+    sin_x = jnp.where(qm == 0, s, jnp.where(qm == 1, c,
+                                            jnp.where(qm == 2, -s, -c)))
+    cos_x = jnp.where(qm == 0, c, jnp.where(qm == 1, -s,
+                                            jnp.where(qm == 2, -c, s)))
+    return -sin_x, -cos_x
+
+
 def _normal_block(shape):
     """(rows, LANES) standard normals via sin/cos-paired Box–Muller: one
-    (log, sqrt) pair yields TWO normals, halving transcendental cost.
-    Random bits come back as signed int32 and Mosaic cannot cast uint32 to
-    f32 — the low 24 bits (non-negative int32) are the uniform source."""
+    (log, sqrt) pair yields TWO normals, halving transcendental cost; log
+    and sin/cos use the fast-math forms above (~1e-6, statistically
+    indistinguishable for posterior sampling). Random bits come back as
+    signed int32 and Mosaic cannot cast uint32 to f32 — the low 24 bits
+    (non-negative int32) are the uniform source."""
     half = (shape[0] // 2, shape[1])
     b1 = pltpu.prng_random_bits(half)
     b2 = pltpu.prng_random_bits(half)
     m24 = jnp.int32(0xFFFFFF)
-    # uniforms in (0, 1]: 24 random bits, +1 to avoid zero.
-    u1 = ((b1 & m24).astype(jnp.float32) + 1.0) * (1.0 / 16777216.0)
+    # u1 in (0, 1]: 24 random bits + 1;  ln(u1) = ln(b1+1) - 24·ln2
+    f1 = ((b1 & m24) + 1).astype(jnp.float32)
+    ln_u1 = _fast_ln(f1) - 24.0 * _LN2
     u2 = (b2 & m24).astype(jnp.float32) * (1.0 / 16777216.0)
-    r = jnp.sqrt(-2.0 * jnp.log(u1))
-    theta = _TWO_PI * u2
-    return jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=0)
+    r = jnp.sqrt(-2.0 * ln_u1)
+    sin_t, cos_t = _fast_sincos_2pi(u2)
+    return jnp.concatenate([r * cos_t, r * sin_t], axis=0)
 
 
 def _reparam_kernel(seed_ref, mu_ref, rho_ref, out_ref):

@@ -51,3 +51,29 @@ def test_interpret_kernel_sigma_variant_plumbing():
     # first half of each block = r*cos(0) = z0; second half = r*sin(0) = 0
     np.testing.assert_allclose(x[:, :256, :], z0, rtol=1e-4)
     np.testing.assert_allclose(x[:, 256:, :], 0.0, atol=1e-4)
+
+
+def test_fast_math_log_sincos_accuracy():
+    """The kernel's fast-math ln and sin/cos (VPU-op-count-optimised) must
+    stay within ~1e-6 of the true functions across their full input domains
+    (24-bit uniforms)."""
+    import numpy as np
+
+    from multimodal_auv_tpu.ops.sampling import _fast_ln, _fast_sincos_2pi
+
+    rng = np.random.default_rng(0)
+    b = rng.integers(0, 1 << 24, size=100000).astype(np.int64)
+    f = (b + 1).astype(np.float32)
+    got = np.asarray(_fast_ln(jnp.asarray(f)))
+    want = np.log(f.astype(np.float64))
+    assert np.abs(got - want).max() < 4e-6  # abs err; ln range [0, 16.6]
+
+    u = rng.uniform(0, 1, 100000).astype(np.float32)
+    s, c = _fast_sincos_2pi(jnp.asarray(u))
+    assert np.abs(np.asarray(s) - np.sin(2 * np.pi * u.astype(np.float64))).max() < 2e-6
+    assert np.abs(np.asarray(c) - np.cos(2 * np.pi * u.astype(np.float64))).max() < 2e-6
+    # exact quadrant edges
+    for uu, (es, ec) in {0.0: (0, 1), 0.25: (1, 0), 0.5: (0, -1),
+                         0.75: (-1, 0)}.items():
+        s, c = _fast_sincos_2pi(jnp.asarray(np.float32(uu)))
+        np.testing.assert_allclose([float(s), float(c)], [es, ec], atol=1e-6)
