@@ -48,7 +48,8 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
 
         step = make_dvp_predict_step(bundle, num_feature_samples=num_mc)
     else:
-        step = make_predict_step(bundle, num_mc, mc_chunk=mc_chunk, impl=impl,
+        step = make_predict_step(bundle, num_mc,
+                                 mc_chunk=(mc_chunk or None), impl=impl,
                                  antithetic=antithetic)
 
     s = 256
@@ -113,7 +114,8 @@ def measure_train_tpu(batch: int, num_mc: int, iters: int,
                             batch_stats=bundle.batch_stats,
                             step=jnp.zeros((), jnp.int32))
     step = make_train_step(bundle.module, bundle.meta, spec, tx,
-                           num_mc=num_mc, mc_chunk=mc_chunk, donate=True)
+                           num_mc=num_mc, mc_chunk=(mc_chunk or 1),
+                           donate=True)
     s = 256
     key = jax.random.PRNGKey(1)
     inputs = (jax.random.uniform(key, (batch, s, s, 3)),
@@ -273,7 +275,9 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--num-mc", type=int, default=20)
     p.add_argument("--iters", type=int, default=5)
-    p.add_argument("--mc-chunk", type=int, default=1)
+    p.add_argument("--mc-chunk", type=int, default=0,
+                   help="MC sampling chunk; 0 = auto (2 when it divides "
+                        "num_mc — fastest measured)")
     p.add_argument("--impl", type=str, default="auto")
     p.add_argument("--skip-baseline", action="store_true")
     p.add_argument("--profile", type=str, default=None,

@@ -29,7 +29,7 @@ logger = logging.getLogger(__name__)
 
 
 def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
-                      mc_chunk: int = 1, impl: str = "auto",
+                      mc_chunk: Optional[int] = None, impl: str = "auto",
                       sample_dtype=jnp.bfloat16, antithetic: bool = False,
                       donate: bool = False, ws_sharding=None):
     """Build a jitted predict step: (post, batch_stats, inputs, key) ->
@@ -43,6 +43,12 @@ def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
     ``ws_sharding``: optional NamedSharding for the (mc_chunk, P) weight
     stack — parallel.mesh.mc_sharding(mesh) spreads the MC ensemble over the
     'mc' mesh axis for multi-chip serving."""
+    if mc_chunk is None:
+        # chunk 2 amortises the sampling launch's (mu, sigma) reads over two
+        # draws (split-output kernel) and measured fastest on v5e; larger
+        # chunks lose to unrolled-forward program structure (BENCH_NOTES.md)
+        mc_chunk = 2 if (num_mc_samples % 2 == 0 and not antithetic
+                         and ws_sharding is None) else 1
 
     module, meta = bundle.module, bundle.meta
 
@@ -69,13 +75,16 @@ def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
 
 
 def make_packed_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
-                             mc_chunk: int = 1, impl: str = "auto",
+                             mc_chunk: Optional[int] = None, impl: str = "auto",
                              sample_dtype=jnp.bfloat16):
     """Predict step over *uint8* device batches: the host ships 1 byte/px
     (4x less transfer than the reference's float32 tensors) and the
     /255 + optical normalization runs on-chip, fused by XLA into the first
     convolutions (ops/preprocess.py)."""
     from multimodal_auv_tpu.ops.preprocess import normalize_multimodal
+
+    if mc_chunk is None:
+        mc_chunk = 2 if num_mc_samples % 2 == 0 else 1
 
     module, meta = bundle.module, bundle.meta
 
@@ -106,7 +115,7 @@ def multimodal_predict_and_save_packed(
     batch_size: int = 4,
     *,
     key: Optional[jax.Array] = None,
-    mc_chunk: int = 1,
+    mc_chunk: Optional[int] = None,
     impl: str = "auto",
 ) -> None:
     """Inference over a packed (decode-once) dataset — data/packing.py.
@@ -162,7 +171,7 @@ def multimodal_predict_and_save(
     num_mc_samples: int = 10,
     *,
     key: Optional[jax.Array] = None,
-    mc_chunk: int = 1,
+    mc_chunk: Optional[int] = None,
     impl: str = "auto",
     sss_patch_type: Optional[str] = "",
     channel_patch_type: Optional[str] = "",

@@ -32,7 +32,7 @@ def run_auv_inference(
     model_weights_path: Optional[str] = None,
     allow_random_init: bool = False,
     arch: Optional[ArchConfig] = None,
-    mc_chunk: int = 1,
+    mc_chunk: Optional[int] = None,
     seed: int = 0,
     use_packed_loader: bool = False,
     packed_cache_dir: Optional[str] = None,
