@@ -15,6 +15,7 @@ checkpoint importer covers the production path.
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
+from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -84,10 +85,22 @@ class ArchConfig:
         return cls(stage_sizes=(1, 1, 1, 1), width=8, image_size=image_size,
                    dtype=jnp.float32)
 
+    @classmethod
+    def micro(cls, image_size: int = 32):
+        """An even smaller config (2 stages) for tests that exercise engine /
+        sharding / pipeline semantics rather than the exact ResNet-50
+        topology — on this VM's single CPU core, trace+compile time scales
+        with layer count. Tests of torch-naming parity must use tiny()."""
+        return cls(stage_sizes=(1, 1), width=8, image_size=image_size,
+                   dtype=jnp.float32)
+
 
 def _bayesian_bundle(module: nn.Module, example_inputs, spec: BNNPriorSpec,
                      rng: jax.Array) -> ModelBundle:
-    variables = module.init(rng, *example_inputs, train=True)
+    # jit the flax init: eager tracing dispatches every conv/bn op one by one
+    # (~13 s for even the tiny test model on CPU); compiled init is one
+    # cached program.
+    variables = jax.jit(partial(module.init, train=True))(rng, *example_inputs)
     post, meta = bayesianize(variables["params"], spec, rng=rng)
     return ModelBundle(module=module, post=post, meta=meta,
                        batch_stats=variables.get("batch_stats", {}))

@@ -29,7 +29,7 @@ from multimodal_auv_tpu.models.model_utils import (
 from multimodal_auv_tpu.utils.tb import SummaryWriter
 
 SPEC = BNNPriorSpec()
-TINY = ArchConfig.tiny()
+TINY = ArchConfig.micro()  # engine semantics are topology-agnostic
 S = 32
 
 

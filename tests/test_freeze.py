@@ -14,7 +14,7 @@ from multimodal_auv_tpu.engine.steps import make_train_step
 from multimodal_auv_tpu.models.model_utils import ArchConfig, make_multimodal_bundle
 
 SPEC = BNNPriorSpec()
-TINY = ArchConfig.tiny()
+TINY = ArchConfig.micro()
 S = 32
 
 

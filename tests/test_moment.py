@@ -104,7 +104,7 @@ def test_dvp_predict_against_mc(tmp_path):
         make_multimodal_bundle,
     )
 
-    arch = ArchConfig(stage_sizes=(1, 1, 1, 1), width=8, image_size=32,
+    arch = ArchConfig(stage_sizes=(1, 1), width=8, image_size=32,
                       dtype=jnp.float32)
     bundle = make_multimodal_bundle(3, BNNPriorSpec(), jax.random.PRNGKey(0),
                                     arch)
@@ -143,7 +143,7 @@ def test_unimodal_dvp(tmp_path):
         make_unimodal_bundle,
     )
 
-    arch = ArchConfig(stage_sizes=(1, 1, 1, 1), width=8, image_size=32,
+    arch = ArchConfig(stage_sizes=(1, 1), width=8, image_size=32,
                       dtype=jnp.float32)
     bundle = make_unimodal_bundle(3, 4, BNNPriorSpec(), jax.random.PRNGKey(0),
                                   arch)

@@ -88,7 +88,7 @@ def test_noise_study_sweep_tiny(tmp_path):
         depth_levels=[1.0],
         train_epochs_per_step=0,
         num_mc=2, batch_size=3,
-        arch=ArchConfig.tiny(image_size=64))
+        arch=ArchConfig.micro(image_size=64))
     assert len(results) == 2
     rows = list(csv.DictReader(open(os.path.join(csv_dir,
                                                  "noise_study_depth1.0.csv"))))

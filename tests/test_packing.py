@@ -65,7 +65,7 @@ def test_packed_predict_csv(tmp_path):
     ds = InferenceFolderDataset(root)
     pack_inference_dataset(ds, str(tmp_path / "packed"))
     bundle = make_multimodal_bundle(7, BNNPriorSpec(), jax.random.PRNGKey(0),
-                                    ArchConfig.tiny(image_size=64))
+                                    ArchConfig.micro(image_size=64))
     csv_packed = str(tmp_path / "packed.csv")
     multimodal_predict_and_save_packed(bundle, str(tmp_path / "packed"),
                                        csv_packed, num_mc_samples=2,

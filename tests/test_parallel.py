@@ -12,7 +12,7 @@ from multimodal_auv_tpu.engine.steps import make_eval_step, make_train_step
 from multimodal_auv_tpu.models.model_utils import ArchConfig, make_multimodal_bundle
 from multimodal_auv_tpu.parallel import mesh as M
 
-TINY = ArchConfig.tiny()
+TINY = ArchConfig.micro()  # sharding semantics are topology-agnostic
 SPEC = BNNPriorSpec()
 
 

@@ -8,7 +8,7 @@ import pytest
 from multimodal_auv_tpu.models.model_utils import ArchConfig
 from tests.fixtures.make_tree import make_inference_tree, make_training_tree
 
-TINY = ArchConfig.tiny(image_size=64)
+TINY = ArchConfig.micro(image_size=64)  # pipeline semantics, not topology
 
 
 def test_run_auv_inference_random_init(tmp_path):

@@ -11,7 +11,7 @@ from multimodal_auv_tpu.config import BNNPriorSpec
 from multimodal_auv_tpu.models.model_utils import ArchConfig, make_multimodal_bundle
 from tests.fixtures.make_tree import make_inference_tree
 
-TINY = ArchConfig.tiny(image_size=64)
+TINY = ArchConfig.micro(image_size=64)
 
 
 def test_same_seed_identical_inference_csv(tmp_path):

@@ -77,3 +77,25 @@ def test_fast_math_log_sincos_accuracy():
                          0.75: (-1, 0)}.items():
         s, c = _fast_sincos_2pi(jnp.asarray(np.float32(uu)))
         np.testing.assert_allclose([float(s), float(c)], [es, ec], atol=1e-6)
+
+
+def test_split_sampling_matches_stacked():
+    """gaussian_shift_scale_split must produce draw-for-draw the same
+    samples as the stacked variant (same seeding) in both the jnp and
+    interpret-mode pallas paths."""
+    import numpy as np
+
+    from multimodal_auv_tpu.ops.sampling import (
+        gaussian_shift_scale,
+        gaussian_shift_scale_split,
+    )
+
+    mu = jnp.arange(2048, dtype=jnp.float32) / 2048.0
+    sg = jnp.full((2048,), 0.1, jnp.float32)
+    k = jax.random.PRNGKey(0)
+    for impl in ("jnp", "pallas_interpret"):
+        st = gaussian_shift_scale(mu, sg, k, num_draws=3, impl=impl)
+        sp = gaussian_shift_scale_split(mu, sg, k, 3, impl=impl)
+        assert len(sp) == 3
+        for i in range(3):
+            np.testing.assert_allclose(np.asarray(sp[i]), np.asarray(st[i]))
