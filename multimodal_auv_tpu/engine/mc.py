@@ -118,7 +118,20 @@ def mc_logits(
                                 mutable=["batch_stats"])
         return out, upd["batch_stats"]
 
-    if remat:
+    # Remat placement. Checkpointing only the per-draw forward (fwd) makes
+    # each chunk's sampled weight stack ws a *residual* of the outer MC scan:
+    # num_mc x P floats of HBM (5.9 GB at 20 f32 draws of the 73M posterior)
+    # — that OOMs a 16 GB chip at batch 4 x 20 MC. Instead, for small chunks
+    # the checkpoint wraps sampling + forward together, so backward
+    # regenerates the weights from the chunk key (the sampling op's custom
+    # VJP re-derives eps from the key — bit-exact, ~1.5 ms/draw): residuals
+    # per chunk are just the PRNG key. Linearisation memory inside one
+    # checkpointed chunk is mc_chunk x one forward's activations, so this
+    # applies only for mc_chunk <= 4; larger chunks keep the per-draw
+    # checkpoint (and pay the ws residuals).
+    sample_in_remat = (remat and ws_sharding is None and not split_sampling
+                       and mc_chunk <= 4)
+    if remat and not sample_in_remat:
         fwd = jax.checkpoint(fwd)
         fwd_bs = jax.checkpoint(fwd_bs)
 
@@ -130,7 +143,7 @@ def mc_logits(
                              "sequential per draw — incompatible with "
                              "mc-sharded or antithetic draws")
 
-        def chunk_step_bs(bs, k):
+        def chunk_body_bs(bs, k):
             ws = gaussian_shift_scale(mu, sigma, k, num_draws=mc_chunk,
                                       impl=impl, out_dtype=sample_dtype)
             if ws.shape[0] <= 4:
@@ -141,6 +154,9 @@ def mc_logits(
                 return bs, jnp.stack(outs)
             bs, logits = jax.lax.scan(fwd_bs, bs, ws)
             return bs, logits
+
+        chunk_step_bs = (jax.checkpoint(chunk_body_bs) if sample_in_remat
+                         else chunk_body_bs)
 
         keys = jax.random.split(key, nchunks)
         if nchunks == 1:
@@ -166,7 +182,7 @@ def mc_logits(
             logits = logits.reshape((num_mc,) + logits.shape[2:])
         return logits
 
-    def chunk_step(_, k):
+    def chunk_body(k):
         # One kernel launch samples the whole chunk: with the block-major
         # grid (ops/sampling.py) the (mu, sigma) HBM reads are amortised
         # over the chunk's draws, so larger chunks cut the bandwidth-bound
@@ -192,7 +208,13 @@ def mc_logits(
             # over the draw stack) — the chunk exists to amortise sampling,
             # not to batch the convs.
             _, logits = jax.lax.scan(lambda c, w: (c, fwd(w)), None, ws)
-        return None, logits
+        return logits
+
+    if sample_in_remat:
+        chunk_body = jax.checkpoint(chunk_body)
+
+    def chunk_step(_, k):
+        return None, chunk_body(k)
 
     keys = jax.random.split(key, nchunks)
     if nchunks == 1:
