@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from functools import partial as _partial
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -77,7 +78,17 @@ class PackMeta:
 
     def unpack(self, w_flat: jax.Array, det: Any) -> Params:
         """Rebuild the full flax param tree from a flat weight vector and the
-        deterministic leaves. Slices are static, so XLA sees pure views."""
+        deterministic leaves. Slices are static, so XLA sees pure views.
+
+        Differentiable with a custom VJP: the autodiff transpose of a slice
+        is pad-to-P + add, so the default backward materialises one full
+        P-sized pad per variational leaf (~60 x 293 MB of HBM writes per MC
+        draw — measured 26 ms/draw, a quarter of the whole train step on
+        v5e). The entries tile [0, n_real) contiguously in order, so the
+        exact transpose is a single concatenation of the leaf cotangents."""
+        return _unpack_vjp(self, w_flat, det)
+
+    def _unpack_impl(self, w_flat: jax.Array, det: Any) -> Params:
         params = _clone_structure(det)
         for e in self.entries:
             leaf = jax.lax.slice(w_flat, (e.offset,), (e.offset + e.size,))
@@ -237,6 +248,40 @@ def prune_none(tree):
                 out[k] = v
         return out
     return tree
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _unpack_vjp(meta: "PackMeta", w_flat: jax.Array, det: Any) -> Params:
+    return meta._unpack_impl(w_flat, det)
+
+
+def _unpack_fwd(meta, w_flat, det):
+    # residual: a zero-length array carrying w_flat's dtype (residuals must
+    # be arrays; the cotangent below is cast back to it).
+    return meta._unpack_impl(w_flat, det), jnp.zeros((0,), w_flat.dtype)
+
+
+def _unpack_bwd(meta, res, g):
+    """Exact transpose of unpack. The entries cover [0, n_real) contiguously
+    in order (pack_posterior assigns offsets cumulatively), so d(w_flat) is
+    the concatenation of the raveled per-entry cotangents — ONE P-sized
+    write instead of one P-sized pad+add per leaf. d(det) is the cotangent
+    tree with the entry paths removed (det's exact structure, built by the
+    same prune used in pack_posterior)."""
+    dtype = res.dtype
+    parts = [jnp.ravel(_get_path(g, e.path)).astype(dtype)
+             for e in meta.entries]
+    flat = jnp.concatenate(parts) if parts else jnp.zeros((0,), dtype)
+    pad = meta.n_padded - meta.n_real
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), dtype)])
+    g_det = _clone_structure(g)
+    for e in meta.entries:
+        _set_path(g_det, e.path, None)
+    return flat, prune_none(g_det)
+
+
+_unpack_vjp.defvjp(_unpack_fwd, _unpack_bwd)
 
 
 # ---------------------------------------------------------------------------

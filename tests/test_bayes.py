@@ -149,3 +149,30 @@ def test_unpack_gradients_flow():
     g = jax.grad(lambda mu: loss(post.replace(mu=mu)))(post.mu)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g[: meta.n_real]).sum()) > 0
+
+
+def test_unpack_custom_vjp_matches_autodiff():
+    """unpack's custom VJP (single-concatenation transpose, packing.py) must
+    equal the default autodiff transpose (per-leaf pad+add) exactly — for
+    both the flat-vector cotangent and the deterministic leaves' cotangents
+    (BatchNorm scale/bias are trained through det)."""
+    params = tiny_params()
+    post, meta = bayesianize(params, SPEC)
+
+    def loss_via(unpack_fn, w, det):
+        p = unpack_fn(w, det)
+        return sum(jnp.sum(jnp.sin(x.astype(jnp.float32)))
+                   for x in jax.tree_util.tree_leaves(p))
+
+    w, det = post.mu, post.det
+    (v1, (gw1, gd1)) = jax.value_and_grad(
+        lambda w, d: loss_via(meta.unpack, w, d), argnums=(0, 1))(w, det)
+    (v2, (gw2, gd2)) = jax.value_and_grad(
+        lambda w, d: loss_via(meta._unpack_impl, w, d), argnums=(0, 1))(w, det)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), atol=1e-6)
+    assert (jax.tree_util.tree_structure(gd1)
+            == jax.tree_util.tree_structure(det))
+    for a, b in zip(jax.tree_util.tree_leaves(gd1),
+                    jax.tree_util.tree_leaves(gd2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
