@@ -89,7 +89,7 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
 
 
 def measure_train_tpu(batch: int, num_mc: int, iters: int,
-                      mc_chunk: int = 1) -> float:
+                      mc_chunk: int = 1, bf16_weights: bool = False) -> float:
     """Training-step throughput (samples/sec/chip): full MC-ELBO forward +
     backward + Adam on the 3x-ResNet-50 multimodal BNN."""
     import jax
@@ -115,7 +115,8 @@ def measure_train_tpu(batch: int, num_mc: int, iters: int,
                             step=jnp.zeros((), jnp.int32))
     step = make_train_step(bundle.module, bundle.meta, spec, tx,
                            num_mc=num_mc, mc_chunk=(mc_chunk or 1),
-                           donate=True)
+                           donate=True,
+                           sample_dtype=jnp.bfloat16 if bf16_weights else None)
     s = 256
     key = jax.random.PRNGKey(1)
     inputs = (jax.random.uniform(key, (batch, s, s, 3)),
@@ -286,13 +287,23 @@ def main():
                    help="benchmark the training step instead of inference")
     p.add_argument("--dvp", action="store_true",
                    help="benchmark the single-pass moment-propagation mode")
+    p.add_argument("--bf16-weights", action="store_true",
+                   help="train: sample bf16 weights (f32 master posterior)")
     p.add_argument("--antithetic", action="store_true",
                    help="pair MC draws antithetically (variance reduction)")
     args = p.parse_args()
 
     if args.train:
-        value = measure_train_tpu(args.batch, args.num_mc, args.iters,
-                                  args.mc_chunk)
+        if args.profile:
+            from multimodal_auv_tpu.utils.profiling import trace
+
+            with trace(args.profile):
+                value = measure_train_tpu(args.batch, args.num_mc,
+                                          max(args.iters, 2), args.mc_chunk,
+                                          args.bf16_weights)
+        else:
+            value = measure_train_tpu(args.batch, args.num_mc, args.iters,
+                                      args.mc_chunk, args.bf16_weights)
         cache_key = f"torch_cpu_train_b{args.batch}_mc{args.num_mc}"
         baseline = None
         if os.path.exists(CACHE):

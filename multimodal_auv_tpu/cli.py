@@ -109,6 +109,9 @@ def retraining_cli(argv=None):
                         help="Informational on TPU; placement is mesh-driven.")
     parser.add_argument("--model_weights", type=str, default=None)
     parser.add_argument("--allow_random_init", action="store_true")
+    parser.add_argument("--bf16_weights", action="store_true",
+                        help="mixed-precision training: bf16 sampled "
+                             "weights, f32 master posterior")
     parser.add_argument("--freeze_backbone", action="store_true",
                         help="Train only the fusion head (foundation-model "
                              "fine-tuning with frozen ResNet trunks).")
@@ -151,6 +154,9 @@ def training_from_scratch_cli(argv=None):
     parser.add_argument("--bathy_patch_base", type=int, default=30)
     parser.add_argument("--sss_patch_base", type=int, default=30)
     parser.add_argument("--mc_chunk", type=int, default=1)
+    parser.add_argument("--bf16_weights", action="store_true",
+                        help="mixed-precision training: bf16 sampled "
+                             "weights, f32 master posterior")
     parser.add_argument("--pretrained_trunks", type=str, default=None,
                         help="torchvision-named ResNet-50 state dict (.pth): "
                              "MOPED-initialise all three feature trunks "
@@ -174,6 +180,7 @@ def training_from_scratch_cli(argv=None):
         arch=_arch(args),
         mc_chunk=args.mc_chunk,
         pretrained_trunks=args.pretrained_trunks,
+        bf16_weights=args.bf16_weights,
     )
     return 0 if ok else 1
 

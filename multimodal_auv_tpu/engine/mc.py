@@ -45,6 +45,7 @@ def mc_logits(
     remat: bool = True,
     ws_sharding=None,
     sample_dtype=None,
+    cast_posterior: bool = True,
     antithetic: bool = False,
     batch_mask=None,
     return_batch_stats: bool = False,
@@ -59,6 +60,14 @@ def mc_logits(
     ``sample_dtype``: dtype for the sampled weights. Setting bfloat16 on the
     inference path pre-casts (mu, rho) once and samples straight to bf16,
     halving the sampling HBM traffic (the op is bandwidth-bound).
+
+    ``cast_posterior``: with ``sample_dtype`` set, also pre-cast (mu, sigma)
+    to it (the inference default — halves the kernel's input reads).
+    ``False`` keeps (mu, sigma) f32 and only the kernel's *output* is cast:
+    the mixed-precision TRAINING mode — bf16 weights feed the (already
+    bf16) convs, while the sampling VJP still returns f32 (mu, rho)
+    cotangents, so cross-draw gradient accumulation in the MC scan carry
+    stays full precision (f32 master posterior).
 
     ``antithetic``: pair each draw with its mirror (w, 2mu - w) — halves the
     on-chip RNG work and is a classic MC variance-reduction scheme. OFF by
@@ -87,9 +96,9 @@ def mc_logits(
     # per step (f32 for accuracy), then cast with mu for the sampling kernel.
     mu = post.mu
     sigma = jax.nn.softplus(post.rho.astype(jnp.float32))
-    if sample_dtype is not None and mu.dtype != sample_dtype:
-        mu = mu.astype(sample_dtype)
-    if sample_dtype is not None:
+    if sample_dtype is not None and cast_posterior:
+        if mu.dtype != sample_dtype:
+            mu = mu.astype(sample_dtype)
         sigma = sigma.astype(sample_dtype)
     else:
         sigma = sigma.astype(mu.dtype)

@@ -38,7 +38,7 @@ from multimodal_auv_tpu.engine.optim import BayesTrainState
 def make_train_step(module, meta, spec: BNNPriorSpec, tx, num_mc: int, *,
                     mc_chunk: int = 1, impl: str = "auto",
                     update_batch_stats: bool = True, ws_sharding=None,
-                    donate: bool = False):
+                    donate: bool = False, sample_dtype=None):
     """Returns jitted (state, inputs, labels, key, kl_weight, batch_size_scale)
     -> (state, metrics).
 
@@ -52,7 +52,16 @@ def make_train_step(module, meta, spec: BNNPriorSpec, tx, num_mc: int, *,
     the ~1.2 GB packed posterior + Adam moments in place. OFF by default —
     a donated state must never be touched again, which would break the epoch
     loops' crash-save path (they checkpoint ``state.post`` if a step raises);
-    bench.py turns it on."""
+    bench.py turns it on.
+
+    ``sample_dtype``: dtype of the sampled weights fed to the forward.
+    ``jnp.bfloat16`` is the mixed-precision training mode — the posterior
+    (mu, rho), its gradients, the cross-draw gradient accumulation, and the
+    Adam update all stay f32 (master weights); only the per-draw sampled
+    weight vector is emitted bf16, matching the bf16 activations the convs
+    already run in. Removes the per-draw f32->bf16 weight converts and
+    halves the weight-cotangent concat traffic (BENCH_NOTES.md). ``None``
+    (default) keeps full-f32 reference semantics."""
     chained_bn = update_batch_stats and ws_sharding is None
 
     def loss_fn(post, batch_stats, inputs, labels, mask, key, kl_weight,
@@ -61,13 +70,16 @@ def make_train_step(module, meta, spec: BNNPriorSpec, tx, num_mc: int, *,
             logits, new_bs = mc_logits(
                 module, meta, post, batch_stats, inputs, key, num_mc,
                 mc_chunk=mc_chunk, impl=impl, train=True, remat=True,
-                batch_mask=mask, return_batch_stats=True)
+                batch_mask=mask, return_batch_stats=True,
+                sample_dtype=sample_dtype, cast_posterior=False)
         else:
             new_bs = None
             logits = mc_logits(module, meta, post, batch_stats, inputs, key,
                                num_mc, mc_chunk=mc_chunk, impl=impl,
                                train=True, remat=True,
-                               ws_sharding=ws_sharding, batch_mask=mask)
+                               ws_sharding=ws_sharding, batch_mask=mask,
+                               sample_dtype=sample_dtype,
+                               cast_posterior=False)
         output = jnp.mean(logits.astype(jnp.float32), axis=0)
         ce_vec = optax.softmax_cross_entropy_with_integer_labels(output, labels)
         ce = jnp.sum(ce_vec * mask) / jnp.maximum(jnp.sum(mask), 1.0)

@@ -57,6 +57,7 @@ def _train_multimodal_common(
     double_scheduler_step: bool = True,
     resume_checkpoint: Optional[str] = None,
     freeze_backbone: bool = False,
+    bf16_weights: bool = False,
 ):
     log_dir = setup_pipeline_logging()
     sum_writer = SummaryWriter(os.path.join("tensorboard_logs",
@@ -84,8 +85,10 @@ def _train_multimodal_common(
     state = BayesTrainState(post=bundle.post, opt_state=tx.init(bundle.post),
                             batch_stats=bundle.batch_stats,
                             step=jnp.zeros((), jnp.int32))
-    train_step = make_train_step(bundle.module, bundle.meta, spec, tx,
-                                 num_mc=num_mc, mc_chunk=mc_chunk)
+    train_step = make_train_step(
+        bundle.module, bundle.meta, spec, tx, num_mc=num_mc,
+        mc_chunk=mc_chunk,
+        sample_dtype=jnp.bfloat16 if bf16_weights else None)
     eval_step = make_eval_step(bundle.module, bundle.meta, spec,
                                num_mc=num_mc, mc_chunk=mc_chunk)
     scheduler = StepLR(lr, scheduler_step_size, scheduler_gamma)
@@ -127,6 +130,7 @@ def run_AUV_training_from_scratch(
     scheduler_gamma: float = 0.752,
     resume_checkpoint: Optional[str] = None,
     pretrained_trunks: Optional[str] = None,
+    bf16_weights: bool = False,
 ) -> bool:
     """Signature parity with functions.py:361-374 (``devices`` accepted for
     API compatibility; placement is mesh-driven on TPU).
@@ -169,6 +173,7 @@ def run_AUV_training_from_scratch(
             sss_patch_base=sss_patch_base_raw,
             spec=spec, mc_chunk=mc_chunk, seed=seed,
             resume_checkpoint=resume_checkpoint,
+            bf16_weights=bf16_weights,
         )
         logger.info("Full training pipeline finished.")
         return True
@@ -199,6 +204,7 @@ def run_auv_retraining(
     seed: int = 0,
     resume_checkpoint: Optional[str] = None,
     freeze_backbone: bool = False,
+    bf16_weights: bool = False,
 ) -> bool:
     """Foundation-model retraining (functions.py:84-258): pretrained HF
     weights, fc2 head swapped when num_classes != 7, then multimodal
@@ -240,6 +246,7 @@ def run_auv_retraining(
             spec=spec, mc_chunk=mc_chunk, seed=seed,
             resume_checkpoint=resume_checkpoint,
             freeze_backbone=freeze_backbone,
+            bf16_weights=bf16_weights,
         )
         return True
     except Exception as e:

@@ -345,3 +345,34 @@ def test_masked_bn_train_step_running_stats_exclude_padding():
     for a, b in zip(ref_leaves, pad_leaves):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_bf16_weight_sampling_tracks_f32_train_step():
+    """Mixed-precision training mode (sample_dtype=bfloat16 in
+    make_train_step): the f32 master posterior is updated from gradients
+    computed through bf16 sampled weights. Same key => same eps, so the two
+    modes' losses and parameter updates must agree to bf16 forward
+    tolerance, and the posterior dtype must stay f32."""
+    bundle, tx, state = _mm_state()
+    kw = dict(num_mc=2, impl="jnp")
+    step32 = make_train_step(bundle.module, bundle.meta, SPEC, tx, **kw)
+    step16 = make_train_step(bundle.module, bundle.meta, SPEC, tx,
+                             sample_dtype=jnp.bfloat16, **kw)
+    x = jnp.ones((4, S, S, 3)) * 0.3
+    s = jnp.ones((4, S, S, 1)) * 0.3
+    labels = jnp.array([0, 1, 2, 0], jnp.int32)
+    mask = jnp.ones((4,))
+    args = ((x, x, s), labels, mask, jax.random.PRNGKey(7), 0.5, 4.0)
+    s32, m32 = step32(state, *args)
+    s16, m16 = step16(state, *args)
+    assert s16.post.mu.dtype == jnp.float32
+    assert s16.post.rho.dtype == jnp.float32
+    # losses agree to bf16 relative tolerance
+    np.testing.assert_allclose(float(m16["loss"]), float(m32["loss"]),
+                               rtol=2e-2)
+    # updates point the same way and have comparable magnitude
+    d32 = np.asarray(s32.post.mu - state.post.mu, np.float32)
+    d16 = np.asarray(s16.post.mu - state.post.mu, np.float32)
+    num = float((d32 * d16).sum())
+    den = float(np.linalg.norm(d32) * np.linalg.norm(d16)) + 1e-12
+    assert num / den > 0.98, f"update cosine {num / den}"
