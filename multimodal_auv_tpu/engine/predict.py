@@ -64,11 +64,21 @@ def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
                            ws_sharding=ws_sharding, batch_mask=mask,
                            split_sampling=True)
         probs = U.softmax_probs(logits)
+        pred = U.predicted_class(probs)
+        pu = U.variance_uncertainty(probs)
+        au = U.aleatoric_uncertainty(probs, eps=1e-7)
         return {
-            "predicted": U.predicted_class(probs),
-            "predictive_uncertainty": U.variance_uncertainty(probs),
-            "aleatoric_uncertainty": U.aleatoric_uncertainty(probs, eps=1e-7),
+            "predicted": pred,
+            "predictive_uncertainty": pu,
+            "aleatoric_uncertainty": au,
             "mean_prob": U.mean_probs(probs),
+            # one fused (3, batch) f32 array so serving loops fetch the CSV
+            # columns in a SINGLE device->host transfer: on the axon tunnel
+            # each fetch costs a ~30 ms round trip, and three per batch was
+            # ~40% of end-to-end serving wall time (BENCH_NOTES.md)
+            "csv_cols": jnp.stack([pred.astype(jnp.float32),
+                                   pu.astype(jnp.float32),
+                                   au.astype(jnp.float32)]),
         }
 
     return step
@@ -97,11 +107,21 @@ def make_packed_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
                            sample_dtype=sample_dtype, batch_mask=mask,
                            split_sampling=True)
         probs = U.softmax_probs(logits)
+        pred = U.predicted_class(probs)
+        pu = U.variance_uncertainty(probs)
+        au = U.aleatoric_uncertainty(probs, eps=1e-7)
         return {
-            "predicted": U.predicted_class(probs),
-            "predictive_uncertainty": U.variance_uncertainty(probs),
-            "aleatoric_uncertainty": U.aleatoric_uncertainty(probs, eps=1e-7),
+            "predicted": pred,
+            "predictive_uncertainty": pu,
+            "aleatoric_uncertainty": au,
             "mean_prob": U.mean_probs(probs),
+            # one fused (3, batch) f32 array so serving loops fetch the CSV
+            # columns in a SINGLE device->host transfer: on the axon tunnel
+            # each fetch costs a ~30 ms round trip, and three per batch was
+            # ~40% of end-to-end serving wall time (BENCH_NOTES.md)
+            "csv_cols": jnp.stack([pred.astype(jnp.float32),
+                                   pu.astype(jnp.float32),
+                                   au.astype(jnp.float32)]),
         }
 
     return step
@@ -117,17 +137,23 @@ def multimodal_predict_and_save_packed(
     key: Optional[jax.Array] = None,
     mc_chunk: Optional[int] = None,
     impl: str = "auto",
+    step=None,
 ) -> None:
     """Inference over a packed (decode-once) dataset — data/packing.py.
-    Same CSV schema as multimodal_predict_and_save."""
+    Same CSV schema as multimodal_predict_and_save.
+
+    ``step``: optionally pass a prebuilt make_packed_predict_step result so
+    a long-lived serving process (or a bench) reuses one compiled program
+    across surveys instead of retracing per call."""
     from multimodal_auv_tpu.data.packing import PackedBatches, load_packed
 
     if key is None:
         key = jax.random.PRNGKey(0)
     packed = load_packed(packed_dir)
     batches = PackedBatches(packed, batch_size)
-    step = make_packed_predict_step(bundle, num_mc_samples,
-                                    mc_chunk=mc_chunk, impl=impl)
+    if step is None:
+        step = make_packed_predict_step(bundle, num_mc_samples,
+                                        mc_chunk=mc_chunk, impl=impl)
 
     with open(csv_path, mode="w", newline="") as csvfile:
         writer = csv.writer(csvfile)
@@ -137,13 +163,18 @@ def multimodal_predict_and_save_packed(
 
         def drain(p):
             out, names, valid = p
-            pred = np.asarray(out["predicted"])
-            pu = np.asarray(out["predictive_uncertainty"])
-            au = np.asarray(out["aleatoric_uncertainty"])
+            cols = np.asarray(out["csv_cols"])  # one D2H fetch for all rows
+            pred, pu, au = cols[0].astype(np.int64), cols[1], cols[2]
             for i in range(valid):
                 writer.writerow([names[i], int(pred[i]), float(pu[i]),
                                  float(au[i])])
 
+        # NOTE on loop shape: dispatch batch k, then drain batch k-1 — the
+        # one-batch lag hides the D2H round trip behind compute. An explicit
+        # jax.device_put prefetch of batch k+1 was tried and measured 1.5x
+        # SLOWER end-to-end on the axon tunnel (device_put blocks on the
+        # transfer there); passing host numpy straight into the jitted step
+        # is the fast path (BENCH_NOTES.md).
         for main, bathy, sss, names in batches:
             valid = main.shape[0]
             mask = np.ones((batch_size,), np.float32)
@@ -217,9 +248,8 @@ def multimodal_predict_and_save(
 
         def drain(p):
             out, names, valid = p
-            pred = np.asarray(out["predicted"])
-            pu = np.asarray(out["predictive_uncertainty"])
-            au = np.asarray(out["aleatoric_uncertainty"])
+            cols = np.asarray(out["csv_cols"])  # one D2H fetch for all rows
+            pred, pu, au = cols[0].astype(np.int64), cols[1], cols[2]
             for i in range(valid):
                 name = (names[i] if isinstance(names, (list, tuple, np.ndarray))
                         else names)
