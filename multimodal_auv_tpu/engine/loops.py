@@ -58,6 +58,22 @@ def select_patch(batch: Dict, patch_type: Optional[str], kind: str) -> np.ndarra
     return full
 
 
+def _default_fetch(m):
+    """Fetch a step's metrics to host. Prefers the ``fused`` single-array
+    bundle; shapes (known without any transfer) give the batch size."""
+    if isinstance(m, dict) and "fused" in m:
+        from multimodal_auv_tpu.engine.steps import (
+            unfuse_eval_metrics,
+            unfuse_train_metrics,
+        )
+
+        vec = np.asarray(m["fused"])
+        if "skipped" in m:  # train-step layout
+            return unfuse_train_metrics(vec)
+        return unfuse_eval_metrics(vec, m["predicted"].shape[0])
+    return jax.device_get(m)
+
+
 class _LaggedFetch:
     """One-batch-lagged device->host metrics pipeline.
 
@@ -67,22 +83,28 @@ class _LaggedFetch:
     for the previous batch. ``push`` returns the *previous* batch's metrics
     (as one bulk device_get) or None; ``flush`` drains the last one."""
 
-    def __init__(self):
+    def __init__(self, fetch=None):
+        # fetch: metrics -> host dict. The default parses the step's
+        # ``fused`` single-array bundle (ONE device->host transfer; a
+        # per-leaf device_get costs one round trip per leaf, ~30 ms each on
+        # a tunneled TPU), falling back to a bulk device_get for steps
+        # without one.
         self._pending = None
+        self._fetch = fetch or _default_fetch
 
     def push(self, item):
         prev, self._pending = self._pending, item
         if prev is None:
             return None
         idx, m = prev
-        return idx, jax.device_get(m)
+        return idx, self._fetch(m)
 
     def flush(self):
         prev, self._pending = self._pending, None
         if prev is None:
             return None
         idx, m = prev
-        return idx, jax.device_get(m)
+        return idx, self._fetch(m)
 
 
 def _pad_batch(arrays, labels, nominal: int):

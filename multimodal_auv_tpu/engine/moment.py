@@ -206,11 +206,19 @@ def make_unimodal_dvp_predict_step(bundle, num_feature_samples: int = 20):
 
         logits = jax.vmap(head_one)(jax.random.split(key, num_feature_samples))
         probs = U.softmax_probs(logits)
+        pred = U.predicted_class(probs)
+        pu = U.variance_uncertainty(probs)
+        au = U.aleatoric_uncertainty(probs, eps=1e-7)
         return {
-            "predicted": U.predicted_class(probs),
-            "predictive_uncertainty": U.variance_uncertainty(probs),
-            "aleatoric_uncertainty": U.aleatoric_uncertainty(probs, eps=1e-7),
+            "predicted": pred,
+            "predictive_uncertainty": pu,
+            "aleatoric_uncertainty": au,
             "mean_prob": U.mean_probs(probs),
+            # schema parity with engine.predict steps: serving loops fetch
+            # the CSV columns in one D2H transfer
+            "csv_cols": jnp.stack([pred.astype(jnp.float32),
+                                   pu.astype(jnp.float32),
+                                   au.astype(jnp.float32)]),
         }
 
     return step
@@ -283,11 +291,17 @@ def make_dvp_predict_step(bundle, num_feature_samples: int = 20):
         logits = jax.vmap(head_one)(
             jax.random.split(key, num_feature_samples))
         probs = U.softmax_probs(logits)
+        pred = U.predicted_class(probs)
+        pu = U.variance_uncertainty(probs)
+        au = U.aleatoric_uncertainty(probs, eps=1e-7)
         return {
-            "predicted": U.predicted_class(probs),
-            "predictive_uncertainty": U.variance_uncertainty(probs),
-            "aleatoric_uncertainty": U.aleatoric_uncertainty(probs, eps=1e-7),
+            "predicted": pred,
+            "predictive_uncertainty": pu,
+            "aleatoric_uncertainty": au,
             "mean_prob": U.mean_probs(probs),
+            "csv_cols": jnp.stack([pred.astype(jnp.float32),
+                                   pu.astype(jnp.float32),
+                                   au.astype(jnp.float32)]),
         }
 
     return step

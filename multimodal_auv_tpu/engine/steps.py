@@ -125,14 +125,25 @@ def make_train_step(module, meta, spec: BNNPriorSpec, tx, num_mc: int, *,
 
         predicted = jnp.argmax(output, axis=-1)
         correct = jnp.sum((predicted == labels) * mask)
+        loss_out = jnp.where(loss_ok, loss, jnp.nan)
+        total = jnp.sum(mask)
+        skipped = jnp.logical_not(ok)
         metrics = {
-            "loss": jnp.where(loss_ok, loss, jnp.nan),
+            "loss": loss_out,
             "cross_entropy": ce,
             "scaled_kl": scaled_kl,
             "correct": correct,
-            "total": jnp.sum(mask),
-            "skipped": jnp.logical_not(ok),
+            "total": total,
+            "skipped": skipped,
             "predicted": predicted,
+            # all scalars + the per-sample vector as ONE f32 array, so the
+            # epoch loops fetch each batch's metrics in a single D2H
+            # transfer (a per-leaf device_get costs one ~30 ms tunnel round
+            # trip per leaf); parse with unfuse_train_metrics
+            "fused": jnp.concatenate([
+                jnp.stack([loss_out, ce, scaled_kl, correct, total,
+                           skipped.astype(jnp.float32)]),
+                predicted.astype(jnp.float32)]),
         }
         new_state = BayesTrainState(post=new_post, opt_state=new_opt_state,
                                     batch_stats=new_bs, step=state.step + 1)
@@ -166,21 +177,82 @@ def make_eval_step(module, meta, spec: BNNPriorSpec, num_mc: int, *,
         kl_scaled = kl_divergence(post, spec) * kl_scale
         predicted = jnp.argmax(output_mean, axis=-1)
         ent = U.entropy_decomposition(probs, eps=1e-8)
+        mean_prob = U.mean_probs(probs)
+        correct = jnp.sum((predicted == labels) * mask)
+        total = jnp.sum(mask)
+        epi_var = U.variance_uncertainty(probs)
+        alea_mc = U.aleatoric_uncertainty(probs, eps=1e-7)
+        loss = ce + kl_scaled
         return {
-            "loss": ce + kl_scaled,
+            "loss": loss,
             "cross_entropy": ce,
             "kl_scaled": kl_scaled,
             "predicted": predicted,
-            "mean_prob": U.mean_probs(probs),
-            "correct": jnp.sum((predicted == labels) * mask),
-            "total": jnp.sum(mask),
+            "mean_prob": mean_prob,
+            "correct": correct,
+            "total": total,
             # entropy-decomposition family (multimodal eval, multimodal.py:305-310)
             "predictive_entropy": ent.predictive,
             "aleatoric_entropy": ent.aleatoric,
             "model_uncertainty": ent.model,
             # variance family (unimodal eval, unimodal.py:296-309; eps 1e-7)
-            "epistemic_variance": U.variance_uncertainty(probs),
-            "aleatoric_mc_entropy": U.aleatoric_uncertainty(probs, eps=1e-7),
+            "epistemic_variance": epi_var,
+            "aleatoric_mc_entropy": alea_mc,
+            # single-transfer bundle (see make_train_step); parse with
+            # unfuse_eval_metrics
+            "fused": jnp.concatenate([
+                jnp.stack([loss, ce, kl_scaled, correct, total]),
+                predicted.astype(jnp.float32),
+                ent.predictive.astype(jnp.float32),
+                ent.aleatoric.astype(jnp.float32),
+                ent.model.astype(jnp.float32),
+                epi_var.astype(jnp.float32),
+                alea_mc.astype(jnp.float32),
+                mean_prob.astype(jnp.float32).ravel()]),
         }
 
     return step
+
+
+def unfuse_train_metrics(vec) -> dict:
+    """Host-side parse of make_train_step's ``fused`` array (one D2H fetch
+    replaces one per metrics leaf — each costs a full round trip on a
+    tunneled TPU). Returns the same keys/py-types the epoch loops read."""
+    import numpy as np
+
+    vec = np.asarray(vec)
+    return {
+        "loss": float(vec[0]),
+        "cross_entropy": float(vec[1]),
+        "scaled_kl": float(vec[2]),
+        "correct": float(vec[3]),
+        "total": float(vec[4]),
+        "skipped": bool(vec[5]),
+        "predicted": vec[6:].astype(np.int32),
+    }
+
+
+def unfuse_eval_metrics(vec, batch_size: int) -> dict:
+    """Host-side parse of make_eval_step's ``fused`` array. Layout:
+    5 scalars, then 6 per-sample vectors of length ``batch_size``, then the
+    (batch, C) mean_prob raveled (C inferred from the remainder)."""
+    import numpy as np
+
+    vec = np.asarray(vec)
+    b = batch_size
+    names = ["predicted", "predictive_entropy", "aleatoric_entropy",
+             "model_uncertainty", "epistemic_variance", "aleatoric_mc_entropy"]
+    out = {
+        "loss": float(vec[0]),
+        "cross_entropy": float(vec[1]),
+        "kl_scaled": float(vec[2]),
+        "correct": float(vec[3]),
+        "total": float(vec[4]),
+    }
+    off = 5
+    for n in names:
+        out[n] = vec[off:off + b]
+        off += b
+    out["predicted"] = out["predicted"].astype(np.int32)
+    out["mean_prob"] = vec[off:].reshape(b, -1)
+    return out

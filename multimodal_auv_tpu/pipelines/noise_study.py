@@ -35,7 +35,7 @@ from multimodal_auv_tpu.engine.optim import (
     kl_annealing_weight,
     make_optimizer,
 )
-from multimodal_auv_tpu.engine.steps import make_eval_step, make_train_step
+from multimodal_auv_tpu.engine.steps import make_eval_step, make_train_step, unfuse_eval_metrics
 from multimodal_auv_tpu.engine.uifm import degrade_uniform, sample_turbidity
 from multimodal_auv_tpu.models.model_utils import ArchConfig, make_multimodal_bundle
 
@@ -93,8 +93,11 @@ def evaluate_with_degradation(
         inputs, labels, mask, _ = _build_inputs(
             batch, kd, turbidity_range, depth_value, modality,
             bathy_patch_type, sss_patch_type, nominal)
-        m = eval_step(state.post, state.batch_stats, inputs,
-                      jnp.asarray(labels), jnp.asarray(mask), ke, kl_scale)
+        raw = eval_step(state.post, state.batch_stats, inputs,
+                        jnp.asarray(labels), jnp.asarray(mask), ke, kl_scale)
+        # one D2H transfer for all of this batch's metrics (steps.py)
+        m = unfuse_eval_metrics(np.asarray(raw["fused"]),
+                                raw["predicted"].shape[0])
         total_loss += float(m["loss"])
         correct += float(m["correct"])
         total += float(m["total"])

@@ -62,14 +62,29 @@ def unimodal_predict_and_save(
                            num_mc_samples, mc_chunk=mc_chunk, train=True,
                            remat=False)
         probs = U.softmax_probs(logits)
-        return (U.predicted_class(probs), U.variance_uncertainty(probs),
-                U.aleatoric_uncertainty(probs, eps=1e-7))
+        # one fused (3, batch) array -> a single D2H fetch per batch
+        return jnp.stack([
+            U.predicted_class(probs).astype(jnp.float32),
+            U.variance_uncertainty(probs).astype(jnp.float32),
+            U.aleatoric_uncertainty(probs, eps=1e-7).astype(jnp.float32)])
 
     nominal = None
     with open(csv_path, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["Image Name", "Predicted Class", "Predictive Uncertainty",
                     "Aleatoric Uncertainty"])
+        pending = None
+
+        def _drain(p):
+            # one-batch lag: the D2H round trip overlaps the next batch's
+            # compute (same loop shape as engine/predict.py)
+            out, names, valid = p
+            cols = np.asarray(out)
+            for i in range(valid):
+                name = names[i] if i < len(names) else f"sample_{i}"
+                w.writerow([name, int(cols[0, i]), float(cols[1, i]),
+                            float(cols[2, i])])
+
         for batch in dataloader:
             if isinstance(batch, dict):
                 x = np.asarray(unimodal_input(batch, model_type))
@@ -85,11 +100,12 @@ def unimodal_predict_and_save(
             if valid < nominal:
                 x = np.concatenate([x, np.repeat(x[-1:], nominal - valid, 0)])
             key, sub = jax.random.split(key)
-            pred, pu, au = step(bundle.post, bundle.batch_stats,
-                                jnp.asarray(x), sub)
-            for i in range(valid):
-                name = names[i] if i < len(names) else f"sample_{i}"
-                w.writerow([name, int(pred[i]), float(pu[i]), float(au[i])])
+            out = step(bundle.post, bundle.batch_stats, jnp.asarray(x), sub)
+            if pending is not None:
+                _drain(pending)
+            pending = (out, names, valid)
+        if pending is not None:
+            _drain(pending)
     logger.info("Unimodal %s inference written to %s", model_type, csv_path)
     return csv_path
 
