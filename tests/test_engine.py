@@ -376,3 +376,42 @@ def test_bf16_weight_sampling_tracks_f32_train_step():
     num = float((d32 * d16).sum())
     den = float(np.linalg.norm(d32) * np.linalg.norm(d16)) + 1e-12
     assert num / den > 0.98, f"update cosine {num / den}"
+
+
+def test_fused_metrics_match_direct_keys():
+    """The single-transfer ``fused`` arrays (steps.py) must parse back to
+    exactly the individual metric leaves — guards layout drift between the
+    on-device stack order and the host-side unfuse offsets."""
+    from multimodal_auv_tpu.engine.steps import (
+        unfuse_eval_metrics,
+        unfuse_train_metrics,
+    )
+
+    bundle, tx, state = _mm_state()
+    tstep = make_train_step(bundle.module, bundle.meta, SPEC, tx, num_mc=2,
+                            impl="jnp")
+    estep = make_eval_step(bundle.module, bundle.meta, SPEC, num_mc=2,
+                           impl="jnp")
+    x = jnp.ones((4, S, S, 3)) * 0.2
+    s = jnp.ones((4, S, S, 1)) * 0.2
+    labels = jnp.array([0, 1, 2, 0], jnp.int32)
+    mask = jnp.array([1.0, 1.0, 1.0, 0.0])
+
+    _, m = tstep(state, (x, x, s), labels, mask, jax.random.PRNGKey(3),
+                 0.5, 4.0)
+    f = unfuse_train_metrics(np.asarray(m["fused"]))
+    for k in ("loss", "cross_entropy", "scaled_kl", "correct", "total"):
+        np.testing.assert_allclose(f[k], float(m[k]), rtol=1e-6)
+    assert f["skipped"] == bool(m["skipped"])
+    np.testing.assert_array_equal(f["predicted"], np.asarray(m["predicted"]))
+
+    me = estep(state.post, state.batch_stats, (x, x, s), labels, mask,
+               jax.random.PRNGKey(4), 0.1)
+    fe = unfuse_eval_metrics(np.asarray(me["fused"]), 4)
+    for k in ("loss", "cross_entropy", "kl_scaled", "correct", "total"):
+        np.testing.assert_allclose(fe[k], float(me[k]), rtol=1e-6)
+    for k in ("predictive_entropy", "aleatoric_entropy", "model_uncertainty",
+              "epistemic_variance", "aleatoric_mc_entropy", "mean_prob"):
+        np.testing.assert_allclose(fe[k], np.asarray(me[k], np.float32),
+                                   rtol=1e-5, atol=1e-7)
+    np.testing.assert_array_equal(fe["predicted"], np.asarray(me["predicted"]))
