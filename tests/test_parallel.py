@@ -171,3 +171,34 @@ def test_simulated_two_host_ragged_feed_matches_single_host():
     valid_rows = ga[gm > 0]
     np.testing.assert_allclose(
         valid_rows, np.concatenate([data[3:5], data[8:10]]))
+
+
+def test_sharded_train_step_bf16_weights_runs():
+    """Mixed-precision training (bf16 sampled weights, f32 master) must
+    compose with FSDP posterior sharding + batch DP on a mesh: the step
+    compiles, produces a finite loss, and leaves the posterior f32."""
+    bundle = make_multimodal_bundle(3, SPEC, jax.random.PRNGKey(0), TINY)
+    tx = make_optimizer(1e-3)
+    step = make_train_step(bundle.module, bundle.meta, SPEC, tx, num_mc=2,
+                           impl="jnp", sample_dtype=jnp.bfloat16)
+    state = BayesTrainState(post=bundle.post, opt_state=tx.init(bundle.post),
+                            batch_stats=bundle.batch_stats,
+                            step=jnp.zeros((), jnp.int32))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(8, 32, 32, 1)).astype(np.float32))
+    labels = jnp.asarray((np.arange(8) % 3).astype(np.int32))
+    mask = jnp.ones((8,))
+
+    mesh = M.make_mesh(MeshSpec(data=4, mc=2))
+    with jax.set_mesh(mesh):
+        st = M.shard_state(mesh, state, fsdp=True)
+        new_state, m = step(st, (M.shard_batch(mesh, x),
+                                 M.shard_batch(mesh, x),
+                                 M.shard_batch(mesh, s)),
+                            M.shard_batch(mesh, labels),
+                            M.shard_batch(mesh, mask),
+                            jax.random.PRNGKey(2), 0.5, 8.0)
+    assert np.isfinite(float(m["loss"]))
+    assert new_state.post.mu.dtype == jnp.float32
+    assert float(jnp.abs(new_state.post.mu - st.post.mu).max()) > 0
