@@ -341,3 +341,77 @@ def test_torchvision_named_pretrained_trunk_init(tmp_path):
     np.testing.assert_allclose(
         np.asarray(img["variables"]["params"]["conv1"]["kernel"]),
         conv1_t, rtol=1e-6)
+
+
+def test_export_import_roundtrip(tmp_path):
+    """export_posterior is the exact inverse of import_posterior: a bundle
+    exported to a bayesian-torch-named state dict and re-imported into a
+    FRESH bundle reproduces (mu, rho, det, batch_stats) — the hand-back
+    path for weights trained here (reference loaders consume the same
+    naming, Example_Inference_model.py:82-112)."""
+    from multimodal_auv_tpu.interop.torch_export import (
+        export_posterior,
+        save_torch_checkpoint,
+    )
+    from multimodal_auv_tpu.interop.torch_import import load_torch_state_dict
+
+    src = make_multimodal_bundle(5, BNNPriorSpec(), jax.random.PRNGKey(3),
+                                 TINY)
+    # make the posterior non-trivial so equality is meaningful
+    src.post = src.post.replace(
+        mu=src.post.mu + 0.01 * jnp.arange(src.post.mu.shape[0],
+                                           dtype=jnp.float32) % 7,
+        rho=src.post.rho - 0.5)
+
+    path = str(tmp_path / "export.pth")
+    stats = save_torch_checkpoint(src, path)
+    assert stats["exported"] > 100
+
+    dst = make_multimodal_bundle(5, BNNPriorSpec(), jax.random.PRNGKey(9),
+                                 TINY)
+    sd = load_torch_state_dict(path)
+    post, bs, istats = import_posterior(dst, sd)
+    assert istats["dropped"] == 0, istats
+
+    np.testing.assert_allclose(np.asarray(post.mu[:src.meta.n_real]),
+                               np.asarray(src.post.mu[:src.meta.n_real]),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(post.rho[:src.meta.n_real]),
+                               np.asarray(src.post.rho[:src.meta.n_real]),
+                               atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(post.det),
+                    jax.tree_util.tree_leaves(src.post.det)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(bs),
+                    jax.tree_util.tree_leaves(src.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_export_matches_torch_twin_naming():
+    """Exported keys for a twin-imported bundle must name the same tensors
+    (and values) as the torch twin's bayesianized state dict — i.e. the
+    export really is the reference's on-disk format."""
+    from tests.torch_twin import TorchMultiModal, bayesianize_state_dict
+    from multimodal_auv_tpu.interop.torch_export import export_posterior
+
+    torch.manual_seed(1)
+    twin = TorchMultiModal(num_classes=7, width=TINY.width,
+                           stage_sizes=tuple(TINY.stage_sizes))
+    sd, _ = bayesianize_state_dict(twin, delta=0.05)
+
+    bundle = make_multimodal_bundle(7, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                    TINY)
+    post, bs, stats = import_posterior(bundle, sd)
+    assert stats["dropped"] == 0
+    bundle.post, bundle.batch_stats = post, bs
+
+    out = export_posterior(bundle)
+    sd_np = {k: np.asarray(v) for k, v in sd.items()}
+    missing = [k for k in sd_np
+               if k not in out and "num_batches_tracked" not in k
+               and not k.startswith("prior_")]
+    assert not missing, f"export misses reference keys: {missing[:5]}"
+    for k, v in sd_np.items():
+        if k in out and out[k].shape == v.shape and out[k].ndim > 0:
+            np.testing.assert_allclose(out[k], v, atol=1e-6,
+                                       err_msg=f"mismatch at {k}")
