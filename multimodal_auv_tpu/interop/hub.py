@@ -41,3 +41,19 @@ def fetch_pretrained_weights(
             "Could not fetch pretrained weights from the HuggingFace Hub "
             "(%s). Offline environment? Pass a local weights path.", e)
         return None
+
+
+def export_for_hub(bundle, out_dir: str,
+                   subfolder: str = DEFAULT_SUBFOLDER) -> str:
+    """Write the exact repo layout the reference downloads
+    (``{subfolder}/pytorch_model.bin``, functions.py:60-63) from a trained
+    bundle, ready for ``huggingface_hub.upload_folder``. Returns the
+    checkpoint path. The file round-trips through both this package's
+    importer and the reference's own loaders (interop/torch_export.py)."""
+    from multimodal_auv_tpu.interop.torch_export import save_torch_checkpoint
+
+    target = os.path.join(out_dir, subfolder)
+    os.makedirs(target, exist_ok=True)
+    path = os.path.join(target, "pytorch_model.bin")
+    save_torch_checkpoint(bundle, path)
+    return path

@@ -415,3 +415,22 @@ def test_export_matches_torch_twin_naming():
         if k in out and out[k].shape == v.shape and out[k].ndim > 0:
             np.testing.assert_allclose(out[k], v, atol=1e-6,
                                        err_msg=f"mismatch at {k}")
+
+
+def test_export_for_hub_layout(tmp_path):
+    """export_for_hub writes the exact path the reference downloads:
+    <repo>/multimodal-bnn/pytorch_model.bin (functions.py:60-63), loadable
+    through the normal fetch -> load path."""
+    from multimodal_auv_tpu.interop.hub import (
+        export_for_hub,
+        fetch_pretrained_weights,
+    )
+    from multimodal_auv_tpu.interop.torch_import import load_torch_state_dict
+
+    bundle = make_multimodal_bundle(7, BNNPriorSpec(), jax.random.PRNGKey(5),
+                                    TINY)
+    path = export_for_hub(bundle, str(tmp_path))
+    assert path.endswith("multimodal-bnn/pytorch_model.bin")
+    assert fetch_pretrained_weights(local_path=path) == path
+    sd = load_torch_state_dict(path)
+    assert any(k.endswith("mu_kernel") for k in sd)
