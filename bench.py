@@ -165,6 +165,106 @@ def measure_serve_tpu(batch: int, num_mc: int, n_samples: int = 96) -> float:
     return n_samples / dt
 
 
+def measure_train_e2e_tpu(batch: int, num_mc: int,
+                          n_samples: int = 72,
+                          packed: bool = False) -> float:
+    """END-TO-END training-epoch throughput: real on-disk survey tree ->
+    folder-scanning dataset -> threaded prefetch loader -> jitted train
+    step with lagged single-transfer metric fetches -> CSV/TB ledgers —
+    the full `engine.loops.train_multimodal_model` epoch, i.e. what a
+    training run actually sustains (vs `--train`'s bare step)."""
+    import shutil
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+
+    from fixtures.make_tree import make_training_tree
+    from multimodal_auv_tpu.config import BNNPriorSpec
+    from multimodal_auv_tpu.data.loaders import prepare_datasets_and_loaders
+    from multimodal_auv_tpu.engine.loops import train_multimodal_model
+    from multimodal_auv_tpu.engine.optim import BayesTrainState, make_optimizer
+    from multimodal_auv_tpu.engine.steps import make_train_step
+    from multimodal_auv_tpu.models.model_utils import (
+        ArchConfig,
+        make_multimodal_bundle,
+    )
+    from multimodal_auv_tpu.utils.tb import SummaryWriter
+    from PIL import Image
+
+    tree = f"/tmp/auv_train_tree_{n_samples}"
+    if not os.path.isdir(tree):
+        make_training_tree(tree, n_samples=n_samples)
+        # overwrite the 32^2 fixture images with realistic 512^2/256^2 ones
+        rng = np.random.default_rng(0)
+        for d in sorted(os.listdir(tree)):
+            full = os.path.join(tree, d)
+            if not os.path.isdir(full):
+                continue
+            for f in os.listdir(full):
+                p = os.path.join(full, f)
+                if f.endswith(".jpg"):
+                    Image.fromarray(rng.integers(0, 255, (512, 512, 3),
+                                                 np.uint8)).save(p)
+                elif "SSS" in f and f.endswith(".png"):
+                    Image.fromarray(rng.integers(0, 255, (256, 256),
+                                                 np.uint8)).save(p)
+                elif f.endswith(".png") or f.endswith(".jpeg"):
+                    img = Image.open(p)
+                    arr = rng.integers(0, 255, (256, 256) +
+                                       ((3,) if img.mode == "RGB" else ()),
+                                       np.uint8)
+                    Image.fromarray(arr).save(p)
+
+    if packed:
+        from multimodal_auv_tpu.data.loaders import (
+            prepare_packed_train_loaders,
+        )
+
+        (train_loader, _, num_classes, _) = prepare_packed_train_loaders(
+            tree, batch, bathy_patch_type="patch_10m_bathy",
+            sss_patch_type="patch_10m_sss")
+    else:
+        (_, _, train_loader, _, num_classes, _) = prepare_datasets_and_loaders(
+            tree, batch_size_multimodal=batch)
+
+    spec = BNNPriorSpec()
+    bundle = make_multimodal_bundle(num_classes, spec, jax.random.PRNGKey(0),
+                                    ArchConfig())
+    tx = make_optimizer(1e-5, 1e-5)
+    state = BayesTrainState(post=bundle.post, opt_state=tx.init(bundle.post),
+                            batch_stats=bundle.batch_stats,
+                            step=jnp.zeros((), jnp.int32))
+    step = make_train_step(bundle.module, bundle.meta, spec, tx,
+                           num_mc=num_mc, packed_inputs=packed)
+    csv_dir = os.path.join(tree, "csvs")
+    shutil.rmtree(csv_dir, ignore_errors=True)
+    os.makedirs(csv_dir, exist_ok=True)
+    sw = SummaryWriter(os.path.join(csv_dir, "tb"))
+    kw = dict(total_num_epochs=5, csv_path=os.path.join(csv_dir, "t.csv"),
+              model_type="multimodal", sum_writer=sw, lr=1e-5,
+              bathy_patch_type="patch_10m_bathy", sss_patch_type="patch_10m_sss")
+    # epoch 0 compiles + warms the loader cache
+    state, loss, _ = train_multimodal_model(step, state, train_loader, 0,
+                                            key=jax.random.PRNGKey(1), **kw)
+    assert np.isfinite(loss), "warmup epoch diverged"
+    t0 = time.perf_counter()
+    state, loss, _ = train_multimodal_model(step, state, train_loader, 1,
+                                            key=jax.random.PRNGKey(2), **kw)
+    dt = time.perf_counter() - t0
+    n_seen = (len(train_loader.indices) if packed
+              else len(train_loader.dataset))
+    print(f"# epoch: {n_seen} samples in {dt:.2f}s, final loss finite: "
+          f"{np.isfinite(loss)}", file=sys.stderr)
+    return n_seen / dt
+
+
 def measure_train_tpu(batch: int, num_mc: int, iters: int,
                       mc_chunk: int = 1, bf16_weights: bool = False) -> float:
     """Training-step throughput (samples/sec/chip): full MC-ELBO forward +
@@ -370,6 +470,11 @@ def main():
                    help="end-to-end serving bench: disk tree -> pack -> "
                         "predict -> CSV")
     p.add_argument("--serve-samples", type=int, default=96)
+    p.add_argument("--train-e2e", action="store_true",
+                   help="end-to-end training-epoch bench: disk tree -> "
+                        "loader -> epoch loop -> ledgers")
+    p.add_argument("--packed", action="store_true",
+                   help="train-e2e: use the decode-once packed loader")
     p.add_argument("--antithetic", action="store_true",
                    help="pair MC draws antithetically (variance reduction)")
     args = p.parse_args()
@@ -381,6 +486,17 @@ def main():
             "metric": "multimodal_bnn_serving_e2e_patches_per_sec",
             "value": round(value, 3),
             "unit": "patches/sec/chip",
+            "vs_baseline": None,
+        }))
+        return
+
+    if args.train_e2e:
+        value = measure_train_e2e_tpu(args.batch, args.num_mc,
+                                      packed=args.packed)
+        print(json.dumps({
+            "metric": "multimodal_bnn_train_epoch_e2e_samples_per_sec",
+            "value": round(value, 3),
+            "unit": "samples/sec/chip",
             "vs_baseline": None,
         }))
         return

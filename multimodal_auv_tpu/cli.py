@@ -112,6 +112,9 @@ def retraining_cli(argv=None):
     parser.add_argument("--bf16_weights", action="store_true",
                         help="mixed-precision training: bf16 sampled "
                              "weights, f32 master posterior")
+    parser.add_argument("--packed_loader", action="store_true",
+                        help="decode-once training: uint8 memmap batches, "
+                             "normalize on-chip")
     parser.add_argument("--freeze_backbone", action="store_true",
                         help="Train only the fusion head (foundation-model "
                              "fine-tuning with frozen ResNet trunks).")
@@ -134,6 +137,8 @@ def retraining_cli(argv=None):
         model_weights_path=args.model_weights,
         allow_random_init=args.allow_random_init,
         freeze_backbone=args.freeze_backbone,
+        bf16_weights=args.bf16_weights,
+        use_packed_loader=args.packed_loader,
         arch=_arch(args),
         mc_chunk=args.mc_chunk,
     )
@@ -157,6 +162,9 @@ def training_from_scratch_cli(argv=None):
     parser.add_argument("--bf16_weights", action="store_true",
                         help="mixed-precision training: bf16 sampled "
                              "weights, f32 master posterior")
+    parser.add_argument("--packed_loader", action="store_true",
+                        help="decode-once training: uint8 memmap batches, "
+                             "normalize on-chip")
     parser.add_argument("--pretrained_trunks", type=str, default=None,
                         help="torchvision-named ResNet-50 state dict (.pth): "
                              "MOPED-initialise all three feature trunks "
@@ -181,6 +189,7 @@ def training_from_scratch_cli(argv=None):
         mc_chunk=args.mc_chunk,
         pretrained_trunks=args.pretrained_trunks,
         bf16_weights=args.bf16_weights,
+        use_packed_loader=args.packed_loader,
     )
     return 0 if ok else 1
 

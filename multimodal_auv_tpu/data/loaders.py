@@ -185,3 +185,44 @@ def prepare_inference_dataloader(data_directory: str, batch_size: int = 4,
     """Single-dir variant (Examples/Example_Inference_model.py:18-41)."""
     return prepare_inference_datasets_and_loaders([data_directory], batch_size,
                                                   num_workers)
+
+
+def prepare_packed_train_loaders(
+    root_dir: str,
+    batch_size: int,
+    bathy_patch_type: Optional[str] = None,
+    sss_patch_type: Optional[str] = None,
+    cache_dir: Optional[str] = None,
+    seed: int = 0,
+):
+    """Decode-once training loaders: pack the labeled dataset for a fixed
+    patch-type pair (data/packing.py) and serve uint8 dict batches from
+    memmaps with the SAME 80/20 split (test_size=0.2, random_state=42) as
+    `prepare_datasets_and_loaders`. Pair with steps built with
+    ``packed_inputs=True``. Returns (train_batches, test_batches,
+    num_classes, dataset)."""
+    from multimodal_auv_tpu.data.packing import (
+        PackedTrainBatches,
+        load_packed_training,
+        pack_training_dataset,
+    )
+
+    dataset = MultimodalFolderDataset(root_dir)
+    cache = cache_dir or os.path.join(root_dir, ".packed_train_cache")
+    out = os.path.join(
+        cache, f"{bathy_patch_type or 'full'}_{sss_patch_type or 'full'}")
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        pack_training_dataset(dataset, out, bathy_patch_type, sss_patch_type)
+    packed = load_packed_training(out)
+    if packed["main"].shape[0] != len(dataset):
+        logger.warning("Stale packed cache %s (size mismatch); repacking", out)
+        packed = pack_training_dataset(dataset, out, bathy_patch_type,
+                                       sss_patch_type)
+
+    idx = list(range(len(dataset)))
+    train_idx, test_idx = train_test_split(idx, test_size=0.2,
+                                           random_state=42)
+    train = PackedTrainBatches(packed, batch_size, train_idx, shuffle=True,
+                               seed=seed)
+    test = PackedTrainBatches(packed, batch_size, test_idx)
+    return train, test, dataset.num_classes, dataset

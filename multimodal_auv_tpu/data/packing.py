@@ -108,3 +108,123 @@ class PackedBatches:
             sss = np.asarray(self.packed["sss"][sl])
             names = self.packed["names"][sl]
             yield main, bathy, sss, list(names)
+
+
+_PATCH_SIZE_RE = None
+
+
+def _select_patch_path(item: Dict, patch_type: Optional[str],
+                       kind: str) -> str:
+    """Path-level twin of engine.loops.select_patch (multimodal.py:93-102):
+    resolve the patch file for a patch type, falling back to the
+    full-resolution image (``patch_30_*`` aliases the full tensor)."""
+    import re
+
+    global _PATCH_SIZE_RE
+    if _PATCH_SIZE_RE is None:
+        _PATCH_SIZE_RE = re.compile(r"patch_(\d+m?)_")
+    full = item["bathy_image"] if kind == "bathy" else item["sss_image"]
+    patches = item.get(f"patch_{kind}", {}) or {}
+    if not patch_type or patch_type == f"patch_30_{kind}":
+        return full
+    m = _PATCH_SIZE_RE.match(patch_type)
+    if m and m.group(1) in patches:
+        return patches[m.group(1)]
+    return full
+
+
+def pack_training_dataset(dataset, out_dir: str,
+                          bathy_patch_type: Optional[str] = None,
+                          sss_patch_type: Optional[str] = None,
+                          size: int = IMAGE_SIZE,
+                          workers: Optional[int] = None) -> Dict[str, object]:
+    """Pack a MultimodalFolderDataset for a FIXED patch-type pair into
+    uint8 memmaps + int labels: decode-once training epochs. The patch
+    selection the train loop would do per batch (select_patch) is resolved
+    to paths here, so epochs 2+ of training cost memory bandwidth instead
+    of a JPEG decode per sample per epoch (the reference pays the decode
+    every epoch, SURVEY §3.1)."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(dataset)
+    main = np.lib.format.open_memmap(
+        os.path.join(out_dir, "main.npy"), mode="w+", dtype=np.uint8,
+        shape=(n, size, size, 3))
+    bathy = np.lib.format.open_memmap(
+        os.path.join(out_dir, "bathy.npy"), mode="w+", dtype=np.uint8,
+        shape=(n, size, size, 3))
+    sss = np.lib.format.open_memmap(
+        os.path.join(out_dir, "sss.npy"), mode="w+", dtype=np.uint8,
+        shape=(n, size, size, 1))
+
+    items = [dataset.data_paths[i] for i in range(n)]
+
+    def work(i):
+        it = items[i]
+        main[i] = _decode_u8(it["main_image"], "RGB", size)
+        bathy[i] = _decode_u8(
+            _select_patch_path(it, bathy_patch_type, "bathy"), "RGB", size)
+        sss[i] = _decode_u8(
+            _select_patch_path(it, sss_patch_type, "sss"), "L", size)
+
+    workers = workers or max((os.cpu_count() or 2) - 2, 1)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(work, range(n)))
+
+    labels = np.asarray(dataset.labels, np.int32)
+    np.save(os.path.join(out_dir, "labels.npy"), labels)
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"bathy_patch_type": bathy_patch_type,
+                   "sss_patch_type": sss_patch_type,
+                   "classes": [str(c) for c in dataset.label_encoder.classes_]},
+                  f)
+    main.flush(); bathy.flush(); sss.flush()
+    logger.info("Packed %d training samples into %s", n, out_dir)
+    return load_packed_training(out_dir)
+
+
+def load_packed_training(out_dir: str) -> Dict[str, object]:
+    return {
+        "main": np.load(os.path.join(out_dir, "main.npy"), mmap_mode="r"),
+        "bathy": np.load(os.path.join(out_dir, "bathy.npy"), mmap_mode="r"),
+        "sss": np.load(os.path.join(out_dir, "sss.npy"), mmap_mode="r"),
+        "labels": np.load(os.path.join(out_dir, "labels.npy")),
+        "meta": json.load(open(os.path.join(out_dir, "meta.json"))),
+    }
+
+
+class PackedTrainBatches:
+    """Epoch iterator over a packed training set (optionally a subset of
+    indices, for the 80/20 split). Yields dict batches in the epoch loops'
+    schema — with UINT8 image arrays, for steps built with
+    ``packed_inputs=True`` (normalization happens on-chip). Reshuffles
+    each epoch when ``shuffle`` (torch DataLoader(shuffle=True) parity)."""
+
+    def __init__(self, packed: Dict[str, object], batch_size: int,
+                 indices=None, shuffle: bool = False, seed: int = 0):
+        self.packed = packed
+        self.batch_size = batch_size
+        self.indices = np.asarray(
+            indices if indices is not None
+            else np.arange(packed["main"].shape[0]))
+        self.shuffle = shuffle
+        self._epoch = 0
+        self._seed = seed
+
+    def __len__(self):
+        return -(-len(self.indices) // self.batch_size)
+
+    def __iter__(self):
+        idx = self.indices
+        if self.shuffle:
+            rng = np.random.default_rng(self._seed + self._epoch)
+            idx = rng.permutation(idx)
+            self._epoch += 1
+        bs = self.batch_size
+        for i in range(0, len(idx), bs):
+            take = np.sort(idx[i:i + bs])
+            yield {
+                "main_image": np.asarray(self.packed["main"][take]),
+                "bathy_image": np.asarray(self.packed["bathy"][take]),
+                "sss_image": np.asarray(self.packed["sss"][take]),
+                "label": np.asarray(self.packed["labels"][take], np.int32),
+            }

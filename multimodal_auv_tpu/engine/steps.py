@@ -38,7 +38,8 @@ from multimodal_auv_tpu.engine.optim import BayesTrainState
 def make_train_step(module, meta, spec: BNNPriorSpec, tx, num_mc: int, *,
                     mc_chunk: int = 1, impl: str = "auto",
                     update_batch_stats: bool = True, ws_sharding=None,
-                    donate: bool = False, sample_dtype=None):
+                    donate: bool = False, sample_dtype=None,
+                    packed_inputs: bool = False):
     """Returns jitted (state, inputs, labels, key, kl_weight, batch_size_scale)
     -> (state, metrics).
 
@@ -66,6 +67,10 @@ def make_train_step(module, meta, spec: BNNPriorSpec, tx, num_mc: int, *,
 
     def loss_fn(post, batch_stats, inputs, labels, mask, key, kl_weight,
                 bs_scale):
+        if packed_inputs:
+            from multimodal_auv_tpu.ops.preprocess import normalize_multimodal
+
+            inputs = normalize_multimodal(*inputs)
         if chained_bn:
             logits, new_bs = mc_logits(
                 module, meta, post, batch_stats, inputs, key, num_mc,
@@ -117,8 +122,15 @@ def make_train_step(module, meta, spec: BNNPriorSpec, tx, num_mc: int, *,
         if chained_bn:
             new_bs = chained_bs
         elif update_batch_stats:
+            ref_inputs = inputs
+            if packed_inputs:
+                from multimodal_auv_tpu.ops.preprocess import (
+                    normalize_multimodal,
+                )
+
+                ref_inputs = normalize_multimodal(*inputs)
             new_bs = refresh_batch_stats(module, meta, state.post,
-                                         state.batch_stats, inputs,
+                                         state.batch_stats, ref_inputs,
                                          batch_mask=mask)
         else:
             new_bs = state.batch_stats
@@ -153,7 +165,8 @@ def make_train_step(module, meta, spec: BNNPriorSpec, tx, num_mc: int, *,
 
 
 def make_eval_step(module, meta, spec: BNNPriorSpec, num_mc: int, *,
-                   mc_chunk: int = 1, impl: str = "auto", ws_sharding=None):
+                   mc_chunk: int = 1, impl: str = "auto", ws_sharding=None,
+                   packed_inputs: bool = False):
     """Returns jitted (post, batch_stats, inputs, labels, key, kl_scale)
     -> metrics with both uncertainty families.
 
@@ -165,6 +178,10 @@ def make_eval_step(module, meta, spec: BNNPriorSpec, num_mc: int, *,
 
     @jax.jit
     def step(post, batch_stats, inputs, labels, mask, key, kl_scale):
+        if packed_inputs:
+            from multimodal_auv_tpu.ops.preprocess import normalize_multimodal
+
+            inputs = normalize_multimodal(*inputs)
         logits = mc_logits(module, meta, post, batch_stats, inputs, key,
                            num_mc, mc_chunk=mc_chunk, impl=impl, train=True,
                            remat=False, ws_sharding=ws_sharding,

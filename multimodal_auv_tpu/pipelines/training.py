@@ -58,14 +58,28 @@ def _train_multimodal_common(
     resume_checkpoint: Optional[str] = None,
     freeze_backbone: bool = False,
     bf16_weights: bool = False,
+    use_packed_loader: bool = False,
 ):
     log_dir = setup_pipeline_logging()
     sum_writer = SummaryWriter(os.path.join("tensorboard_logs",
                                             os.path.basename(log_dir)))
 
-    (_, _, train_loader, test_loader, actual_num_classes, dataset) = (
-        prepare_datasets_and_loaders(root_dir,
-                                     batch_size_multimodal=batch_size_multimodal))
+    if use_packed_loader:
+        # decode-once epochs: uint8 memmap batches, normalize on-chip
+        from multimodal_auv_tpu.data.loaders import (
+            prepare_packed_train_loaders,
+        )
+
+        (train_loader, test_loader, actual_num_classes, dataset) = (
+            prepare_packed_train_loaders(
+                root_dir, batch_size_multimodal,
+                bathy_patch_type=_patch_type(bathy_patch_base, "bathy"),
+                sss_patch_type=_patch_type(sss_patch_base, "sss"),
+                seed=seed))
+    else:
+        (_, _, train_loader, test_loader, actual_num_classes, dataset) = (
+            prepare_datasets_and_loaders(root_dir,
+                                         batch_size_multimodal=batch_size_multimodal))
     if num_classes in (None, 0):
         num_classes = actual_num_classes
     elif num_classes != actual_num_classes:
@@ -88,9 +102,11 @@ def _train_multimodal_common(
     train_step = make_train_step(
         bundle.module, bundle.meta, spec, tx, num_mc=num_mc,
         mc_chunk=mc_chunk,
-        sample_dtype=jnp.bfloat16 if bf16_weights else None)
+        sample_dtype=jnp.bfloat16 if bf16_weights else None,
+        packed_inputs=use_packed_loader)
     eval_step = make_eval_step(bundle.module, bundle.meta, spec,
-                               num_mc=num_mc, mc_chunk=mc_chunk)
+                               num_mc=num_mc, mc_chunk=mc_chunk,
+                               packed_inputs=use_packed_loader)
     scheduler = StepLR(lr, scheduler_step_size, scheduler_gamma)
 
     class_names = list(dataset.label_encoder.classes_)
@@ -131,6 +147,7 @@ def run_AUV_training_from_scratch(
     resume_checkpoint: Optional[str] = None,
     pretrained_trunks: Optional[str] = None,
     bf16_weights: bool = False,
+    use_packed_loader: bool = False,
 ) -> bool:
     """Signature parity with functions.py:361-374 (``devices`` accepted for
     API compatibility; placement is mesh-driven on TPU).
@@ -174,6 +191,7 @@ def run_AUV_training_from_scratch(
             spec=spec, mc_chunk=mc_chunk, seed=seed,
             resume_checkpoint=resume_checkpoint,
             bf16_weights=bf16_weights,
+            use_packed_loader=use_packed_loader,
         )
         logger.info("Full training pipeline finished.")
         return True
@@ -205,6 +223,7 @@ def run_auv_retraining(
     resume_checkpoint: Optional[str] = None,
     freeze_backbone: bool = False,
     bf16_weights: bool = False,
+    use_packed_loader: bool = False,
 ) -> bool:
     """Foundation-model retraining (functions.py:84-258): pretrained HF
     weights, fc2 head swapped when num_classes != 7, then multimodal
@@ -247,6 +266,7 @@ def run_auv_retraining(
             resume_checkpoint=resume_checkpoint,
             freeze_backbone=freeze_backbone,
             bf16_weights=bf16_weights,
+            use_packed_loader=use_packed_loader,
         )
         return True
     except Exception as e:

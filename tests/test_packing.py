@@ -79,3 +79,80 @@ def test_packed_predict_csv(tmp_path):
     csv_reg = str(tmp_path / "reg.csv")
     multimodal_predict_and_save(bundle, loader, csv_reg, num_mc_samples=2)
     assert len(open(csv_reg).read().strip().split("\n")) == 5
+
+
+def test_packed_training_matches_loader_tensors(tmp_path):
+    """The decode-once training pack must reproduce the folder dataset's
+    tensors to within one uint8 quantum (the pack stores the resized
+    pixels as uint8, so atol = 1/255 + eps), and patch selection must match
+    select_patch's path resolution."""
+    import jax
+    import numpy as np
+
+    from tests.fixtures.make_tree import make_training_tree
+    from multimodal_auv_tpu.data.datasets import MultimodalFolderDataset
+    from multimodal_auv_tpu.data.packing import (
+        load_packed_training,
+        pack_training_dataset,
+    )
+    from multimodal_auv_tpu.engine.loops import select_patch
+    from multimodal_auv_tpu.ops.preprocess import normalize_multimodal
+
+    root = make_training_tree(str(tmp_path / "data"), n_samples=4)
+    ds = MultimodalFolderDataset(root)
+    out = str(tmp_path / "pack")
+    pack_training_dataset(ds, out, bathy_patch_type="patch_10m_bathy",
+                          sss_patch_type="patch_10m_sss")
+    packed = load_packed_training(out)
+    assert packed["main"].shape[0] == len(ds)
+
+    for i in range(len(ds)):
+        sample = ds[i]
+        m, b, s = normalize_multimodal(
+            jax.numpy.asarray(packed["main"][i][None]),
+            jax.numpy.asarray(packed["bathy"][i][None]),
+            jax.numpy.asarray(packed["sss"][i][None]))
+        np.testing.assert_allclose(np.asarray(m)[0],
+                                   np.asarray(sample["main_image"]),
+                                   atol=4.1e-3)
+        np.testing.assert_allclose(
+            np.asarray(b)[0],
+            np.asarray(select_patch(sample, "patch_10m_bathy", "bathy")),
+            atol=4.1e-3)
+        np.testing.assert_allclose(
+            np.asarray(s)[0],
+            np.asarray(select_patch(sample, "patch_10m_sss", "sss")),
+            atol=4.1e-3)
+        assert int(packed["labels"][i]) == int(sample["label"])
+
+
+def test_packed_training_pipeline_end_to_end(tmp_path, monkeypatch):
+    """run_AUV_training_from_scratch(use_packed_loader=True): full epochs
+    from uint8 memmap batches with on-chip normalization."""
+    from multimodal_auv_tpu.config import BNNPriorSpec
+    from multimodal_auv_tpu.models.model_utils import ArchConfig
+    from multimodal_auv_tpu.pipelines.training import (
+        run_AUV_training_from_scratch,
+    )
+    from tests.fixtures.make_tree import make_training_tree
+
+    monkeypatch.chdir(tmp_path)
+    root = make_training_tree(str(tmp_path / "data"), n_samples=6)
+    ok = run_AUV_training_from_scratch(
+        const_bnn_prior_parameters=BNNPriorSpec().to_dict(),
+        lr_multimodal_model=1e-3,
+        num_epochs_multimodal=1,
+        num_mc=2,
+        bathy_patch_base_raw=10,
+        sss_patch_base_raw=10,
+        batch_size_multimodal=3,
+        root_dir=root,
+        num_classes=0,
+        arch=ArchConfig.micro(image_size=64),
+        use_packed_loader=True,
+    )
+    assert ok is True
+    csvs = os.path.join(root, "csvs")
+    assert os.path.exists(os.path.join(csvs, "multimodal_train_results.csv"))
+    assert os.path.exists(os.path.join(csvs, "multimodal_eval_results.csv"))
+    assert os.path.exists(os.path.join(root, ".packed_train_cache"))
