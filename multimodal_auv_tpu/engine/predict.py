@@ -138,13 +138,18 @@ def multimodal_predict_and_save_packed(
     mc_chunk: Optional[int] = None,
     impl: str = "auto",
     step=None,
+    mesh=None,
 ) -> None:
     """Inference over a packed (decode-once) dataset — data/packing.py.
     Same CSV schema as multimodal_predict_and_save.
 
     ``step``: optionally pass a prebuilt make_packed_predict_step result so
     a long-lived serving process (or a bench) reuses one compiled program
-    across surveys instead of retracing per call."""
+    across surveys instead of retracing per call.
+
+    ``mesh``: optional jax.sharding.Mesh — uint8 batches sharded over the
+    'data' axis, posterior replicated (multi-chip serving; batch_size must
+    be divisible by the data-axis size)."""
     from multimodal_auv_tpu.data.packing import PackedBatches, load_packed
 
     if key is None:
@@ -154,6 +159,18 @@ def multimodal_predict_and_save_packed(
     if step is None:
         step = make_packed_predict_step(bundle, num_mc_samples,
                                         mc_chunk=mc_chunk, impl=impl)
+
+    place = jnp.asarray
+    if mesh is not None:
+        from multimodal_auv_tpu.parallel import mesh as M
+
+        bundle.post = M.shard_state(mesh, bundle.post)
+        bundle.batch_stats = jax.device_put(bundle.batch_stats,
+                                            M.replicated(mesh))
+
+        def place(a):  # noqa: F811
+            a = np.asarray(a)
+            return jax.device_put(a, M.batch_sharding(mesh, a.ndim))
 
     with open(csv_path, mode="w", newline="") as csvfile:
         writer = csv.writer(csvfile)
@@ -186,8 +203,8 @@ def multimodal_predict_and_save_packed(
                 sss = np.concatenate([sss, np.repeat(sss[-1:], pad, 0)])
             key, sub = jax.random.split(key)
             out = step(bundle.post, bundle.batch_stats,
-                       (jnp.asarray(main), jnp.asarray(bathy),
-                        jnp.asarray(sss)), sub, jnp.asarray(mask))
+                       (place(main), place(bathy), place(sss)), sub,
+                       place(mask))
             if pending is not None:
                 drain(pending)
             pending = (out, names, valid)

@@ -94,10 +94,15 @@ def run_auv_inference(
             datasets = [InferenceFolderDataset(d) for d in dirs]
             ds = datasets[0] if len(datasets) == 1 else ConcatDataset(datasets)
             pack_inference_dataset(ds, cache)
+        mesh = None
+        if mesh_spec is not None:
+            from multimodal_auv_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(mesh_spec)
         multimodal_predict_and_save_packed(
             bundle, cache, output_csv, num_mc_samples=num_mc_samples,
             batch_size=batch_size, key=jax.random.PRNGKey(seed + 1),
-            mc_chunk=mc_chunk)
+            mc_chunk=mc_chunk, mesh=mesh)
     else:
         from multimodal_auv_tpu.data.loaders import (
             prepare_inference_datasets_and_loaders,

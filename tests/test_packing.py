@@ -156,3 +156,46 @@ def test_packed_training_pipeline_end_to_end(tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(csvs, "multimodal_train_results.csv"))
     assert os.path.exists(os.path.join(csvs, "multimodal_eval_results.csv"))
     assert os.path.exists(os.path.join(root, ".packed_train_cache"))
+
+
+def test_packed_inference_with_mesh(tmp_path, monkeypatch):
+    """Packed (decode-once) serving composes with data-axis mesh sharding:
+    run_auv_inference(use_packed_loader=True, mesh_spec=...) on the
+    8-virtual-device mesh writes the full CSV."""
+    from multimodal_auv_tpu.config import MeshSpec
+    from multimodal_auv_tpu.pipelines.inference import run_auv_inference
+
+    monkeypatch.chdir(tmp_path)
+    root = make_inference_tree(str(tmp_path / "dives"), n_samples=6)
+    out_csv = str(tmp_path / "out.csv")
+    run_auv_inference(root, batch_size=4, output_csv=out_csv,
+                      num_mc_samples=2, num_classes=7,
+                      allow_random_init=True,
+                      arch=ArchConfig.micro(image_size=64),
+                      use_packed_loader=True,
+                      mesh_spec=MeshSpec(data=4, mc=1))
+    with open(out_csv) as f:
+        rows = f.read().strip().splitlines()
+    assert rows[0].startswith("Image Name,Predicted Class")
+    assert len(rows) == 1 + 6
+
+
+def test_training_all_flags_compose(tmp_path, monkeypatch):
+    """bf16_weights + use_packed_loader together: the mixed-precision step
+    consuming uint8 packed batches trains end-to-end."""
+    from multimodal_auv_tpu.config import BNNPriorSpec
+    from multimodal_auv_tpu.pipelines.training import (
+        run_AUV_training_from_scratch,
+    )
+    from tests.fixtures.make_tree import make_training_tree
+
+    monkeypatch.chdir(tmp_path)
+    root = make_training_tree(str(tmp_path / "data"), n_samples=6)
+    ok = run_AUV_training_from_scratch(
+        const_bnn_prior_parameters=BNNPriorSpec().to_dict(),
+        lr_multimodal_model=1e-3, num_epochs_multimodal=1, num_mc=2,
+        bathy_patch_base_raw=10, sss_patch_base_raw=10,
+        batch_size_multimodal=3, root_dir=root, num_classes=0,
+        arch=ArchConfig.micro(image_size=64),
+        bf16_weights=True, use_packed_loader=True)
+    assert ok is True
