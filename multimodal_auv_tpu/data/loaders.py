@@ -208,6 +208,8 @@ def prepare_packed_train_loaders(
     )
 
     dataset = MultimodalFolderDataset(root_dir)
+    counts = Counter(dataset.label_encoder.inverse_transform(dataset.labels))
+    logger.info("Class histogram: %s", dict(counts))
     cache = cache_dir or os.path.join(root_dir, ".packed_train_cache")
     out = os.path.join(
         cache, f"{bathy_patch_type or 'full'}_{sss_patch_type or 'full'}")
