@@ -35,6 +35,24 @@ from multimodal_auv_tpu.data import transforms as T
 
 logger = logging.getLogger(__name__)
 
+_PATCH_TYPE_SIZE_RE = re.compile(r"patch_(\d+m?)_")
+
+
+def resolve_patch_size(patch_type, kind: str, available) -> "str | None":
+    """The reference's patch-type resolution rule (train/multimodal.py:
+    93-102), shared by the epoch loops (tensor-level select_patch) and the
+    packed-training packer (path-level selection) so the two can never
+    diverge: returns the size key to take from ``available``, or None for
+    the full-resolution fallback (``patch_30_<kind>`` aliases the full
+    tensor)."""
+    if not patch_type or patch_type == f"patch_30_{kind}":
+        return None
+    m = _PATCH_TYPE_SIZE_RE.match(str(patch_type))
+    if m and m.group(1) in available:
+        return m.group(1)
+    return None
+
+
 _BATHY_PATCH_RE = re.compile(r"patch_(\d+m)_combined_bathy\.png")
 _SSS_PATCH_RE = re.compile(r"patch_(\d+m)_.*_SSS\.(png|jpg)")
 _SSS_SUFFIXES = (".png", ".jpg", ".jpeg", ".tif", ".bmp")

@@ -110,27 +110,17 @@ class PackedBatches:
             yield main, bathy, sss, list(names)
 
 
-_PATCH_SIZE_RE = None
-
-
 def _select_patch_path(item: Dict, patch_type: Optional[str],
                        kind: str) -> str:
-    """Path-level twin of engine.loops.select_patch (multimodal.py:93-102):
-    resolve the patch file for a patch type, falling back to the
-    full-resolution image (``patch_30_*`` aliases the full tensor)."""
-    import re
+    """Path-level twin of engine.loops.select_patch: both delegate to
+    data.datasets.resolve_patch_size so the packed cache can never select
+    different files than the unpacked loader."""
+    from multimodal_auv_tpu.data.datasets import resolve_patch_size
 
-    global _PATCH_SIZE_RE
-    if _PATCH_SIZE_RE is None:
-        _PATCH_SIZE_RE = re.compile(r"patch_(\d+m?)_")
     full = item["bathy_image"] if kind == "bathy" else item["sss_image"]
     patches = item.get(f"patch_{kind}", {}) or {}
-    if not patch_type or patch_type == f"patch_30_{kind}":
-        return full
-    m = _PATCH_SIZE_RE.match(patch_type)
-    if m and m.group(1) in patches:
-        return patches[m.group(1)]
-    return full
+    size = resolve_patch_size(patch_type, kind, patches)
+    return patches[size] if size is not None else full
 
 
 def pack_training_dataset(dataset, out_dir: str,

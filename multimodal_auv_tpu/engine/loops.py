@@ -11,7 +11,6 @@ from __future__ import annotations
 import csv
 import logging
 import os
-import re
 from pathlib import Path
 from typing import Any, Dict, Iterable, Optional, Tuple
 
@@ -31,8 +30,6 @@ from multimodal_auv_tpu.utils.plotting import save_confusion_matrix
 
 logger = logging.getLogger(__name__)
 
-_SIZE_RE = re.compile(r"patch_(\d+m?)_")
-
 
 def _patch_size_str(patch_type: Optional[str], kind: str) -> str:
     """'patch_30m_sss' -> '30m' (reference strips prefix/suffix,
@@ -46,16 +43,12 @@ def select_patch(batch: Dict, patch_type: Optional[str], kind: str) -> np.ndarra
     """Reference patch selection (multimodal.py:93-102): look the patch type
     up in the discovered patch dict; fall back to the full-resolution tensor
     ('patch_30_bathy'/'patch_30_sss' alias the full tensors)."""
+    from multimodal_auv_tpu.data.datasets import resolve_patch_size
+
     full = batch["bathy_image"] if kind == "bathy" else batch["sss_image"]
     patches = batch.get(f"patch_{kind}", {}) or {}
-    if not patch_type:
-        return full
-    if patch_type in (f"patch_30_{kind}",):
-        return full
-    m = _SIZE_RE.match(patch_type)
-    if m and m.group(1) in patches:
-        return patches[m.group(1)]
-    return full
+    size = resolve_patch_size(patch_type, kind, patches)
+    return patches[size] if size is not None else full
 
 
 def _default_fetch(m):

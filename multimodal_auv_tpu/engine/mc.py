@@ -161,7 +161,9 @@ def mc_logits(
                     out, bs = fwd_bs(bs, ws[i])
                     outs.append(out)
                 return bs, jnp.stack(outs)
-            bs, logits = jax.lax.scan(fwd_bs, bs, ws)
+            # fwd_bs returns (out, new_bs); scan wants (carry, y) = (bs, out)
+            bs, logits = jax.lax.scan(
+                lambda b, w: tuple(reversed(fwd_bs(b, w))), bs, ws)
             return bs, logits
 
         chunk_step_bs = (jax.checkpoint(chunk_body_bs) if sample_in_remat

@@ -44,11 +44,20 @@ def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
     stack — parallel.mesh.mc_sharding(mesh) spreads the MC ensemble over the
     'mc' mesh axis for multi-chip serving."""
     if mc_chunk is None:
-        # chunk 2 amortises the sampling launch's (mu, sigma) reads over two
-        # draws (split-output kernel) and measured fastest on v5e; larger
-        # chunks lose to unrolled-forward program structure (BENCH_NOTES.md)
-        mc_chunk = 2 if (num_mc_samples % 2 == 0 and not antithetic
-                         and ws_sharding is None) else 1
+        if ws_sharding is not None:
+            # mc-ensemble parallelism only spreads the draws WITHIN a
+            # chunk's weight stack across the 'mc' axis; a chunk of 1 would
+            # silently collapse to replication (a (1, P) constraint on the
+            # mc axis normalizes to replicated). Default to all draws in
+            # one chunk so the ensemble actually parallelises.
+            mc_chunk = num_mc_samples
+        else:
+            # chunk 2 amortises the sampling launch's (mu, sigma) reads
+            # over two draws (split-output kernel) and measured fastest on
+            # v5e; larger chunks lose to unrolled-forward program structure
+            # (BENCH_NOTES.md)
+            mc_chunk = 2 if (num_mc_samples % 2 == 0
+                             and not antithetic) else 1
 
     module, meta = bundle.module, bundle.meta
 

@@ -35,7 +35,8 @@ from multimodal_auv_tpu.engine.optim import (
     kl_annealing_weight,
     make_optimizer,
 )
-from multimodal_auv_tpu.engine.steps import make_eval_step, make_train_step, unfuse_eval_metrics
+from multimodal_auv_tpu.engine.loops import _default_fetch
+from multimodal_auv_tpu.engine.steps import make_eval_step, make_train_step
 from multimodal_auv_tpu.engine.uifm import degrade_uniform, sample_turbidity
 from multimodal_auv_tpu.models.model_utils import ArchConfig, make_multimodal_bundle
 
@@ -95,9 +96,9 @@ def evaluate_with_degradation(
             bathy_patch_type, sss_patch_type, nominal)
         raw = eval_step(state.post, state.batch_stats, inputs,
                         jnp.asarray(labels), jnp.asarray(mask), ke, kl_scale)
-        # one D2H transfer for all of this batch's metrics (steps.py)
-        m = unfuse_eval_metrics(np.asarray(raw["fused"]),
-                                raw["predicted"].shape[0])
+        # one D2H transfer for all of this batch's metrics — same fused
+        # parse as the epoch loops
+        m = _default_fetch(raw)
         total_loss += float(m["loss"])
         correct += float(m["correct"])
         total += float(m["total"])

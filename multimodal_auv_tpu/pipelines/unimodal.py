@@ -57,10 +57,13 @@ def unimodal_predict_and_save(
     module, meta = bundle.module, bundle.meta
 
     @jax.jit
-    def step(post, batch_stats, x, k):
+    def step(post, batch_stats, x, k, mask=None):
+        # mask excludes padded ragged-tail rows from train-mode BN
+        # statistics, so real rows equal an unpadded run (the reference
+        # never pads) — same fix as the multimodal predict path
         logits = mc_logits(module, meta, post, batch_stats, (x,), k,
                            num_mc_samples, mc_chunk=mc_chunk, train=True,
-                           remat=False)
+                           remat=False, batch_mask=mask)
         probs = U.softmax_probs(logits)
         # one fused (3, batch) array -> a single D2H fetch per batch
         return jnp.stack([
@@ -97,10 +100,13 @@ def unimodal_predict_and_save(
             valid = x.shape[0]
             if nominal is None:
                 nominal = valid
+            mask = np.ones((nominal,), np.float32)
             if valid < nominal:
+                mask[valid:] = 0.0
                 x = np.concatenate([x, np.repeat(x[-1:], nominal - valid, 0)])
             key, sub = jax.random.split(key)
-            out = step(bundle.post, bundle.batch_stats, jnp.asarray(x), sub)
+            out = step(bundle.post, bundle.batch_stats, jnp.asarray(x), sub,
+                       jnp.asarray(mask))
             if pending is not None:
                 _drain(pending)
             pending = (out, names, valid)
