@@ -434,3 +434,32 @@ def test_export_for_hub_layout(tmp_path):
     assert fetch_pretrained_weights(local_path=path) == path
     sd = load_torch_state_dict(path)
     assert any(k.endswith("mu_kernel") for k in sd)
+
+
+def test_retrain_from_exported_checkpoint(tmp_path, monkeypatch):
+    """Full hand-off journey: train/export here -> retrain pipeline consumes
+    the exported .pth as its pretrained weights, swapping the fc2 head for a
+    different class count (the foundation-model mechanism,
+    Example_Retraining_model.py:72-84)."""
+    import os
+
+    from tests.fixtures.make_tree import make_training_tree
+    from multimodal_auv_tpu.interop.torch_export import save_torch_checkpoint
+    from multimodal_auv_tpu.models.model_utils import ArchConfig
+    from multimodal_auv_tpu.pipelines.training import run_auv_retraining
+
+    micro = ArchConfig.micro(image_size=64)
+    src = make_multimodal_bundle(7, BNNPriorSpec(), jax.random.PRNGKey(1),
+                                 micro)
+    ckpt = str(tmp_path / "foundation.pth")
+    save_torch_checkpoint(src, ckpt)
+
+    monkeypatch.chdir(tmp_path)
+    root = make_training_tree(str(tmp_path / "data"), n_samples=6,
+                              labels=("Sand", "Mud", "Rock"))
+    ok = run_auv_retraining(
+        root_dir=root, num_classes=3, epochs_multimodal=1, num_mc=2,
+        batch_size_multimodal=3, model_weights_path=ckpt, arch=micro)
+    assert ok is True
+    assert os.path.exists(os.path.join(root, "csvs",
+                                       "multimodal_train_results.csv"))
