@@ -463,3 +463,49 @@ def test_retrain_from_exported_checkpoint(tmp_path, monkeypatch):
     assert ok is True
     assert os.path.exists(os.path.join(root, "csvs",
                                        "multimodal_train_results.csv"))
+
+
+def test_adam_and_steplr_match_torch():
+    """make_optimizer claims torch.optim.Adam semantics (coupled L2, betas
+    0.9/0.999, eps 1e-8) and StepLR claims the torch scheduler — verify
+    both against torch numerically over a multi-step trajectory."""
+    import optax
+
+    from multimodal_auv_tpu.engine.optim import StepLR, make_optimizer
+
+    rng = np.random.default_rng(0)
+    p0 = rng.normal(size=(13,)).astype(np.float32)
+    grads = [rng.normal(size=(13,)).astype(np.float32) for _ in range(6)]
+    lr, wd = 1e-3, 1e-2
+
+    # torch trajectory
+    tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    topt = torch.optim.Adam([tp], lr=lr, weight_decay=wd)
+    t_traj = []
+    for g in grads:
+        topt.zero_grad(set_to_none=True)
+        tp.grad = torch.from_numpy(g.copy())
+        topt.step()
+        t_traj.append(tp.detach().numpy().copy())
+
+    # ours
+    tx = make_optimizer(lr, wd)
+    params = jnp.asarray(p0)
+    state = tx.init(params)
+    for g, expect in zip(grads, t_traj):
+        updates, state = tx.update(jnp.asarray(g), state, params)
+        params = optax.apply_updates(params, updates)
+        np.testing.assert_allclose(np.asarray(params), expect,
+                                   rtol=1e-5, atol=1e-7)
+
+    # StepLR: lr after each epoch must match torch's scheduler, including
+    # the get_last_lr semantics across the step boundary
+    sched = StepLR(lr, step_size=3, gamma=0.5)
+    tp2 = torch.nn.Parameter(torch.zeros(1))
+    topt2 = torch.optim.Adam([tp2], lr=lr)
+    tsched = torch.optim.lr_scheduler.StepLR(topt2, step_size=3, gamma=0.5)
+    for _ in range(8):
+        assert sched.lr == pytest.approx(tsched.get_last_lr()[0])
+        topt2.step()
+        tsched.step()
+        sched.step()
