@@ -61,7 +61,9 @@ _SSS_SUFFIXES = (".png", ".jpg", ".jpeg", ".tif", ".bmp")
 class MultimodalFolderDataset:
     """Labeled multimodal dataset (training/eval)."""
 
-    def __init__(self, root_dir: str, transform=None):
+    def __init__(self, root_dir: str, transform=None,
+                 image_size: int = IMAGE_SIZE):
+        self.image_size = image_size
         self.root_dir = root_dir
         self.data_paths: List[Dict] = []
         self.all_discovered_patch_sizes: set = set()
@@ -158,10 +160,11 @@ class MultimodalFolderDataset:
 
     def __getitem__(self, idx: int) -> Dict:
         paths = self.data_paths[idx]
+        sz = (self.image_size, self.image_size)
         sample = {
-            "main_image": T.load_main_image(paths["main_image"]),
-            "bathy_image": T.load_image(paths["bathy_image"], "RGB"),
-            "sss_image": T.load_image(paths["sss_image"], "L"),
+            "main_image": T.load_main_image(paths["main_image"], sz),
+            "bathy_image": T.load_image(paths["bathy_image"], "RGB", sz),
+            "sss_image": T.load_image(paths["sss_image"], "L", sz),
             "label": np.int32(self.labels[idx]),
         }
         patch_bathy, patch_sss = {}, {}
@@ -169,22 +172,22 @@ class MultimodalFolderDataset:
             bp = paths["patch_bathy"].get(size)
             if bp and os.path.exists(bp):
                 try:
-                    patch_bathy[size] = T.load_image(bp, "RGB")
+                    patch_bathy[size] = T.load_image(bp, "RGB", sz)
                 except Exception as e:
                     logger.warning("Error loading patch %s: %s; dummy used", bp, e)
-                    patch_bathy[size] = T.zeros(3)
+                    patch_bathy[size] = T.zeros(3, self.image_size)
             else:
-                patch_bathy[size] = T.zeros(3)
+                patch_bathy[size] = T.zeros(3, self.image_size)
 
             sp = paths["patch_sss"].get(size)
             if sp and os.path.exists(sp):
                 try:
-                    patch_sss[size] = T.load_image(sp, "L")
+                    patch_sss[size] = T.load_image(sp, "L", sz)
                 except Exception as e:
                     logger.warning("Error loading patch %s: %s; dummy used", sp, e)
-                    patch_sss[size] = T.zeros(1)
+                    patch_sss[size] = T.zeros(1, self.image_size)
             else:
-                patch_sss[size] = T.zeros(1)
+                patch_sss[size] = T.zeros(1, self.image_size)
         sample["patch_bathy"] = patch_bathy
         sample["patch_sss"] = patch_sss
         return sample
@@ -193,7 +196,9 @@ class MultimodalFolderDataset:
 class InferenceFolderDataset:
     """Unlabeled inference dataset."""
 
-    def __init__(self, root_dir: str, transform=None):
+    def __init__(self, root_dir: str, transform=None,
+                 image_size: int = IMAGE_SIZE):
+        self.image_size = image_size
         self.root_dir = root_dir
         self.data: List[Dict[str, str]] = []
         self._load_data()
@@ -270,15 +275,17 @@ class InferenceFolderDataset:
         item = self.data[idx]
         name = os.path.basename(item.get("main_image", ""))
 
+        sz = (self.image_size, self.image_size)
+
         def load(key, path, mode, channels):
             try:
                 if key == "main_image":
-                    return T.load_main_image(path)
-                return T.load_image(path, mode)
+                    return T.load_main_image(path, sz)
+                return T.load_image(path, mode, sz)
             except Exception as e:
                 logger.warning("Error loading %s for %s: %s; black image used",
                                path, key, e)
-                return T.zeros(channels)
+                return T.zeros(channels, self.image_size)
 
         main = load("main_image", item["main_image"], "RGB", 3)
         bathy = load("bathy_image", item["bathy_image"], "RGB", 3)

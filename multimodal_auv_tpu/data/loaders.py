@@ -20,6 +20,7 @@ from typing import Any, Dict, Iterator, List, Optional, Sequence
 import numpy as np
 from sklearn.model_selection import train_test_split
 
+from multimodal_auv_tpu.config import IMAGE_SIZE
 from multimodal_auv_tpu.data.datasets import (
     ConcatDataset,
     InferenceFolderDataset,
@@ -140,11 +141,13 @@ def prepare_datasets_and_loaders(
     batch_size_unimodal: int = 8,
     batch_size_multimodal: int = 12,
     num_workers: Optional[int] = None,
+    image_size: Optional[int] = None,
 ):
     """Reference parity (loaders.py:19-60): builds the labeled dataset, logs
     the class histogram, splits 80/20, and returns 4 loaders
     (unimodal/multimodal x train/test), num_classes, and the dataset."""
-    dataset = MultimodalFolderDataset(root_dir)
+    kw = {"image_size": image_size} if image_size else {}
+    dataset = MultimodalFolderDataset(root_dir, **kw)
     counts = Counter(dataset.label_encoder.inverse_transform(dataset.labels))
     logger.info("Class histogram: %s", dict(counts))
     num_classes = dataset.num_classes
@@ -172,19 +175,23 @@ def encode_labels(labels: Sequence[str]):
 
 def prepare_inference_datasets_and_loaders(
     dirs: Sequence[str], batch_size: int = 4,
-    num_workers: Optional[int] = None) -> DataLoader:
+    num_workers: Optional[int] = None,
+    image_size: Optional[int] = None) -> DataLoader:
     """Concat N inference dirs into one unshuffled loader
     (inference/inference_data.py:5-22 used exactly two dirs)."""
-    datasets = [InferenceFolderDataset(d) for d in dirs]
+    kw = {"image_size": image_size} if image_size else {}
+    datasets = [InferenceFolderDataset(d, **kw) for d in dirs]
     ds = datasets[0] if len(datasets) == 1 else ConcatDataset(datasets)
     return DataLoader(ds, batch_size, shuffle=False, num_workers=num_workers)
 
 
 def prepare_inference_dataloader(data_directory: str, batch_size: int = 4,
-                                 num_workers: Optional[int] = None) -> DataLoader:
+                                 num_workers: Optional[int] = None,
+                                 image_size: Optional[int] = None) -> DataLoader:
     """Single-dir variant (Examples/Example_Inference_model.py:18-41)."""
     return prepare_inference_datasets_and_loaders([data_directory], batch_size,
-                                                  num_workers)
+                                                  num_workers,
+                                                  image_size=image_size)
 
 
 def prepare_packed_train_loaders(
@@ -194,6 +201,7 @@ def prepare_packed_train_loaders(
     sss_patch_type: Optional[str] = None,
     cache_dir: Optional[str] = None,
     seed: int = 0,
+    image_size: Optional[int] = None,
 ):
     """Decode-once training loaders: pack the labeled dataset for a fixed
     patch-type pair (data/packing.py) and serve uint8 dict batches from
@@ -207,19 +215,23 @@ def prepare_packed_train_loaders(
         pack_training_dataset,
     )
 
-    dataset = MultimodalFolderDataset(root_dir)
+    kw = {"image_size": image_size} if image_size else {}
+    dataset = MultimodalFolderDataset(root_dir, **kw)
     counts = Counter(dataset.label_encoder.inverse_transform(dataset.labels))
     logger.info("Class histogram: %s", dict(counts))
+    sz = image_size or IMAGE_SIZE
     cache = cache_dir or os.path.join(root_dir, ".packed_train_cache")
     out = os.path.join(
-        cache, f"{bathy_patch_type or 'full'}_{sss_patch_type or 'full'}")
+        cache,
+        f"{bathy_patch_type or 'full'}_{sss_patch_type or 'full'}_{sz}")
     if not os.path.exists(os.path.join(out, "meta.json")):
-        pack_training_dataset(dataset, out, bathy_patch_type, sss_patch_type)
+        pack_training_dataset(dataset, out, bathy_patch_type, sss_patch_type,
+                              size=sz)
     packed = load_packed_training(out)
     if packed["main"].shape[0] != len(dataset):
         logger.warning("Stale packed cache %s (size mismatch); repacking", out)
         packed = pack_training_dataset(dataset, out, bathy_patch_type,
-                                       sss_patch_type)
+                                       sss_patch_type, size=sz)
 
     idx = list(range(len(dataset)))
     train_idx, test_idx = train_test_split(idx, test_size=0.2,

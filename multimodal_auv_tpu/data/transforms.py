@@ -62,8 +62,10 @@ def normalize_optical(arr: np.ndarray) -> np.ndarray:
     return (arr - _MEAN) / _STD
 
 
-def load_main_image(path: str) -> np.ndarray:
-    return normalize_optical(load_image(path, "RGB"))
+def load_main_image(path: str,
+                    size: Tuple[int, int] = (IMAGE_SIZE, IMAGE_SIZE)
+                    ) -> np.ndarray:
+    return normalize_optical(load_image(path, "RGB", size))
 
 
 def zeros(channels: int, size: int = IMAGE_SIZE) -> np.ndarray:

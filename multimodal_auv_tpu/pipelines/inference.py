@@ -89,11 +89,13 @@ def run_auv_inference(
             multimodal_predict_and_save_packed,
         )
 
-        cache = packed_cache_dir or os.path.join(dirs[0], ".packed_cache")
+        cache = packed_cache_dir or os.path.join(
+            dirs[0], f".packed_cache_{arch.image_size}")
         if not os.path.exists(os.path.join(cache, "names.json")):
-            datasets = [InferenceFolderDataset(d) for d in dirs]
+            datasets = [InferenceFolderDataset(d, image_size=arch.image_size)
+                        for d in dirs]
             ds = datasets[0] if len(datasets) == 1 else ConcatDataset(datasets)
-            pack_inference_dataset(ds, cache)
+            pack_inference_dataset(ds, cache, size=arch.image_size)
         mesh = None
         if mesh_spec is not None:
             from multimodal_auv_tpu.parallel.mesh import make_mesh
@@ -108,7 +110,8 @@ def run_auv_inference(
             prepare_inference_datasets_and_loaders,
         )
 
-        dataloader = prepare_inference_datasets_and_loaders(dirs, batch_size)
+        dataloader = prepare_inference_datasets_and_loaders(
+            dirs, batch_size, image_size=arch.image_size)
         mesh = None
         if mesh_spec is not None:
             from multimodal_auv_tpu.parallel.mesh import make_mesh

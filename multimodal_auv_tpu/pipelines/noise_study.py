@@ -194,7 +194,8 @@ def run_noise_study(
     spec = BNNPriorSpec()
 
     (_, _, train_loader, test_loader, actual_classes, dataset) = (
-        prepare_datasets_and_loaders(root_dir, batch_size_multimodal=batch_size))
+        prepare_datasets_and_loaders(root_dir, batch_size_multimodal=batch_size,
+                                     image_size=arch.image_size))
     if num_classes in (None, 0):
         num_classes = actual_classes
 

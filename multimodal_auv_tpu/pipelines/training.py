@@ -59,6 +59,7 @@ def _train_multimodal_common(
     freeze_backbone: bool = False,
     bf16_weights: bool = False,
     use_packed_loader: bool = False,
+    image_size: Optional[int] = None,
 ):
     log_dir = setup_pipeline_logging()
     sum_writer = SummaryWriter(os.path.join("tensorboard_logs",
@@ -75,11 +76,12 @@ def _train_multimodal_common(
                 root_dir, batch_size_multimodal,
                 bathy_patch_type=_patch_type(bathy_patch_base, "bathy"),
                 sss_patch_type=_patch_type(sss_patch_base, "sss"),
-                seed=seed))
+                seed=seed, image_size=image_size))
     else:
         (_, _, train_loader, test_loader, actual_num_classes, dataset) = (
-            prepare_datasets_and_loaders(root_dir,
-                                         batch_size_multimodal=batch_size_multimodal))
+            prepare_datasets_and_loaders(
+                root_dir, batch_size_multimodal=batch_size_multimodal,
+                image_size=image_size))
     if num_classes in (None, 0):
         num_classes = actual_num_classes
     elif num_classes != actual_num_classes:
@@ -192,6 +194,7 @@ def run_AUV_training_from_scratch(
             resume_checkpoint=resume_checkpoint,
             bf16_weights=bf16_weights,
             use_packed_loader=use_packed_loader,
+            image_size=arch.image_size,
         )
         logger.info("Full training pipeline finished.")
         return True
@@ -267,6 +270,7 @@ def run_auv_retraining(
             freeze_backbone=freeze_backbone,
             bf16_weights=bf16_weights,
             use_packed_loader=use_packed_loader,
+            image_size=arch.image_size,
         )
         return True
     except Exception as e:

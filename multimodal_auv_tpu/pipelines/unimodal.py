@@ -139,7 +139,8 @@ def run_unimodal_training(
     arch = arch or ArchConfig()
     spec = BNNPriorSpec()
     (tl, te, _, _, actual_classes, dataset) = prepare_datasets_and_loaders(
-        root_dir, batch_size_unimodal=batch_size)
+        root_dir, batch_size_unimodal=batch_size,
+        image_size=arch.image_size)
     if num_classes in (None, 0):
         num_classes = actual_classes
 
