@@ -9,6 +9,14 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# Zero-egress test environment: without this, every pipeline test that
+# reaches hub.fetch_pretrained_weights sits in huggingface_hub's HTTP
+# connect+backoff for ~10-20 s before falling back — measured as ~half of
+# test_pipelines' wall time (all threads idle). HF_HUB_OFFLINE makes the
+# fallback immediate; production behavior (download when the network
+# allows) is unchanged.
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
