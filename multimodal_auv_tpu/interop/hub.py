@@ -35,12 +35,35 @@ def fetch_pretrained_weights(
     try:
         from huggingface_hub import hf_hub_download
 
+        if not os.environ.get("HF_HUB_OFFLINE") and not _hub_reachable():
+            # zero-egress environments: without this, huggingface_hub's
+            # connect+retry backoff stalls the pipeline for tens of seconds
+            # before failing. A cached download may still exist, so fall
+            # through with local_files_only instead of giving up.
+            logger.warning("HuggingFace Hub unreachable; checking the local "
+                           "cache only (pass a local weights path to skip).")
+            return hf_hub_download(repo_id=repo_id, filename=filename,
+                                   local_files_only=True)
         return hf_hub_download(repo_id=repo_id, filename=filename)
     except Exception as e:
         logger.warning(
             "Could not fetch pretrained weights from the HuggingFace Hub "
             "(%s). Offline environment? Pass a local weights path.", e)
         return None
+
+
+def _hub_reachable(timeout: float = 3.0) -> bool:
+    """Cheap TCP connect probe to the Hub endpoint (no request issued)."""
+    import socket
+    from urllib.parse import urlparse
+
+    host = urlparse(os.environ.get("HF_ENDPOINT",
+                                   "https://huggingface.co")).hostname
+    try:
+        socket.create_connection((host, 443), timeout=timeout).close()
+        return True
+    except OSError:
+        return False
 
 
 def export_for_hub(bundle, out_dir: str,
