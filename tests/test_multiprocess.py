@@ -98,3 +98,16 @@ def test_two_process_global_batch_and_collective(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} rc={p.returncode}:\n{out[-3000:]}"
         assert "OK" in out, out[-1000:]
+
+
+# NOTE: a heavier variant running the full pjit train step across the two
+# processes was implemented and passed once (losses bitwise-equal), but on
+# this single-CPU host the two processes compile serially and Gloo's
+# collective-context rendezvous has a fixed ~30 s deadline — compile skew
+# makes it flaky-to-hanging (one proc dies on DEADLINE_EXCEEDED, the peer
+# blocks at the collective). The SPMD correctness of the sharded train
+# step itself is covered deterministically by test_parallel.py and
+# __graft_entry__.dryrun_multichip on virtual devices; this file pins the
+# *process* layer (rendezvous, per-host feeding, cross-process collective)
+# with the small program above, which compiles fast enough to stay inside
+# the deadline.
