@@ -211,6 +211,7 @@ def prepare_packed_train_loaders(
     num_classes, dataset)."""
     from multimodal_auv_tpu.data.packing import (
         PackedTrainBatches,
+        dataset_fingerprint,
         load_packed_training,
         pack_training_dataset,
     )
@@ -228,8 +229,10 @@ def prepare_packed_train_loaders(
         pack_training_dataset(dataset, out, bathy_patch_type, sss_patch_type,
                               size=sz)
     packed = load_packed_training(out)
-    if packed["main"].shape[0] != len(dataset):
-        logger.warning("Stale packed cache %s (size mismatch); repacking", out)
+    if (packed["main"].shape[0] != len(dataset)
+            or packed["meta"].get("fingerprint") != dataset_fingerprint(dataset)):
+        logger.warning("Stale packed cache %s (content mismatch); repacking",
+                       out)
         packed = pack_training_dataset(dataset, out, bathy_patch_type,
                                        sss_patch_type, size=sz)
 

@@ -110,17 +110,61 @@ class PackedBatches:
             yield main, bathy, sss, list(names)
 
 
-def _select_patch_path(item: Dict, patch_type: Optional[str],
-                       kind: str) -> str:
+def _select_patch_path(item: Dict, patch_type: Optional[str], kind: str,
+                       discovered) -> Optional[str]:
     """Path-level twin of engine.loops.select_patch: both delegate to
-    data.datasets.resolve_patch_size so the packed cache can never select
-    different files than the unpacked loader."""
+    data.datasets.resolve_patch_size — against the DATASET-WIDE discovered
+    size set, exactly like MultimodalFolderDataset.__getitem__ (which builds
+    an entry for every discovered size) — so the packed cache can never
+    select different files than the unpacked loader. Returns None when the
+    resolved size has no file for THIS item: the unpacked path feeds a
+    zeros dummy there (datasets.py:180,190), and so must the pack."""
     from multimodal_auv_tpu.data.datasets import resolve_patch_size
 
     full = item["bathy_image"] if kind == "bathy" else item["sss_image"]
     patches = item.get(f"patch_{kind}", {}) or {}
-    size = resolve_patch_size(patch_type, kind, patches)
-    return patches[size] if size is not None else full
+    size = resolve_patch_size(patch_type, kind, discovered)
+    if size is None:
+        return full
+    return patches.get(size)
+
+
+def _decode_or_zeros(path: Optional[str], mode: str, size: int) -> np.ndarray:
+    """Decode one image, or produce the zeros dummy the unpacked dataset
+    would feed: for a missing per-item patch (path None) and for an
+    unreadable file (warn + zeros, matching datasets.py:174-190 — one
+    corrupt image must not abort the whole pack). uint8 zeros /255 on-chip
+    equals the unpacked float zeros bit-exactly."""
+    channels = 3 if mode == "RGB" else 1
+    if path is None:
+        return np.zeros((size, size, channels), np.uint8)
+    try:
+        return _decode_u8(path, mode, size)
+    except Exception as e:
+        logger.warning("Error decoding %s: %s; zeros dummy used", path, e)
+        return np.zeros((size, size, channels), np.uint8)
+
+
+def dataset_fingerprint(dataset) -> str:
+    """Content fingerprint of a MultimodalFolderDataset: sha1 over every
+    referenced path + its mtime/size, plus the encoded labels. A packed
+    cache whose stored fingerprint differs was built from different
+    on-disk data (even at the same sample count) and must be repacked."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for it in dataset.data_paths:
+        paths = [it["main_image"], it["bathy_image"], it["sss_image"]]
+        for d in (it.get("patch_bathy") or {}, it.get("patch_sss") or {}):
+            paths.extend(d[k] for k in sorted(d))
+        for p in paths:
+            try:
+                st = os.stat(p)
+                h.update(f"{p}|{st.st_mtime_ns}|{st.st_size};".encode())
+            except OSError:
+                h.update(f"{p}|missing;".encode())
+    h.update(np.asarray(dataset.labels, np.int64).tobytes())
+    return h.hexdigest()
 
 
 def pack_training_dataset(dataset, out_dir: str,
@@ -147,14 +191,17 @@ def pack_training_dataset(dataset, out_dir: str,
         shape=(n, size, size, 1))
 
     items = [dataset.data_paths[i] for i in range(n)]
+    discovered = getattr(dataset, "all_discovered_patch_sizes", ())
 
     def work(i):
         it = items[i]
-        main[i] = _decode_u8(it["main_image"], "RGB", size)
-        bathy[i] = _decode_u8(
-            _select_patch_path(it, bathy_patch_type, "bathy"), "RGB", size)
-        sss[i] = _decode_u8(
-            _select_patch_path(it, sss_patch_type, "sss"), "L", size)
+        main[i] = _decode_or_zeros(it["main_image"], "RGB", size)
+        bathy[i] = _decode_or_zeros(
+            _select_patch_path(it, bathy_patch_type, "bathy", discovered),
+            "RGB", size)
+        sss[i] = _decode_or_zeros(
+            _select_patch_path(it, sss_patch_type, "sss", discovered),
+            "L", size)
 
     workers = workers or max((os.cpu_count() or 2) - 2, 1)
     with ThreadPoolExecutor(max_workers=workers) as pool:
@@ -165,7 +212,8 @@ def pack_training_dataset(dataset, out_dir: str,
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump({"bathy_patch_type": bathy_patch_type,
                    "sss_patch_type": sss_patch_type,
-                   "classes": [str(c) for c in dataset.label_encoder.classes_]},
+                   "classes": [str(c) for c in dataset.label_encoder.classes_],
+                   "fingerprint": dataset_fingerprint(dataset)},
                   f)
     main.flush(); bathy.flush(); sss.flush()
     logger.info("Packed %d training samples into %s", n, out_dir)

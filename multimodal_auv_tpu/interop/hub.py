@@ -57,10 +57,11 @@ def _hub_reachable(timeout: float = 3.0) -> bool:
     import socket
     from urllib.parse import urlparse
 
-    host = urlparse(os.environ.get("HF_ENDPOINT",
-                                   "https://huggingface.co")).hostname
+    parsed = urlparse(os.environ.get("HF_ENDPOINT",
+                                     "https://huggingface.co"))
+    port = parsed.port or (80 if parsed.scheme == "http" else 443)
     try:
-        socket.create_connection((host, 443), timeout=timeout).close()
+        socket.create_connection((parsed.hostname, port), timeout=timeout).close()
         return True
     except OSError:
         return False

@@ -199,3 +199,81 @@ def test_training_all_flags_compose(tmp_path, monkeypatch):
         arch=ArchConfig.micro(image_size=64),
         bf16_weights=True, use_packed_loader=True)
     assert ok is True
+
+
+def test_packed_zeros_fallback_matches_unpacked(tmp_path):
+    """ADVICE r2 (medium): a sample missing the requested patch file must
+    pack as a ZEROS image — exactly what MultimodalFolderDataset feeds —
+    not silently fall back to the full-resolution image. Also covers the
+    corrupt-image path: one unreadable file must not abort the pack."""
+    import numpy as np
+
+    from tests.fixtures.make_tree import make_training_tree
+    from multimodal_auv_tpu.data.datasets import MultimodalFolderDataset
+    from multimodal_auv_tpu.data.packing import (
+        load_packed_training,
+        pack_training_dataset,
+    )
+    from multimodal_auv_tpu.engine.loops import select_patch
+
+    root = make_training_tree(str(tmp_path / "data"), n_samples=4)
+    # sample_001 loses its 10m bathy patch entirely; sample_002's 10m sss
+    # patch is corrupted on disk.
+    os.remove(os.path.join(root, "sample_001",
+                           "patch_10m_combined_bathy.png"))
+    with open(os.path.join(root, "sample_002", "patch_10m_survey_SSS.png"),
+              "wb") as f:
+        f.write(b"not an image")
+
+    ds = MultimodalFolderDataset(root)
+    assert "10m" in ds.all_discovered_patch_sizes
+    out = str(tmp_path / "pack")
+    pack_training_dataset(ds, out, bathy_patch_type="patch_10m_bathy",
+                          sss_patch_type="patch_10m_sss")
+    packed = load_packed_training(out)
+
+    for i in range(len(ds)):
+        sample = ds[i]
+        want_b = np.asarray(select_patch(sample, "patch_10m_bathy", "bathy"))
+        want_s = np.asarray(select_patch(sample, "patch_10m_sss", "sss"))
+        got_b = np.asarray(packed["bathy"][i], np.float32) / 255.0
+        got_s = np.asarray(packed["sss"][i], np.float32) / 255.0
+        np.testing.assert_allclose(got_b, want_b, atol=4.1e-3)
+        np.testing.assert_allclose(got_s, want_s, atol=4.1e-3)
+
+    # the broken samples specifically must be all-zero, not the full image
+    names = [os.path.basename(os.path.dirname(p["main_image"]))
+             for p in ds.data_paths]
+    i1, i2 = names.index("sample_001"), names.index("sample_002")
+    assert not np.any(packed["bathy"][i1])
+    assert not np.any(packed["sss"][i2])
+
+
+def test_packed_cache_fingerprint_repacks_on_content_change(tmp_path):
+    """ADVICE r2 (low): same sample count but changed pixels/labels must
+    invalidate the packed training cache (content fingerprint in
+    meta.json), not silently serve stale data."""
+    import numpy as np
+    from PIL import Image
+
+    from tests.fixtures.make_tree import make_training_tree
+    from multimodal_auv_tpu.data.loaders import prepare_packed_train_loaders
+
+    root = make_training_tree(str(tmp_path / "data"), n_samples=5)
+    cache = str(tmp_path / "cache")
+    prepare_packed_train_loaders(root, 2, cache_dir=cache, image_size=64)
+
+    # rewrite one image in place (same path, same N) with different pixels
+    target = os.path.join(root, "sample_000", "combined_rgb_bathymetry.jpg")
+    Image.fromarray(np.full((64, 64, 3), 222, np.uint8)).save(target)
+    os.utime(target, (1e9, 1e9))  # force an mtime change even on fast FS
+
+    train, _, _, _ = prepare_packed_train_loaders(root, 2, cache_dir=cache,
+                                                  image_size=64)
+    batch = next(iter(train))
+    # after repack at least one bathy pixel plane reflects the new content:
+    # find sample_000 in the packed arrays via its near-uniform 222 value
+    packed_b = train.packed["bathy"]
+    assert any(abs(float(np.mean(packed_b[i])) - 222) < 4
+               for i in range(packed_b.shape[0]))
+    assert batch["main_image"].dtype == np.uint8

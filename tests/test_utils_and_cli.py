@@ -122,3 +122,23 @@ def test_config_yaml_roundtrip(tmp_path):
     # BNNPriorSpec dict round-trip (reference param-dict convention)
     d = BNNPriorSpec().to_dict()
     assert BNNPriorSpec.from_dict(d) == BNNPriorSpec()
+
+
+def test_hub_probe_honors_endpoint_port(monkeypatch):
+    """ADVICE r2 (low): a custom HF_ENDPOINT with a non-443 port (private
+    mirror) must be probed on ITS port, not hardcoded 443."""
+    import socket
+
+    from multimodal_auv_tpu.interop import hub
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    try:
+        monkeypatch.setenv("HF_ENDPOINT", f"http://127.0.0.1:{port}")
+        assert hub._hub_reachable(timeout=1.0) is True
+        monkeypatch.setenv("HF_ENDPOINT", "http://127.0.0.1:1")
+        assert hub._hub_reachable(timeout=0.5) is False
+    finally:
+        srv.close()
