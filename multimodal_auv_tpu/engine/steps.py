@@ -35,6 +35,50 @@ from multimodal_auv_tpu.engine.mc import mc_logits, refresh_batch_stats
 from multimodal_auv_tpu.engine.optim import BayesTrainState
 
 
+def make_elbo_loss_fn(module, meta, spec: BNNPriorSpec, num_mc: int, *,
+                      mc_chunk: int = 1, impl: str = "auto",
+                      sample_dtype=None, packed_inputs: bool = False,
+                      chained_bn: bool = True, ws_sharding=None):
+    """The training ELBO exactly as ``make_train_step`` differentiates it
+    (reference semantics: train/multimodal.py:104-130). Factored out so the
+    torch-twin training-gradient parity golden (tests/test_train_parity.py)
+    pins the very composition production runs — sampling custom VJP with
+    in-backward eps regeneration, unpack custom VJP, remat-wrapped
+    sampling+forward, chained per-draw BN — not a test-local rebuild of it.
+
+    Returns loss_fn(post, batch_stats, inputs, labels, mask, key, kl_weight,
+    bs_scale) -> (loss, (output, ce, scaled_kl, new_batch_stats))."""
+
+    def loss_fn(post, batch_stats, inputs, labels, mask, key, kl_weight,
+                bs_scale):
+        if packed_inputs:
+            from multimodal_auv_tpu.ops.preprocess import normalize_multimodal
+
+            inputs = normalize_multimodal(*inputs)
+        if chained_bn:
+            logits, new_bs = mc_logits(
+                module, meta, post, batch_stats, inputs, key, num_mc,
+                mc_chunk=mc_chunk, impl=impl, train=True, remat=True,
+                batch_mask=mask, return_batch_stats=True,
+                sample_dtype=sample_dtype, cast_posterior=False)
+        else:
+            new_bs = None
+            logits = mc_logits(module, meta, post, batch_stats, inputs, key,
+                               num_mc, mc_chunk=mc_chunk, impl=impl,
+                               train=True, remat=True,
+                               ws_sharding=ws_sharding, batch_mask=mask,
+                               sample_dtype=sample_dtype,
+                               cast_posterior=False)
+        output = jnp.mean(logits.astype(jnp.float32), axis=0)
+        ce_vec = optax.softmax_cross_entropy_with_integer_labels(output, labels)
+        ce = jnp.sum(ce_vec * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        scaled_kl = kl_divergence(post, spec) / bs_scale * kl_weight
+        loss = ce + scaled_kl
+        return loss, (output, ce, scaled_kl, new_bs)
+
+    return loss_fn
+
+
 def make_train_step(module, meta, spec: BNNPriorSpec, tx, num_mc: int, *,
                     mc_chunk: int = 1, impl: str = "auto",
                     update_batch_stats: bool = True, ws_sharding=None,
@@ -64,33 +108,12 @@ def make_train_step(module, meta, spec: BNNPriorSpec, tx, num_mc: int, *,
     halves the weight-cotangent concat traffic (BENCH_NOTES.md). ``None``
     (default) keeps full-f32 reference semantics."""
     chained_bn = update_batch_stats and ws_sharding is None
-
-    def loss_fn(post, batch_stats, inputs, labels, mask, key, kl_weight,
-                bs_scale):
-        if packed_inputs:
-            from multimodal_auv_tpu.ops.preprocess import normalize_multimodal
-
-            inputs = normalize_multimodal(*inputs)
-        if chained_bn:
-            logits, new_bs = mc_logits(
-                module, meta, post, batch_stats, inputs, key, num_mc,
-                mc_chunk=mc_chunk, impl=impl, train=True, remat=True,
-                batch_mask=mask, return_batch_stats=True,
-                sample_dtype=sample_dtype, cast_posterior=False)
-        else:
-            new_bs = None
-            logits = mc_logits(module, meta, post, batch_stats, inputs, key,
-                               num_mc, mc_chunk=mc_chunk, impl=impl,
-                               train=True, remat=True,
-                               ws_sharding=ws_sharding, batch_mask=mask,
-                               sample_dtype=sample_dtype,
-                               cast_posterior=False)
-        output = jnp.mean(logits.astype(jnp.float32), axis=0)
-        ce_vec = optax.softmax_cross_entropy_with_integer_labels(output, labels)
-        ce = jnp.sum(ce_vec * mask) / jnp.maximum(jnp.sum(mask), 1.0)
-        scaled_kl = kl_divergence(post, spec) / bs_scale * kl_weight
-        loss = ce + scaled_kl
-        return loss, (output, ce, scaled_kl, new_bs)
+    loss_fn = make_elbo_loss_fn(module, meta, spec, num_mc,
+                                mc_chunk=mc_chunk, impl=impl,
+                                sample_dtype=sample_dtype,
+                                packed_inputs=packed_inputs,
+                                chained_bn=chained_bn,
+                                ws_sharding=ws_sharding)
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: BayesTrainState, inputs, labels, mask, key, kl_weight,
