@@ -30,7 +30,7 @@ CACHE = os.path.join(REPO, "BASELINE_LOCAL.json")
 
 def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
                 impl: str = "auto", dvp: bool = False,
-                antithetic: bool = False) -> float:
+                antithetic: bool = False, fused_trunks: bool = False) -> float:
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -50,7 +50,8 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
     else:
         step = make_predict_step(bundle, num_mc,
                                  mc_chunk=(mc_chunk or None), impl=impl,
-                                 antithetic=antithetic)
+                                 antithetic=antithetic,
+                                 fused_trunks=fused_trunks)
 
     s = 256
     key = jax.random.PRNGKey(1)
@@ -475,6 +476,8 @@ def main():
                         "loader -> epoch loop -> ledgers")
     p.add_argument("--packed", action="store_true",
                    help="train-e2e: use the decode-once packed loader")
+    p.add_argument("--fused-trunks", action="store_true",
+                   help="grouped-conv trunk fusion (models/fused.py)")
     p.add_argument("--antithetic", action="store_true",
                    help="pair MC draws antithetically (variance reduction)")
     args = p.parse_args()
@@ -544,11 +547,11 @@ def main():
         with trace(args.profile):
             value = measure_tpu(args.batch, args.num_mc, max(args.iters, 2),
                                 args.mc_chunk, args.impl, args.dvp,
-                                args.antithetic)
+                                args.antithetic, args.fused_trunks)
     else:
         value = measure_tpu(args.batch, args.num_mc, args.iters,
                             args.mc_chunk, args.impl, args.dvp,
-                            args.antithetic)
+                            args.antithetic, args.fused_trunks)
 
     cache_key = f"torch_cpu_b{args.batch}_mc{args.num_mc}"
     baseline = None

@@ -31,7 +31,8 @@ logger = logging.getLogger(__name__)
 def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
                       mc_chunk: Optional[int] = None, impl: str = "auto",
                       sample_dtype=jnp.bfloat16, antithetic: bool = False,
-                      donate: bool = False, ws_sharding=None):
+                      donate: bool = False, ws_sharding=None,
+                      fused_trunks: bool = False):
     """Build a jitted predict step: (post, batch_stats, inputs, key) ->
     {predicted, predictive_uncertainty, aleatoric_uncertainty, mean_prob}.
 
@@ -60,6 +61,12 @@ def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
                              and not antithetic) else 1
 
     module, meta = bundle.module, bundle.meta
+    if fused_trunks:
+        # grouped-conv trunk fusion: 3x per-op arithmetic for the
+        # batch-4 MXU-starvation regime (models/fused.py)
+        from multimodal_auv_tpu.models.fused import fused_module_for
+
+        module = fused_module_for(module)
 
     @partial(jax.jit, static_argnames=())
     def step(post, batch_stats, inputs, key, mask=None):
@@ -95,7 +102,8 @@ def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
 
 def make_packed_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
                              mc_chunk: Optional[int] = None, impl: str = "auto",
-                             sample_dtype=jnp.bfloat16):
+                             sample_dtype=jnp.bfloat16,
+                             fused_trunks: bool = False):
     """Predict step over *uint8* device batches: the host ships 1 byte/px
     (4x less transfer than the reference's float32 tensors) and the
     /255 + optical normalization runs on-chip, fused by XLA into the first
@@ -106,6 +114,10 @@ def make_packed_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
         mc_chunk = 2 if num_mc_samples % 2 == 0 else 1
 
     module, meta = bundle.module, bundle.meta
+    if fused_trunks:
+        from multimodal_auv_tpu.models.fused import fused_module_for
+
+        module = fused_module_for(module)
 
     @jax.jit
     def step(post, batch_stats, u8_inputs, key, mask=None):

@@ -100,3 +100,44 @@ def test_define_models_keys():
     }
     out = models["sss_model"].apply_mean(jnp.ones((1, 32, 32, 1)))
     assert out.shape == (1, 5)
+
+
+def test_fused_trunks_match_module():
+    """Grouped-conv trunk fusion (models/fused.py): the fused forward must
+    reproduce MultiModalModel.apply exactly (f32, train-mode BN), with and
+    without a ragged-tail batch mask, from the standard param tree."""
+    from multimodal_auv_tpu.models.fused import fused_module_for
+
+    bundle = make_multimodal_bundle(7, BNNPriorSpec(), jax.random.PRNGKey(3),
+                                    TINY)
+    fused = fused_module_for(bundle.module)
+    assert fused.dtype == TINY.dtype
+
+    rng = np.random.default_rng(5)
+    s = TINY.image_size
+    a = jnp.asarray(rng.uniform(size=(4, s, s, 3)), jnp.float32)
+    b = jnp.asarray(rng.uniform(size=(4, s, s, 3)), jnp.float32)
+    c = jnp.asarray(rng.uniform(size=(4, s, s, 1)), jnp.float32)
+    variables = {"params": bundle.meta.unpack(bundle.post.mu, bundle.post.det),
+                 "batch_stats": bundle.batch_stats}
+
+    for mask in (None, jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32)):
+        want, _ = bundle.module.apply(variables, a, b, c, train=True,
+                                      batch_mask=mask,
+                                      mutable=["batch_stats"])
+        got, _ = fused.apply(variables, a, b, c, train=True,
+                             batch_mask=mask, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    # and through the full MC predict composition (sampled weights)
+    from multimodal_auv_tpu.engine.mc import mc_logits
+
+    key = jax.random.PRNGKey(9)
+    want = mc_logits(bundle.module, bundle.meta, bundle.post,
+                     bundle.batch_stats, (a, b, c), key, 2, train=True,
+                     remat=False)
+    got = mc_logits(fused, bundle.meta, bundle.post, bundle.batch_stats,
+                    (a, b, c), key, 2, train=True, remat=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

@@ -202,3 +202,67 @@ def test_sharded_train_step_bf16_weights_runs():
     assert np.isfinite(float(m["loss"]))
     assert new_state.post.mu.dtype == jnp.float32
     assert float(jnp.abs(new_state.post.mu - st.post.mu).max()) > 0
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """VERDICT r2 #3: orbax-NATIVE sharded save/restore of an FSDP-sharded
+    train state — no host gather (engine/checkpointing.py). The restored
+    arrays must carry the template's shardings, equal the saved values
+    bit-for-bit, and a post-restore train step must run."""
+    from multimodal_auv_tpu.engine.checkpointing import (
+        restore_train_state,
+        save_train_state,
+    )
+
+    spec = BNNPriorSpec()
+    arch = ArchConfig.micro(image_size=32)
+    bundle = make_multimodal_bundle(3, spec, jax.random.PRNGKey(0), arch)
+    tx = make_optimizer(1e-3)
+    mesh = M.make_mesh(MeshSpec(data=4, mc=2, fsdp=True))
+    step = make_train_step(bundle.module, bundle.meta, spec, tx, num_mc=2,
+                           mc_chunk=2, impl="jnp",
+                           ws_sharding=M.mc_sharding(mesh))
+
+    rng = np.random.default_rng(0)
+    inputs = tuple(jnp.asarray(rng.normal(size=(8, 32, 32, c)), jnp.float32)
+                   for c in (3, 3, 1))
+    labels = jnp.asarray(np.arange(8) % 3, jnp.int32)
+    mask = jnp.ones((8,), jnp.float32)
+    with jax.set_mesh(mesh):
+        state = BayesTrainState(post=bundle.post,
+                                opt_state=tx.init(bundle.post),
+                                batch_stats=bundle.batch_stats,
+                                step=jnp.zeros((), jnp.int32))
+        state = M.shard_state(mesh, state, fsdp=True)
+        b = tuple(M.shard_batch(mesh, x) for x in inputs)
+        state, _ = step(state, b, M.shard_batch(mesh, labels),
+                        M.shard_batch(mesh, mask), jax.random.PRNGKey(1),
+                        0.5, 8.0)
+        jax.block_until_ready(state.post.mu)
+    assert not state.post.mu.sharding.is_fully_replicated  # truly sharded
+
+    path = str(tmp_path / "sharded_state")
+    save_train_state(path, state, epoch=3,
+                     scheduler_counts={"multimodal_model": 2})
+
+    with jax.set_mesh(mesh):
+        template = jax.tree_util.tree_map(
+            lambda x: jnp.zeros_like(x) if hasattr(x, "dtype") else x, state)
+        restored, epoch, sched = restore_train_state(path, template)
+    assert epoch == 3 and sched == {"multimodal_model": 2}
+    assert restored.post.mu.sharding == state.post.mu.sharding
+    np.testing.assert_array_equal(np.asarray(restored.post.mu),
+                                  np.asarray(state.post.mu))
+    np.testing.assert_array_equal(np.asarray(restored.post.rho),
+                                  np.asarray(state.post.rho))
+    for a, b_ in zip(jax.tree_util.tree_leaves(restored.opt_state),
+                     jax.tree_util.tree_leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    with jax.set_mesh(mesh):
+        inp = tuple(M.shard_batch(mesh, x) for x in inputs)
+        state2, metrics = step(restored, inp, M.shard_batch(mesh, labels),
+                               M.shard_batch(mesh, mask),
+                               jax.random.PRNGKey(2), 0.5, 8.0)
+        jax.block_until_ready(state2.post.mu)
+    assert np.isfinite(float(metrics["loss"]))
