@@ -22,20 +22,38 @@ logger = logging.getLogger(__name__)
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
-                           process_id: Optional[int] = None) -> int:
+                           process_id: Optional[int] = None,
+                           initialization_timeout: int = 300) -> int:
     """Initialize multi-host JAX (no-op on a single host). Returns the
-    process index."""
+    process index. ``initialization_timeout`` covers coordinator
+    rendezvous (default raised from jax's 5 min only by being explicit —
+    pass a larger value for slow cold-compile fleets)."""
     if num_processes and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            initialization_timeout=initialization_timeout,
         )
         logger.info("Distributed initialized: process %d/%d, %d local / %d "
                     "global devices", jax.process_index(),
                     jax.process_count(), jax.local_device_count(),
                     jax.device_count())
     return jax.process_index()
+
+
+def barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Block until every process reaches this barrier, via the coordination
+    service (gRPC to the coordinator — NOT a device collective, so it has
+    no Gloo/NCCL deadline). Use it to line processes up before the first
+    collective of a freshly-compiled program: device-collective context
+    creation has a short fixed rendezvous deadline (~30 s for Gloo), and
+    per-process compile skew easily exceeds it on cold caches."""
+    from jax._src import distributed as _dist
+
+    client = getattr(_dist.global_state, "client", None)
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
 
 
 def host_shard_indices(n_samples: int, *, process_index: Optional[int] = None,
