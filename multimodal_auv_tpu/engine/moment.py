@@ -224,10 +224,65 @@ def make_unimodal_dvp_predict_step(bundle, num_feature_samples: int = 20):
     return step
 
 
-def make_dvp_predict_step(bundle, num_feature_samples: int = 20):
+def posterior_spread(post: PackedPosterior, meta: Optional[PackMeta] = None
+                     ) -> float:
+    """Mean relative posterior width, mean(sigma / |mu|), over the real
+    (non-pad) packed region — the cheap statistic gating DVP fidelity.
+
+    DVP's accuracy was validated at MOPED-tight posteriors
+    (sigma = moped_delta*|w| = 0.05|w|: argmax agreement 1.0, max softmax
+    diff 3e-4 vs 20-MC on the full model — BENCH_NOTES.md) and the
+    approximation error grows as training spreads the posterior."""
+    import numpy as np
+
+    n = meta.n_real if meta is not None else post.mu.shape[0]
+    mu = np.asarray(post.mu[:n], np.float32)
+    sigma = np.logaddexp(np.asarray(post.rho[:n], np.float32), 0.0)
+    return float(np.mean(sigma / (np.abs(mu) + 1e-8)))
+
+
+# 3x the MOPED-validated regime (spread 0.05); beyond this the silent-
+# accuracy-loss risk outweighs DVP's speedup and the guardrail trips.
+DVP_SPREAD_THRESHOLD = 0.15
+
+
+def make_dvp_predict_step(bundle, num_feature_samples: int = 20, *,
+                          spread_threshold: float = DVP_SPREAD_THRESHOLD,
+                          on_excess: str = "warn"):
     """Single-probabilistic-pass predict step: moment-propagated trunks +
     MC over feature noise and head weights only. Same output schema as
-    engine.predict.make_predict_step."""
+    engine.predict.make_predict_step.
+
+    Guardrail (round-2 verdict #6): DVP is estimator-approximate and only
+    validated near MOPED-tight posteriors. At build time the posterior
+    spread (``posterior_spread``) is measured against
+    ``spread_threshold``; beyond it, ``on_excess`` decides:
+      * "warn" (default) — log a warning and proceed (caller opted in);
+      * "mc"             — fall back to the EXACT MC predict step with
+                            ``num_feature_samples`` draws (safe default
+                            for serving configs that must not silently
+                            lose accuracy).
+    """
+    import logging
+
+    spread = posterior_spread(bundle.post, bundle.meta)
+    if spread > spread_threshold:
+        logger = logging.getLogger(__name__)
+        if on_excess == "mc":
+            logger.warning(
+                "DVP guardrail: posterior spread %.3f exceeds the validated "
+                "regime (threshold %.3f) — falling back to the exact MC "
+                "predict step (%d draws).", spread, spread_threshold,
+                num_feature_samples)
+            from multimodal_auv_tpu.engine.predict import make_predict_step
+
+            return make_predict_step(bundle, num_feature_samples)
+        logger.warning(
+            "DVP guardrail: posterior spread %.3f exceeds the validated "
+            "regime (threshold %.3f, BENCH_NOTES.md) — DVP estimators may "
+            "diverge from exact MC; pass on_excess='mc' to auto-fall-back.",
+            spread, spread_threshold)
+
     meta = bundle.meta
     module = bundle.module
     stage_sizes = tuple(module.stage_sizes)

@@ -153,3 +153,67 @@ def test_unimodal_dvp(tmp_path):
     assert out["predicted"].shape == (3,)
     assert out["mean_prob"].shape == (3, 4)
     assert np.isfinite(np.asarray(out["mean_prob"])).all()
+
+
+def test_dvp_guardrail_trips_on_spread_posterior(caplog):
+    """VERDICT r2 #6: DVP is validated only near MOPED-tight posteriors;
+    a deliberately-spread posterior must trip the build-time guardrail —
+    warning by default, exact-MC fallback with on_excess='mc'."""
+    import logging
+
+    from multimodal_auv_tpu.config import BNNPriorSpec
+    from multimodal_auv_tpu.models.model_utils import (
+        ArchConfig,
+        make_multimodal_bundle,
+    )
+
+    TINY = ArchConfig.tiny()
+
+    from multimodal_auv_tpu.bayes import softplus_inv
+    from multimodal_auv_tpu.engine.moment import (
+        make_dvp_predict_step,
+        posterior_spread,
+    )
+
+    bundle = make_multimodal_bundle(7, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                    TINY)
+    # MOPED init: spread ~= moped_delta = 0.1 -> below the 0.15 threshold
+    assert posterior_spread(bundle.post, bundle.meta) < 0.15
+    with caplog.at_level(logging.WARNING):
+        make_dvp_predict_step(bundle, num_feature_samples=2)
+    assert not any("guardrail" in r.message for r in caplog.records)
+
+    # spread the posterior to sigma = 0.5|mu|
+    import numpy as np
+
+    mu = np.asarray(bundle.post.mu)
+    rho = np.log(np.expm1(np.maximum(0.5 * np.abs(mu), 1e-6))).astype(
+        np.float32)
+    bundle.post = bundle.post.replace(rho=jnp.asarray(rho))
+    assert posterior_spread(bundle.post, bundle.meta) > 0.15
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        make_dvp_predict_step(bundle, num_feature_samples=2)
+    assert any("guardrail" in r.message for r in caplog.records)
+
+    # on_excess='mc': the returned step IS the exact MC predict step
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        step = make_dvp_predict_step(bundle, num_feature_samples=2,
+                                     on_excess="mc")
+    assert any("falling back" in r.message for r in caplog.records)
+    from multimodal_auv_tpu.engine.predict import make_predict_step
+
+    rng = np.random.default_rng(0)
+    s = TINY.image_size
+    inputs = tuple(jnp.asarray(rng.uniform(size=(2, s, s, c)), jnp.float32)
+                   for c in (3, 3, 1))
+    key = jax.random.PRNGKey(5)
+    got = step(bundle.post, bundle.batch_stats, inputs, key)
+    want = make_predict_step(bundle, 2)(bundle.post, bundle.batch_stats,
+                                        inputs, key)
+    np.testing.assert_array_equal(np.asarray(got["predicted"]),
+                                  np.asarray(want["predicted"]))
+    np.testing.assert_allclose(np.asarray(got["predictive_uncertainty"]),
+                               np.asarray(want["predictive_uncertainty"]))
