@@ -52,8 +52,11 @@ def rescale_intensity_uint8(arr: np.ndarray) -> np.ndarray:
 def apply_clahe_rgb(img_uint8: np.ndarray, clip_limit: float = 2.0,
                     grid: int = 8) -> np.ndarray:
     """CLAHE on the grayscale projection, replicated back to RGB — the
-    reference's simple approach (Example_data_preparation.py:409-424),
-    with cv2's CLAHE standing in for skimage.equalize_adapthist."""
+    fast cv2 path. NOTE (PARITY.md): the reference's
+    ``skimage.exposure.equalize_adapthist`` on an RGB image equalizes the
+    HSV *value* channel and keeps hue/saturation — this gray-replicate
+    variant discards color entirely. ``equalize_adapthist_rgb`` below is
+    the reference-faithful (color-preserving) default."""
     import cv2
 
     if img_uint8.ndim == 3 and img_uint8.shape[2] == 3:
@@ -63,6 +66,89 @@ def apply_clahe_rgb(img_uint8: np.ndarray, clip_limit: float = 2.0,
     clahe = cv2.createCLAHE(clipLimit=clip_limit, tileGridSize=(grid, grid))
     eq = clahe.apply(gray)
     return np.repeat(eq[:, :, None], 3, axis=2)
+
+
+def clahe_u8(channel: np.ndarray, clip_limit: float = 0.01,
+             kernel_size=None, nbins: int = 256) -> np.ndarray:
+    """Contrast-limited adaptive histogram equalization of one uint8
+    channel — the classic Zuiderveld algorithm with skimage
+    ``equalize_adapthist`` PARAMETER semantics: ``kernel_size`` defaults
+    to shape//8 per axis and ``clip_limit`` is the FRACTION of a tile's
+    pixels at which histogram bins are clipped (skimage default 0.01;
+    cv2's ``clipLimit=L`` corresponds to L*tile_px/nbins, so 0.01 here
+    ~= cv2 clipLimit 2.56). Tile mappings are bilinearly interpolated at
+    every pixel (tile centers as knots, edges clamped)."""
+    h, w = channel.shape
+    if kernel_size is None:
+        th, tw = max(h // 8, 1), max(w // 8, 1)
+    else:
+        th, tw = kernel_size
+    ny, nx = -(-h // th), -(-w // tw)
+    pad_y, pad_x = ny * th - h, nx * tw - w
+    padded = np.pad(channel, ((0, pad_y), (0, pad_x)), mode="reflect")
+
+    # per-tile clipped-histogram equalization mapping
+    tiles = padded.reshape(ny, th, nx, tw).transpose(0, 2, 1, 3)
+    tiles = tiles.reshape(ny * nx, th * tw)
+    maps = np.empty((ny * nx, nbins), np.float64)
+    clip = max(clip_limit * th * tw, 1.0)
+    scale = (nbins - 1) / 255.0
+    for i in range(ny * nx):
+        hist = np.bincount((tiles[i] * scale + 0.5).astype(np.int64),
+                           minlength=nbins).astype(np.float64)
+        excess = np.maximum(hist - clip, 0.0).sum()
+        hist = np.minimum(hist, clip) + excess / nbins
+        cdf = np.cumsum(hist)
+        maps[i] = (cdf - cdf[0]) / max(cdf[-1] - cdf[0], 1.0) * 255.0
+    maps = maps.reshape(ny, nx, nbins)
+
+    # bilinear interpolation between the four surrounding tile mappings
+    yy = (np.arange(h) + 0.5) / th - 0.5
+    xx = (np.arange(w) + 0.5) / tw - 0.5
+    y0 = np.clip(np.floor(yy).astype(np.int64), 0, ny - 1)
+    x0 = np.clip(np.floor(xx).astype(np.int64), 0, nx - 1)
+    y1 = np.minimum(y0 + 1, ny - 1)
+    x1 = np.minimum(x0 + 1, nx - 1)
+    fy = np.clip(yy - y0, 0.0, 1.0)[:, None]
+    fx = np.clip(xx - x0, 0.0, 1.0)[None, :]
+
+    b = (channel[:h, :w].astype(np.float64) * scale + 0.5).astype(np.int64)
+    v00 = maps[y0[:, None], x0[None, :], b]
+    v01 = maps[y0[:, None], x1[None, :], b]
+    v10 = maps[y1[:, None], x0[None, :], b]
+    v11 = maps[y1[:, None], x1[None, :], b]
+    out = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+           + fy * ((1 - fx) * v10 + fx * v11))
+    return np.clip(out + 0.5, 0, 255).astype(np.uint8)
+
+
+def equalize_adapthist_rgb(img_uint8: np.ndarray, clip_limit: float = 0.01,
+                           kernel_size=None) -> np.ndarray:
+    """Reference-faithful color CLAHE: ``skimage.exposure.
+    equalize_adapthist`` semantics for an RGB input — convert to HSV,
+    equalize the VALUE channel only, convert back (hue/saturation — the
+    image's color — preserved; Example_data_preparation.py:134). The cv2
+    gray-replicate path (``apply_clahe_rgb``) discards color, which is a
+    gross divergence for a color survey camera; divergence numbers are in
+    PARITY.md."""
+    if img_uint8.ndim == 2 or (img_uint8.ndim == 3 and img_uint8.shape[2] == 1):
+        ch = img_uint8 if img_uint8.ndim == 2 else img_uint8[:, :, 0]
+        eq = clahe_u8(ch, clip_limit, kernel_size)
+        return np.repeat(eq[:, :, None], 3, axis=2)
+
+    rgb = img_uint8.astype(np.float64) / 255.0
+    mx = rgb.max(axis=2)
+    mn = rgb.min(axis=2)
+    v_eq = clahe_u8(np.clip(mx * 255.0 + 0.5, 0, 255).astype(np.uint8),
+                    clip_limit, kernel_size).astype(np.float64) / 255.0
+    # rescale R,G,B about the value channel (keeps H and S exactly:
+    # hue and saturation are invariant under V *= c with chroma scaled)
+    ratio = np.where(mx > 0, v_eq / np.maximum(mx, 1e-12), 0.0)
+    out = rgb * ratio[:, :, None]
+    # zero-value pixels: take the equalized value as gray
+    out = np.where((mx == 0)[:, :, None], v_eq[:, :, None], out)
+    del mn
+    return np.clip(out * 255.0 + 0.5, 0, 255).astype(np.uint8)
 
 
 def _load_rgb_float(path: str) -> Optional[np.ndarray]:
@@ -158,6 +244,11 @@ def preprocess_optical_images(
                                    image_basename)
                     out2 = im1.astype(np.uint8)
             elif image_enhancement_method == "CLAHE":
+                # reference-faithful: skimage-semantics color CLAHE
+                # (HSV value channel; color preserved) — PARITY.md
+                out2 = equalize_adapthist_rgb(im1.astype(np.uint8))
+            elif image_enhancement_method == "CLAHE_CV2":
+                # fast cv2 path (gray-replicate; color discarded)
                 out2 = apply_clahe_rgb(im1.astype(np.uint8))
             else:
                 logger.warning("Unknown enhancement %s; saving original",

@@ -171,3 +171,74 @@ def test_lzw_decode_roundtrip():
     rng = np.random.default_rng(0)
     payload = bytes(rng.integers(0, 8, size=5000, dtype=np.uint8))
     assert _lzw_decode(lzw_encode(payload), len(payload)) == payload
+
+
+def test_clahe_matches_cv2_on_gray():
+    """Our from-scratch Zuiderveld CLAHE (skimage equalize_adapthist
+    parameter semantics) against cv2's independent implementation at
+    matched parameters (clip 0.01*tile_px == cv2 clipLimit 2.56, 8x8
+    tiles): the two classic-CLAHE implementations agree to a few of 255
+    intensity levels (measured mean ~3.7, max 15 — PARITY.md)."""
+    cv2 = pytest.importorskip("cv2")
+    from multimodal_auv_tpu.dataprep.optical import clahe_u8
+
+    rng = np.random.default_rng(0)
+    y, x = np.mgrid[0:256, 0:256]
+    base = 80 + 60 * np.sin(x / 40.0) * np.cos(y / 60.0) \
+        + rng.normal(0, 12, (256, 256))
+    gray = np.clip(base, 0, 255).astype(np.uint8)
+
+    ours = clahe_u8(gray, clip_limit=0.01)
+    ref = cv2.createCLAHE(clipLimit=0.01 * 256,
+                          tileGridSize=(8, 8)).apply(gray)
+    d = np.abs(ours.astype(int) - ref.astype(int))
+    assert d.mean() < 6 and d.max() < 30, (d.mean(), d.max())
+
+    # constant image is (nearly) a fixed point
+    const = np.full((256, 256), 100, np.uint8)
+    out = clahe_u8(const)
+    assert int(out.min()) == int(out.max())
+    assert abs(int(out[0, 0]) - 100) <= 4
+
+
+def test_clahe_reference_color_semantics():
+    """VERDICT r2 #7 quantified: the reference's equalize_adapthist on RGB
+    equalizes the HSV VALUE channel and keeps color; the cv2
+    gray-replicate path collapses the image to gray. On a color-cast
+    textured fixture the divergence measures mean ~24 / max ~93 of 255
+    (PARITY.md) — gross, so the color-preserving implementation
+    (equalize_adapthist_rgb) is the pipeline default for 'CLAHE'."""
+    from multimodal_auv_tpu.dataprep.optical import (
+        apply_clahe_rgb,
+        equalize_adapthist_rgb,
+    )
+
+    rng = np.random.default_rng(0)
+    y, x = np.mgrid[0:256, 0:256]
+    base = 80 + 60 * np.sin(x / 40.0) * np.cos(y / 60.0) \
+        + rng.normal(0, 12, (256, 256))
+    rgb = np.stack([np.clip(base * 1.2, 0, 255),
+                    np.clip(base * 0.9, 0, 255),
+                    np.clip(base * 0.6, 0, 255)], axis=2).astype(np.uint8)
+
+    faithful = equalize_adapthist_rgb(rgb)
+    gray_rep = apply_clahe_rgb(rgb)
+
+    # the faithful path preserves the color cast (distinct channel means,
+    # same ordering as the input); the cv2 path collapses channels
+    fm = faithful.mean(axis=(0, 1))
+    assert fm[0] > fm[1] > fm[2], fm
+    assert np.array_equal(gray_rep[..., 0], gray_rep[..., 1])
+
+    # hue preservation: channel ratios unchanged where defined (value
+    # scaling keeps H and S exactly)
+    mx_in = rgb.max(axis=2).astype(float)
+    mx_out = faithful.max(axis=2).astype(float)
+    sel = (mx_in > 30) & (mx_out > 30)
+    rin = rgb[..., 2].astype(float) / np.maximum(mx_in, 1)
+    rout = faithful[..., 2].astype(float) / np.maximum(mx_out, 1)
+    assert np.abs(rin[sel] - rout[sel]).mean() < 0.03
+
+    # measured divergence between the two paths is gross (documented)
+    d = np.abs(faithful.astype(int) - gray_rep.astype(int))
+    assert d.mean() > 10
