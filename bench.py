@@ -28,6 +28,49 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, "BASELINE_LOCAL.json")
 
 
+
+def _xla_flops(jitted, *args) -> "float | None":
+    """Total FLOPs of one call of a jitted function, from XLA's compiled
+    cost analysis (model FLOPs as the compiler counts them)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+# dense bf16 peak per chip (matmul units), by device kind prefix
+_PEAK_BF16 = (
+    ("TPU v6", 918e12),
+    ("TPU v5p", 459e12),
+    ("TPU v5 lite", 197e12),
+    ("TPU v5e", 197e12),
+    ("TPU v4", 275e12),
+)
+
+
+def _peak_flops() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for prefix, peak in _PEAK_BF16:
+        if kind.startswith(prefix):
+            return peak
+    return 197e12  # conservative default (v5e)
+
+
+def _mfu(flops_per_call, calls_per_sec) -> "float | None":
+    """Model-FLOPs utilization: achieved model FLOP/s over the chip's
+    dense bf16 peak — the auditable efficiency number next to raw
+    throughput (round-2 verdict #8b)."""
+    if not flops_per_call or not calls_per_sec:
+        return None
+    return flops_per_call * calls_per_sec / _peak_flops()
+
+
 def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
                 impl: str = "auto", dvp: bool = False,
                 antithetic: bool = False, fused_trunks: bool = False) -> float:
@@ -69,6 +112,8 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
         out = step(bundle.post, bundle.batch_stats, inputs,
                    jax.random.fold_in(key, 1000 + i))
         np.asarray(out["predicted"])
+    flops = _xla_flops(step, bundle.post, bundle.batch_stats, inputs,
+                       jax.random.fold_in(key, 0))
 
     # Sustained serving throughput with a one-batch-lagged result fetch —
     # exactly the production predict loop (engine/predict.py): dispatch
@@ -86,7 +131,8 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
         prev = out
     np.asarray(prev["predicted"])  # hard sync: all iters results on host
     dt = time.perf_counter() - t0
-    return batch * iters / dt
+    value = batch * iters / dt
+    return value, _mfu(flops, value / batch)
 
 
 def measure_serve_tpu(batch: int, num_mc: int, n_samples: int = 96) -> float:
@@ -307,6 +353,8 @@ def measure_train_tpu(batch: int, num_mc: int, iters: int,
         state, m = step(state, inputs, labels, mask,
                         jax.random.fold_in(key, 100 + i), 0.5, float(batch))
         np.asarray(m["loss"])
+    flops = _xla_flops(step, state, inputs, labels, mask,
+                       jax.random.fold_in(key, 0), 0.5, float(batch))
     # lagged metric fetch, as in the production epoch loops (engine/loops.py)
     t0 = time.perf_counter()
     prev = None
@@ -317,7 +365,8 @@ def measure_train_tpu(batch: int, num_mc: int, iters: int,
             np.asarray(prev["loss"])
         prev = m
     np.asarray(prev["loss"])
-    return batch * iters / (time.perf_counter() - t0)
+    value = batch * iters / (time.perf_counter() - t0)
+    return value, _mfu(flops, value / batch)
 
 
 def _torch_fusion_twin():
@@ -509,12 +558,14 @@ def main():
             from multimodal_auv_tpu.utils.profiling import trace
 
             with trace(args.profile):
-                value = measure_train_tpu(args.batch, args.num_mc,
-                                          max(args.iters, 2), args.mc_chunk,
-                                          args.bf16_weights)
+                value, mfu = measure_train_tpu(args.batch, args.num_mc,
+                                               max(args.iters, 2),
+                                               args.mc_chunk,
+                                               args.bf16_weights)
         else:
-            value = measure_train_tpu(args.batch, args.num_mc, args.iters,
-                                      args.mc_chunk, args.bf16_weights)
+            value, mfu = measure_train_tpu(args.batch, args.num_mc,
+                                           args.iters, args.mc_chunk,
+                                           args.bf16_weights)
         cache_key = f"torch_cpu_train_b{args.batch}_mc{args.num_mc}"
         baseline = None
         if os.path.exists(CACHE):
@@ -538,6 +589,7 @@ def main():
             "value": round(value, 3),
             "unit": "samples/sec/chip",
             "vs_baseline": round(vs, 2) if vs else None,
+            "mfu": round(mfu, 4) if mfu else None,
         }))
         return
 
@@ -545,13 +597,14 @@ def main():
         from multimodal_auv_tpu.utils.profiling import trace
 
         with trace(args.profile):
-            value = measure_tpu(args.batch, args.num_mc, max(args.iters, 2),
-                                args.mc_chunk, args.impl, args.dvp,
-                                args.antithetic, args.fused_trunks)
+            value, mfu = measure_tpu(args.batch, args.num_mc,
+                                     max(args.iters, 2),
+                                     args.mc_chunk, args.impl, args.dvp,
+                                     args.antithetic, args.fused_trunks)
     else:
-        value = measure_tpu(args.batch, args.num_mc, args.iters,
-                            args.mc_chunk, args.impl, args.dvp,
-                            args.antithetic, args.fused_trunks)
+        value, mfu = measure_tpu(args.batch, args.num_mc, args.iters,
+                                 args.mc_chunk, args.impl, args.dvp,
+                                 args.antithetic, args.fused_trunks)
 
     cache_key = f"torch_cpu_b{args.batch}_mc{args.num_mc}"
     baseline = None
@@ -577,6 +630,7 @@ def main():
         "value": round(value, 3),
         "unit": "patches/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
+        "mfu": round(mfu, 4) if mfu else None,
     }))
 
 

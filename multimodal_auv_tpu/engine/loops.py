@@ -134,9 +134,16 @@ def train_multimodal_model(
     key: jax.Array, lr: float,
     bathy_patch_type: Optional[str] = None,
     sss_patch_type: Optional[str] = None,
+    strict_errors: bool = False,
 ) -> Tuple[BayesTrainState, float, float]:
     """One training epoch (multimodal.py:25-202). Returns
-    (state, train_loss, train_accuracy)."""
+    (state, train_loss, train_accuracy).
+
+    ``strict_errors=False`` (default) is reference parity: any exception
+    mid-epoch crash-saves the posterior and returns zero metrics
+    (multimodal.py:194-200's bare except). ``True`` still crash-saves but
+    RE-RAISES, so a malformed batch cannot silently discard an epoch —
+    the same switchable-quirk treatment as ``double_scheduler_step``."""
     csv_path = str(Path(csv_path))
     file_exists = os.path.isfile(csv_path)
     sss_size = _patch_size_str(sss_patch_type, "sss")
@@ -205,6 +212,8 @@ def train_multimodal_model(
         ckpt.save_model(state.post, csv_path,
                         f"{model_type}_bathy_patch{bathy_size}_sss_patch{sss_size}")
         logger.error("Error at epoch %d", epoch, exc_info=True)
+        if strict_errors:
+            raise
         return state, 0.0, 0.0
 
 
@@ -214,6 +223,7 @@ def evaluate_multimodal_model(
     bathy_patch_type: Optional[str] = None,
     sss_patch_type: Optional[str] = None,
     class_names=None,
+    strict_errors: bool = False,
 ) -> float:
     """MC evaluation epoch (multimodal.py:204-369). Uses the
     entropy-decomposition uncertainty family; KL scaled by len(dataloader)
@@ -287,6 +297,8 @@ def evaluate_multimodal_model(
         return test_accuracy
     except Exception as e:
         logger.error("Critical error at epoch %d: %s", epoch, e, exc_info=True)
+        if strict_errors:
+            raise
         return 0.0
 
 
@@ -297,7 +309,7 @@ def evaluate_multimodal_model(
 def train_unimodal_model(
     train_step, state: BayesTrainState, dataloader, epoch: int,
     total_num_epochs: int, csv_path: str, model_type: str, sum_writer,
-    key: jax.Array, lr: float,
+    key: jax.Array, lr: float, strict_errors: bool = False,
 ) -> Tuple[BayesTrainState, float, float]:
     """One unimodal training epoch (unimodal.py:21-175); CSV columns
     ["Epoch","Model type","Loss","Accuracy","lr"], row logs epoch+1."""
@@ -350,13 +362,15 @@ def train_unimodal_model(
     except Exception:
         ckpt.save_model(state.post, csv_path, model_type)
         logger.error("Error at epoch %d", epoch, exc_info=True)
+        if strict_errors:
+            raise
         return state, 0.0, 0.0
 
 
 def evaluate_unimodal_model(
     eval_step, state: BayesTrainState, dataloader, epoch: int,
     total_num_epochs: int, csv_path: str, model_type: str, key: jax.Array,
-    class_names=None,
+    class_names=None, strict_errors: bool = False,
 ) -> float:
     """Unimodal MC eval (unimodal.py:178-365): *variance* epistemic
     estimator + mean-entropy aleatoric (eps 1e-7); KL/batch_size; CSV
@@ -419,6 +433,8 @@ def evaluate_unimodal_model(
     except Exception:
         ckpt.save_model(state.post, csv_path, model_type)
         logger.error("Error at epoch %d", epoch, exc_info=True)
+        if strict_errors:
+            raise
         return 0.0
 
 
@@ -435,6 +451,7 @@ def train_and_evaluate_multimodal_model(
     class_names=None,
     double_scheduler_step: bool = True,
     checkpoint_resume_path: Optional[str] = None,
+    strict_errors: bool = False,
 ) -> BayesTrainState:
     """loop_utils.py:162-250: for each epoch train -> scheduler.step() ->
     eval -> scheduler.step() *again* (the reference double-steps its StepLR
@@ -458,11 +475,12 @@ def train_and_evaluate_multimodal_model(
         state, train_loss, train_acc = train_multimodal_model(
             train_step, state, train_loader, epoch, num_epochs, train_csv,
             model_type, sum_writer, k1, scheduler.lr,
-            bathy_patch_type, sss_patch_type)
+            bathy_patch_type, sss_patch_type, strict_errors=strict_errors)
         scheduler.step()
         test_acc = evaluate_multimodal_model(
             eval_step, state, test_loader, epoch, num_epochs, eval_csv,
-            model_type, k2, bathy_patch_type, sss_patch_type, class_names)
+            model_type, k2, bathy_patch_type, sss_patch_type, class_names,
+            strict_errors=strict_errors)
         if double_scheduler_step:
             scheduler.step()  # loop_utils.py:246 quirk
         sum_writer.add_scalar("Loss/train_epoch", train_loss, epoch)
@@ -477,7 +495,7 @@ def train_and_evaluate_unimodal_model(
     train_loader, test_loader, num_epochs: int, train_step, eval_step,
     state: BayesTrainState, scheduler: StepLR, csv_dir: str, sum_writer,
     key: jax.Array, model_type: str, class_names=None,
-    skip_epoch_zero: bool = True,
+    skip_epoch_zero: bool = True, strict_errors: bool = False,
 ) -> BayesTrainState:
     """loop_utils.py:65-159. The reference's epoch loop is
     ``range(1, num_epochs)`` — it *skips epoch 0* (an off-by-one,
@@ -493,10 +511,11 @@ def train_and_evaluate_unimodal_model(
         key, k1, k2 = jax.random.split(key, 3)
         state, train_acc, train_loss = train_unimodal_model(
             train_step, state, train_loader, epoch, num_epochs, train_csv,
-            model_type, sum_writer, k1, scheduler.lr)
+            model_type, sum_writer, k1, scheduler.lr,
+            strict_errors=strict_errors)
         test_acc = evaluate_unimodal_model(
             eval_step, state, test_loader, epoch, num_epochs, eval_csv,
-            model_type, k2, class_names)
+            model_type, k2, class_names, strict_errors=strict_errors)
         scheduler.step()
         sum_writer.add_scalar(f"Loss/train_{model_type}", train_loss, epoch)
         sum_writer.add_scalar(f"Accuracy/val_{model_type}", test_acc, epoch)

@@ -90,6 +90,86 @@ def main():
                 - outs["jnp"]["aleatoric_uncertainty"]).max()
     results.append(check("aleatoric agree", pu < 0.05, f"maxdiff={pu:.4f}"))
 
+    # 4. training machinery on-chip (round-2 verdict #5): one real train
+    #    step — finite loss, no NaN-guard trip, posterior moved
+    from multimodal_auv_tpu.engine.optim import BayesTrainState, make_optimizer
+    from multimodal_auv_tpu.engine.steps import make_train_step
+
+    spec = BNNPriorSpec()
+    tx = make_optimizer(1e-3)
+    state = BayesTrainState(post=bundle.post, opt_state=tx.init(bundle.post),
+                            batch_stats=bundle.batch_stats,
+                            step=jnp.zeros((), jnp.int32))
+    labels = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    mask = jnp.ones((4,), jnp.float32)
+    tstep = make_train_step(bundle.module, bundle.meta, spec, tx, num_mc=4)
+    state_f32, m = tstep(state, inputs, labels, mask, key, 0.5, 4.0)
+    loss = float(m["loss"])
+    dmu = np.abs(np.asarray(state_f32.post.mu) - np.asarray(state.post.mu))
+    results.append(check("train step loss finite", np.isfinite(loss),
+                         f"{loss:.4f}"))
+    results.append(check("train step not skipped", not bool(m["skipped"])))
+    results.append(check("train step moved posterior", dmu.max() > 0,
+                         f"max|dmu|={dmu.max():.2e}"))
+
+    # 5. bf16-weights step tracks the f32 step ON-CHIP (same pins as the
+    #    CPU test tests/test_engine.py::test_bf16_weight_sampling_...)
+    tstep16 = make_train_step(bundle.module, bundle.meta, spec, tx,
+                              num_mc=4, sample_dtype=jnp.bfloat16)
+    state_b16, m16 = tstep16(state, inputs, labels, mask, key, 0.5, 4.0)
+    loss16 = float(m16["loss"])
+    upd32 = np.asarray(state_f32.post.mu) - np.asarray(state.post.mu)
+    upd16 = np.asarray(state_b16.post.mu) - np.asarray(state.post.mu)
+    cos = float(np.dot(upd32, upd16)
+                / max(np.linalg.norm(upd32) * np.linalg.norm(upd16), 1e-30))
+    results.append(check("bf16-weights loss tracks f32",
+                         abs(loss16 - loss) / max(abs(loss), 1e-9) < 2e-2,
+                         f"{loss16:.4f} vs {loss:.4f}"))
+    results.append(check("bf16-weights update cosine > 0.98", cos > 0.98,
+                         f"{cos:.4f}"))
+
+    # 6. custom VJPs at FULL scale (the 73M-parameter flagship posterior):
+    #    (a) the sampling VJP's in-backward eps REGENERATION must match the
+    #    forward pass's eps on real hardware (the kernel re-derives eps
+    #    from the PRNG key — bit-exactness of that path is chip-specific);
+    #    (b) the unpack VJP's single-concat transpose vs XLA's autodiff.
+    full = make_multimodal_bundle(7, spec, jax.random.PRNGKey(0), ArchConfig())
+    mu_f = full.post.mu
+    sigma_f = jax.nn.softplus(full.post.rho)
+    k6 = jax.random.PRNGKey(11)
+    w, vjp = jax.vjp(
+        lambda m_, s_: gaussian_shift_scale(m_, s_, k6, num_draws=2,
+                                            impl="pallas"), mu_f, sigma_f)
+    eps_fwd = (np.asarray(w, np.float32) - np.asarray(mu_f)) \
+        / np.maximum(np.asarray(sigma_f), 1e-30)
+    g = jax.random.normal(jax.random.PRNGKey(12), w.shape, jnp.float32)
+    dmu_c, dsigma_c = vjp(g.astype(w.dtype))
+    gn = np.asarray(g)
+    want_dmu = gn.sum(axis=0)
+    want_dsigma = (gn * eps_fwd).sum(axis=0)
+    e_mu = np.abs(np.asarray(dmu_c) - want_dmu).max()
+    rel = np.linalg.norm(np.asarray(dsigma_c) - want_dsigma) \
+        / max(np.linalg.norm(want_dsigma), 1e-30)
+    results.append(check("sampling VJP dmu == sum(g) (73M)", e_mu < 1e-3,
+                         f"maxerr={e_mu:.2e}"))
+    results.append(check("sampling VJP eps regeneration (73M)", rel < 1e-3,
+                         f"rel-L2={rel:.2e}"))
+
+    meta_f, det_f = full.meta, full.post.det
+
+    def loss_of(unpack):
+        def f(w_):
+            tree = unpack(w_, det_f)
+            return sum(jnp.sum(l.astype(jnp.float32) ** 2)
+                       for l in jax.tree_util.tree_leaves(tree))
+        return f
+
+    g_custom = np.asarray(jax.grad(loss_of(meta_f.unpack))(mu_f))
+    g_auto = np.asarray(jax.grad(loss_of(meta_f._unpack_impl))(mu_f))
+    e_unpack = np.abs(g_custom - g_auto).max()
+    results.append(check("unpack VJP == autodiff transpose (73M)",
+                         e_unpack == 0.0, f"maxerr={e_unpack:.2e}"))
+
     print(f"\n{sum(results)}/{len(results)} checks passed")
     return 0 if all(results) else 1
 

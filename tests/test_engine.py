@@ -445,3 +445,67 @@ def test_chained_bn_large_chunk_scan_matches_unrolled():
                     jax.tree_util.tree_leaves(out[6][1])):
         assert np.isfinite(np.asarray(a)).all()
         assert np.asarray(a).shape == np.asarray(b).shape
+
+
+def test_strict_errors_reraises_instead_of_zero(tmp_path):
+    """VERDICT r2 #8a: the reference swallows any mid-epoch exception into
+    zero metrics (multimodal.py:194-200) — kept as the parity default, but
+    strict_errors=True must crash-save and RE-RAISE so a malformed batch
+    cannot silently discard an epoch."""
+
+    class PoisonLoader:
+        """Yields one good batch, then a malformed one."""
+
+        batch_size = 4
+
+        def __init__(self):
+            self.good = DataLoader(SyntheticMultimodalDataset(n=4),
+                                   batch_size=4, num_workers=0)
+
+        def __len__(self):
+            return 2
+
+        def __iter__(self):
+            yield from self.good
+            yield {"main_image": np.zeros((4, 5), np.float32)}  # malformed
+
+    bundle, tx, state = _mm_state()
+    step = make_train_step(bundle.module, bundle.meta, SPEC, tx, num_mc=2,
+                           impl="jnp")
+    sw = SummaryWriter(str(tmp_path / "tb"))
+    csv_path = str(tmp_path / "logs" / "train.csv")
+    os.makedirs(tmp_path / "logs")
+
+    # parity default: swallowed, zero metrics, crash-save happened
+    state2, loss, acc = train_multimodal_model(
+        step, state, PoisonLoader(), epoch=1, total_num_epochs=4,
+        csv_path=csv_path, model_type="multimodal", sum_writer=sw,
+        key=jax.random.PRNGKey(0), lr=1e-3,
+        bathy_patch_type="patch_10m_bathy", sss_patch_type="patch_10m_sss")
+    assert (loss, acc) == (0.0, 0.0)
+    assert os.path.isdir(tmp_path / "models")  # crash-save parity
+
+    # strict: the exception propagates
+    with pytest.raises(Exception):
+        train_multimodal_model(
+            step, state, PoisonLoader(), epoch=1, total_num_epochs=4,
+            csv_path=csv_path, model_type="multimodal", sum_writer=sw,
+            key=jax.random.PRNGKey(0), lr=1e-3,
+            bathy_patch_type="patch_10m_bathy",
+            sss_patch_type="patch_10m_sss", strict_errors=True)
+
+    # eval loop, same contract
+    estep = make_eval_step(bundle.module, bundle.meta, SPEC, num_mc=2,
+                           impl="jnp")
+    ecsv = str(tmp_path / "logs" / "eval.csv")
+    out = evaluate_multimodal_model(
+        estep, state, PoisonLoader(), epoch=1, total_num_epochs=4,
+        csv_path=ecsv, model_type="multimodal", key=jax.random.PRNGKey(0),
+        bathy_patch_type="patch_10m_bathy", sss_patch_type="patch_10m_sss")
+    assert out == 0.0
+    with pytest.raises(Exception):
+        evaluate_multimodal_model(
+            estep, state, PoisonLoader(), epoch=1, total_num_epochs=4,
+            csv_path=ecsv, model_type="multimodal", key=jax.random.PRNGKey(0),
+            bathy_patch_type="patch_10m_bathy",
+            sss_patch_type="patch_10m_sss", strict_errors=True)
