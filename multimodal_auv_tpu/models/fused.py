@@ -26,6 +26,13 @@ Inference-only (train-mode BN statistics are computed but running-stat
 updates are not emitted — the reference's predict path never reads them,
 predictors.py:27). Numerical equivalence with the unfused module is pinned
 by tests/test_models.py::test_fused_trunks_match_module.
+
+MEASURED AND REJECTED as the default (BENCH_NOTES.md, round 3): 37.4 vs
+55.4 patches/s at batch 4 x 20 MC, 9.6 vs 22.6 at batch 1 — XLA:TPU
+lowers grouped convolutions by block-diagonal kernel expansion (3x
+arithmetic, 2/3 of it zeros), so the fusion costs more than the
+small-batch MXU starvation it removes. Kept opt-in (`fused_trunks=True`)
+as the documented experiment.
 """
 from __future__ import annotations
 
