@@ -112,6 +112,8 @@ def retraining_cli(argv=None):
     parser.add_argument("--bf16_weights", action="store_true",
                         help="mixed-precision training: bf16 sampled "
                              "weights, f32 master posterior")
+    parser.add_argument("--strict_errors", action="store_true",
+                        help="re-raise mid-epoch exceptions instead of the reference's swallow-into-zero-metrics (crash-save still happens)")
     parser.add_argument("--packed_loader", action="store_true",
                         help="decode-once training: uint8 memmap batches, "
                              "normalize on-chip")
@@ -139,6 +141,7 @@ def retraining_cli(argv=None):
         freeze_backbone=args.freeze_backbone,
         bf16_weights=args.bf16_weights,
         use_packed_loader=args.packed_loader,
+        strict_errors=args.strict_errors,
         arch=_arch(args),
         mc_chunk=args.mc_chunk,
     )
@@ -162,6 +165,8 @@ def training_from_scratch_cli(argv=None):
     parser.add_argument("--bf16_weights", action="store_true",
                         help="mixed-precision training: bf16 sampled "
                              "weights, f32 master posterior")
+    parser.add_argument("--strict_errors", action="store_true",
+                        help="re-raise mid-epoch exceptions instead of the reference's swallow-into-zero-metrics (crash-save still happens)")
     parser.add_argument("--packed_loader", action="store_true",
                         help="decode-once training: uint8 memmap batches, "
                              "normalize on-chip")
@@ -190,6 +195,7 @@ def training_from_scratch_cli(argv=None):
         pretrained_trunks=args.pretrained_trunks,
         bf16_weights=args.bf16_weights,
         use_packed_loader=args.packed_loader,
+        strict_errors=args.strict_errors,
     )
     return 0 if ok else 1
 

@@ -60,6 +60,7 @@ def _train_multimodal_common(
     bf16_weights: bool = False,
     use_packed_loader: bool = False,
     image_size: Optional[int] = None,
+    strict_errors: bool = False,
 ):
     log_dir = setup_pipeline_logging()
     sum_writer = SummaryWriter(os.path.join("tensorboard_logs",
@@ -121,6 +122,7 @@ def _train_multimodal_common(
         class_names=class_names,
         double_scheduler_step=double_scheduler_step,
         checkpoint_resume_path=resume_checkpoint,
+        strict_errors=strict_errors,
     )
     sum_writer.close()
     bundle.post = state.post
@@ -150,6 +152,7 @@ def run_AUV_training_from_scratch(
     pretrained_trunks: Optional[str] = None,
     bf16_weights: bool = False,
     use_packed_loader: bool = False,
+    strict_errors: bool = False,
 ) -> bool:
     """Signature parity with functions.py:361-374 (``devices`` accepted for
     API compatibility; placement is mesh-driven on TPU).
@@ -194,6 +197,7 @@ def run_AUV_training_from_scratch(
             resume_checkpoint=resume_checkpoint,
             bf16_weights=bf16_weights,
             use_packed_loader=use_packed_loader,
+            strict_errors=strict_errors,
             image_size=arch.image_size,
         )
         logger.info("Full training pipeline finished.")
@@ -227,6 +231,7 @@ def run_auv_retraining(
     freeze_backbone: bool = False,
     bf16_weights: bool = False,
     use_packed_loader: bool = False,
+    strict_errors: bool = False,
 ) -> bool:
     """Foundation-model retraining (functions.py:84-258): pretrained HF
     weights, fc2 head swapped when num_classes != 7, then multimodal
@@ -270,6 +275,7 @@ def run_auv_retraining(
             freeze_backbone=freeze_backbone,
             bf16_weights=bf16_weights,
             use_packed_loader=use_packed_loader,
+            strict_errors=strict_errors,
             image_size=arch.image_size,
         )
         return True
