@@ -29,17 +29,39 @@ CACHE = os.path.join(REPO, "BASELINE_LOCAL.json")
 
 
 
-def _xla_flops(jitted, *args) -> "float | None":
-    """Total FLOPs of one call of a jitted function, from XLA's compiled
-    cost analysis (model FLOPs as the compiler counts them)."""
-    try:
-        ca = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        f = float(ca.get("flops", 0.0))
-        return f if f > 0 else None
-    except Exception:
-        return None
+def _resnet_conv_macs(stage_sizes, width, image_size, cin) -> float:
+    """Multiply-accumulates of one ResNet trunk forward (torchvision v1.5
+    bottleneck topology, models/resnet.py), one sample."""
+    h = image_size // 2  # conv1 stride 2
+    macs = 49 * cin * width * h * h
+    h //= 2  # maxpool
+    planes, c = width, width
+    for stage, blocks in enumerate(stage_sizes):
+        for b in range(blocks):
+            stride = 2 if (stage > 0 and b == 0) else 1
+            hout = h // stride
+            cout = planes * 4
+            macs += c * planes * h * h                     # 1x1 reduce
+            macs += 9 * planes * planes * hout * hout      # 3x3 (stride)
+            macs += planes * cout * hout * hout            # 1x1 expand
+            if b == 0:
+                macs += c * cout * hout * hout             # downsample
+            c, h = cout, hout
+        planes *= 2
+    return float(macs)
+
+
+def _model_flops_per_sample_per_draw(image_size=256,
+                                     stage_sizes=(3, 4, 6, 3),
+                                     width=64) -> float:
+    """Forward model FLOPs (2*MACs) of the multimodal BNN for ONE sample
+    and ONE MC draw: two RGB trunks + one 1-channel trunk (the
+    attention/fc head is <0.01% and ignored). Analytic and auditable —
+    XLA cost_analysis is unavailable client-side on this platform, and
+    AOT-compiling just to read it measured ~10 min through the tunnel."""
+    rgb = _resnet_conv_macs(stage_sizes, width, image_size, 3)
+    one = _resnet_conv_macs(stage_sizes, width, image_size, 1)
+    return 2.0 * (2 * rgb + one)
 
 
 # dense bf16 peak per chip (matmul units), by device kind prefix
@@ -62,13 +84,15 @@ def _peak_flops() -> float:
     return 197e12  # conservative default (v5e)
 
 
-def _mfu(flops_per_call, calls_per_sec) -> "float | None":
+def _mfu(samples_per_sec, num_mc, *, train=False) -> float:
     """Model-FLOPs utilization: achieved model FLOP/s over the chip's
     dense bf16 peak — the auditable efficiency number next to raw
-    throughput (round-2 verdict #8b)."""
-    if not flops_per_call or not calls_per_sec:
-        return None
-    return flops_per_call * calls_per_sec / _peak_flops()
+    throughput (round-2 verdict #8b). Training counts the standard
+    3x-forward (forward + backward); the remat re-forward the step also
+    executes is NOT counted as model FLOPs, so train MFU is conservative."""
+    per_draw = _model_flops_per_sample_per_draw()
+    mult = 3.0 if train else 1.0
+    return samples_per_sec * num_mc * per_draw * mult / _peak_flops()
 
 
 def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
@@ -112,8 +136,6 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
         out = step(bundle.post, bundle.batch_stats, inputs,
                    jax.random.fold_in(key, 1000 + i))
         np.asarray(out["predicted"])
-    flops = _xla_flops(step, bundle.post, bundle.batch_stats, inputs,
-                       jax.random.fold_in(key, 0))
 
     # Sustained serving throughput with a one-batch-lagged result fetch —
     # exactly the production predict loop (engine/predict.py): dispatch
@@ -132,7 +154,10 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
     np.asarray(prev["predicted"])  # hard sync: all iters results on host
     dt = time.perf_counter() - t0
     value = batch * iters / dt
-    return value, _mfu(flops, value / batch)
+    # MFU is defined on the exact-MC model-FLOP count; DVP replaces the MC
+    # forwards with a different (moment) computation, so it has no honest
+    # MFU under this definition
+    return value, (None if dvp else _mfu(value, num_mc))
 
 
 def measure_serve_tpu(batch: int, num_mc: int, n_samples: int = 96) -> float:
@@ -353,8 +378,6 @@ def measure_train_tpu(batch: int, num_mc: int, iters: int,
         state, m = step(state, inputs, labels, mask,
                         jax.random.fold_in(key, 100 + i), 0.5, float(batch))
         np.asarray(m["loss"])
-    flops = _xla_flops(step, state, inputs, labels, mask,
-                       jax.random.fold_in(key, 0), 0.5, float(batch))
     # lagged metric fetch, as in the production epoch loops (engine/loops.py)
     t0 = time.perf_counter()
     prev = None
@@ -366,7 +389,7 @@ def measure_train_tpu(batch: int, num_mc: int, iters: int,
         prev = m
     np.asarray(prev["loss"])
     value = batch * iters / (time.perf_counter() - t0)
-    return value, _mfu(flops, value / batch)
+    return value, _mfu(value, num_mc, train=True)
 
 
 def _torch_fusion_twin():
