@@ -142,3 +142,18 @@ def test_hub_probe_honors_endpoint_port(monkeypatch):
         assert hub._hub_reachable(timeout=0.5) is False
     finally:
         srv.close()
+
+
+def test_bench_mfu_flop_model():
+    """bench.py's analytic FLOP model must reproduce the torchvision
+    ResNet-50 figure (4.09 GMACs at 224^2) and scale to the 256^2
+    multimodal operating point; MFU math sanity at known throughputs."""
+    import bench
+
+    gmacs = bench._resnet_conv_macs((3, 4, 6, 3), 64, 224, 3) / 1e9
+    assert abs(gmacs - 4.087) < 0.02, gmacs
+    per_draw = bench._model_flops_per_sample_per_draw()
+    assert abs(per_draw / 1e9 - 31.82) < 0.2
+    # 57 patches/s x 20 draws x 31.8 GF / 197 TF/s peak ~= 18.4%
+    mfu = 57.0 * 20 * per_draw / 197e12
+    assert 0.17 < mfu < 0.20
