@@ -74,6 +74,14 @@ def inference_cli(argv=None):
                         help="Local torch checkpoint (skips the HF download).")
     parser.add_argument("--allow_random_init", action="store_true")
     parser.add_argument("--mc_chunk", type=int, default=1)
+    parser.add_argument("--packed_loader", action="store_true",
+                        help="decode-once serving: pack the survey into "
+                             "uint8 memmaps, normalize on-chip")
+    parser.add_argument("--dvp", action="store_true",
+                        help="single-pass moment-propagated serving "
+                             "(approximate; auto-falls back to exact MC "
+                             "outside the validated posterior-spread "
+                             "regime)")
     parser.add_argument("--tiny", action="store_true", help=argparse.SUPPRESS)
     args = parser.parse_args(argv)
 
@@ -89,6 +97,8 @@ def inference_cli(argv=None):
         allow_random_init=args.allow_random_init,
         arch=_arch(args),
         mc_chunk=args.mc_chunk,
+        use_packed_loader=args.packed_loader,
+        use_dvp=args.dvp,
     )
     return 0
 

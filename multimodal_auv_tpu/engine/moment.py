@@ -248,7 +248,8 @@ DVP_SPREAD_THRESHOLD = 0.15
 
 def make_dvp_predict_step(bundle, num_feature_samples: int = 20, *,
                           spread_threshold: float = DVP_SPREAD_THRESHOLD,
-                          on_excess: str = "warn"):
+                          on_excess: str = "warn",
+                          packed_inputs: bool = False):
     """Single-probabilistic-pass predict step: moment-propagated trunks +
     MC over feature noise and head weights only. Same output schema as
     engine.predict.make_predict_step.
@@ -274,6 +275,12 @@ def make_dvp_predict_step(bundle, num_feature_samples: int = 20, *,
                 "regime (threshold %.3f) — falling back to the exact MC "
                 "predict step (%d draws).", spread, spread_threshold,
                 num_feature_samples)
+            if packed_inputs:
+                from multimodal_auv_tpu.engine.predict import (
+                    make_packed_predict_step,
+                )
+
+                return make_packed_predict_step(bundle, num_feature_samples)
             from multimodal_auv_tpu.engine.predict import make_predict_step
 
             return make_predict_step(bundle, num_feature_samples)
@@ -288,8 +295,16 @@ def make_dvp_predict_step(bundle, num_feature_samples: int = 20, *,
     stage_sizes = tuple(module.stage_sizes)
 
     @jax.jit
-    def step(post, batch_stats, inputs, key):
-        del batch_stats  # trunk BN handled by the moment approximation
+    def step(post, batch_stats, inputs, key, mask=None):
+        # mask: accepted for serving-loop signature compatibility but NOT
+        # used — DVP's moment BN is computed from the mean map including
+        # any padded ragged-tail rows (an extra approximation on top of an
+        # already-approximate mode; exact MC remains the default path).
+        del batch_stats, mask  # trunk BN handled by the moment approximation
+        if packed_inputs:
+            from multimodal_auv_tpu.ops.preprocess import normalize_multimodal
+
+            inputs = normalize_multimodal(*inputs)
         mu_tree, var_tree = _split_trees(meta, post)
         main, bathy, sss = inputs
         feats = []

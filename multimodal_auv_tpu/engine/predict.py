@@ -249,6 +249,7 @@ def multimodal_predict_and_save(
     channel_patch_type: Optional[str] = "",
     model_type: str = "multimodal",
     mesh=None,
+    step=None,
 ) -> None:
     """Iterate an inference loader of (main, bathy, sss, names) batches and
     write the reference-schema CSV. Ragged final batches are padded to the
@@ -260,7 +261,9 @@ def multimodal_predict_and_save(
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    step = make_predict_step(bundle, num_mc_samples, mc_chunk=mc_chunk, impl=impl)
+    if step is None:
+        step = make_predict_step(bundle, num_mc_samples, mc_chunk=mc_chunk,
+                                 impl=impl)
 
     # sharded copies stay LOCAL: mutating bundle.post in place would leak
     # mesh placements to a caller reusing the bundle elsewhere (round-2

