@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -521,6 +522,49 @@ def measure_torch_cpu_train(batch: int, num_mc: int) -> float:
     return batch / step_time
 
 
+def measure_artifact_tpu(batch: int, num_mc: int, iters: int) -> float:
+    """Serving throughput through an AOT artifact (serving.py): export the
+    packed predict step + state, load it back, and drive the exported
+    program batch-by-batch (synchronous result fetch — the conservative
+    serving loop) to show what the artifact path costs vs in-process."""
+    import tempfile
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    import numpy as np
+
+    from multimodal_auv_tpu.config import BNNPriorSpec
+    from multimodal_auv_tpu.models.model_utils import ArchConfig, make_multimodal_bundle
+    from multimodal_auv_tpu.serving import (export_predict_artifact,
+                                            load_predict_artifact)
+
+    bundle = make_multimodal_bundle(7, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                    ArchConfig())
+    d = tempfile.mkdtemp(prefix="auv_artifact_")
+    t0 = time.perf_counter()
+    export_predict_artifact(bundle, d, batch_size=batch,
+                            num_mc_samples=num_mc)
+    export_s = time.perf_counter() - t0
+    art = load_predict_artifact(d)
+
+    s = art.image_size
+    rng = np.random.default_rng(0)
+    m = rng.integers(0, 255, (batch, s, s, 3), dtype=np.uint8)
+    b = rng.integers(0, 255, (batch, s, s, 3), dtype=np.uint8)
+    ss = rng.integers(0, 255, (batch, s, s, 1), dtype=np.uint8)
+    key = jax.random.PRNGKey(1)
+    for i in range(2):  # compile + warmup, D2H fence
+        out = art.predict(m, b, ss, key=jax.random.fold_in(key, 1000 + i))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = art.predict(m, b, ss, key=jax.random.fold_in(key, i))
+    dt = time.perf_counter() - t0
+    print(f"# artifact: export {export_s:.1f}s, dir {d}", file=sys.stderr)
+    return batch * iters / dt
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=4)
@@ -552,7 +596,21 @@ def main():
                    help="grouped-conv trunk fusion (models/fused.py)")
     p.add_argument("--antithetic", action="store_true",
                    help="pair MC draws antithetically (variance reduction)")
+    p.add_argument("--artifact", action="store_true",
+                   help="serve through an exported AOT artifact "
+                        "(serving.py) instead of the in-process step")
     args = p.parse_args()
+
+    if args.artifact:
+        value = measure_artifact_tpu(args.batch, args.num_mc,
+                                     max(args.iters, 10))
+        print(json.dumps({
+            "metric": "multimodal_bnn_artifact_serving_patches_per_sec",
+            "value": round(value, 3),
+            "unit": "patches/sec/chip",
+            "vs_baseline": None,
+        }))
+        return
 
     if args.serve:
         value = measure_serve_tpu(args.batch, args.num_mc,

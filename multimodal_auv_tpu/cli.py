@@ -124,6 +124,9 @@ def retraining_cli(argv=None):
                              "weights, f32 master posterior")
     parser.add_argument("--strict_errors", action="store_true",
                         help="re-raise mid-epoch exceptions instead of the reference's swallow-into-zero-metrics (crash-save still happens)")
+    parser.add_argument("--async_checkpoints", action="store_true",
+                        help="commit epoch-cadence checkpoints in a "
+                             "background thread (orbax async)")
     parser.add_argument("--packed_loader", action="store_true",
                         help="decode-once training: uint8 memmap batches, "
                              "normalize on-chip")
@@ -152,6 +155,7 @@ def retraining_cli(argv=None):
         bf16_weights=args.bf16_weights,
         use_packed_loader=args.packed_loader,
         strict_errors=args.strict_errors,
+        async_checkpoints=args.async_checkpoints,
         arch=_arch(args),
         mc_chunk=args.mc_chunk,
     )
@@ -177,6 +181,9 @@ def training_from_scratch_cli(argv=None):
                              "weights, f32 master posterior")
     parser.add_argument("--strict_errors", action="store_true",
                         help="re-raise mid-epoch exceptions instead of the reference's swallow-into-zero-metrics (crash-save still happens)")
+    parser.add_argument("--async_checkpoints", action="store_true",
+                        help="commit epoch-cadence checkpoints in a "
+                             "background thread (orbax async)")
     parser.add_argument("--packed_loader", action="store_true",
                         help="decode-once training: uint8 memmap batches, "
                              "normalize on-chip")
@@ -206,8 +213,49 @@ def training_from_scratch_cli(argv=None):
         bf16_weights=args.bf16_weights,
         use_packed_loader=args.packed_loader,
         strict_errors=args.strict_errors,
+        async_checkpoints=args.async_checkpoints,
     )
     return 0 if ok else 1
+
+
+def export_serving_cli(argv=None):
+    """Export an AOT serving artifact: compiled MC-predict program + state
+    (serving.py) — a TPU-native extra with no reference analogue."""
+    parser = argparse.ArgumentParser(
+        description="Export an AOT serving artifact (compiled StableHLO "
+                    "predict program + posterior state). A serving host "
+                    "loads it with only jax + numpy.")
+    parser.add_argument("--output_dir", type=str, required=True,
+                        help="Artifact directory to write.")
+    parser.add_argument("--batch_size", type=int, default=4,
+                        help="Static serving batch size (pad + mask ragged "
+                             "tails).")
+    parser.add_argument("--num_mc_samples", type=int, default=20)
+    parser.add_argument("--num_classes", type=int, default=7)
+    parser.add_argument("--model_weights", type=str, default=None,
+                        help="Local torch checkpoint (skips the HF download).")
+    parser.add_argument("--allow_random_init", action="store_true")
+    parser.add_argument("--mc_chunk", type=int, default=None)
+    parser.add_argument("--platforms", type=str, default=None,
+                        help="Comma-separated lowering targets, e.g. 'tpu' "
+                             "or 'tpu,cpu' (default: current backend).")
+    parser.add_argument("--tiny", action="store_true", help=argparse.SUPPRESS)
+    args = parser.parse_args(argv)
+
+    from multimodal_auv_tpu.pipelines import export_auv_serving_artifact
+
+    export_auv_serving_artifact(
+        output_dir=args.output_dir,
+        batch_size=args.batch_size,
+        num_mc_samples=args.num_mc_samples,
+        num_classes=args.num_classes,
+        model_weights_path=args.model_weights,
+        allow_random_init=args.allow_random_init,
+        arch=_arch(args),
+        mc_chunk=args.mc_chunk,
+        platforms=(args.platforms.split(",") if args.platforms else None),
+    )
+    return 0
 
 
 _COMMANDS = {
@@ -215,6 +263,7 @@ _COMMANDS = {
     "inference": inference_cli,
     "retrain": retraining_cli,
     "train-scratch": training_from_scratch_cli,
+    "export-serving": export_serving_cli,
 }
 
 

@@ -32,17 +32,43 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_pytree(path: str, tree: Any) -> str:
+_async_ckptr = None
+
+
+def _async_checkpointer():
+    global _async_ckptr
+    import orbax.checkpoint as ocp
+
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_ckptr
+
+
+def wait_for_saves() -> None:
+    """Block until every in-flight async checkpoint write has committed.
+    Call once at the end of training (the epoch loops do this when
+    ``async_checkpoints=True``); a no-op if nothing is in flight."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
+def save_pytree(path: str, tree: Any, *, async_save: bool = False) -> str:
     """Save a pytree with orbax's NATIVE array handling: jax.Arrays are
     written shard-by-shard (each process serialises only its addressable
     shards), so saving an FSDP-sharded posterior + Adam moments from a
     multi-host mesh is correct without any host gather. (A previous
     implementation funneled every leaf through np.asarray — fine
     single-process, wrong on a real multi-host mesh where non-addressable
-    shards make the gather impossible; round-2 verdict item #3.)"""
+    shards make the gather impossible; round-2 verdict item #3.)
+
+    ``async_save=True`` copies device arrays to host synchronously but
+    commits the disk write in orbax's background thread, so a training
+    loop's checkpoint cadence does not block on serialization (orbax
+    serialises back-to-back async saves internally; call
+    ``wait_for_saves()`` before reading the checkpoint or exiting)."""
     path = os.path.abspath(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    ckptr = _checkpointer()
+    ckptr = _async_checkpointer() if async_save else _checkpointer()
     ckptr.save(path, tree, force=True)
     return path
 
@@ -67,11 +93,12 @@ def model_checkpoint_path(csv_path: str, model_type: str) -> str:
     return os.path.join(base, "models", f"bayesian_model_type{model_type}")
 
 
-def save_model(post, csv_path: str, model_type: str) -> Optional[str]:
+def save_model(post, csv_path: str, model_type: str,
+               async_save: bool = False) -> Optional[str]:
     """Posterior-only checkpoint on the reference's path scheme."""
     try:
         path = model_checkpoint_path(csv_path, model_type)
-        save_pytree(path, post)
+        save_pytree(path, post, async_save=async_save)
         logger.info("Model checkpoint saved to %s", path)
         return path
     except Exception as e:
@@ -110,13 +137,14 @@ def load_and_fix_state_dict(post, path: str):
 
 
 def save_train_state(path: str, state, epoch: int,
-                     scheduler_counts: Optional[Dict[str, int]] = None) -> str:
+                     scheduler_counts: Optional[Dict[str, int]] = None,
+                     async_save: bool = False) -> str:
     import json
 
     path = os.path.abspath(path)
     # 0-d ndarray, not np scalar: orbax restore-args support
     tree = {"state": state, "epoch": np.asarray(epoch, np.int64)}
-    out = save_pytree(path, tree)
+    out = save_pytree(path, tree, async_save=async_save)
     # dynamic-keyed host metadata lives in a JSON sidecar (orbax template
     # restores require static structure)
     with open(path + ".meta.json", "w") as f:

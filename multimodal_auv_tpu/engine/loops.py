@@ -135,9 +135,14 @@ def train_multimodal_model(
     bathy_patch_type: Optional[str] = None,
     sss_patch_type: Optional[str] = None,
     strict_errors: bool = False,
+    async_checkpoints: bool = False,
 ) -> Tuple[BayesTrainState, float, float]:
     """One training epoch (multimodal.py:25-202). Returns
     (state, train_loss, train_accuracy).
+
+    ``async_checkpoints=True`` commits the 5-epoch-cadence checkpoint in
+    orbax's background thread so the next epoch starts immediately
+    (crash-saves stay synchronous — the process may be about to die).
 
     ``strict_errors=False`` (default) is reference parity: any exception
     mid-epoch crash-saves the posterior and returns zero metrics
@@ -205,7 +210,8 @@ def train_multimodal_model(
         # checkpoint every 5 epochs (multimodal.py:189-190)
         if epoch % 5 == 0:
             ckpt.save_model(state.post, csv_path,
-                            f"{model_type}_bathy_patch{bathy_size}_sss_patch{sss_size}")
+                            f"{model_type}_bathy_patch{bathy_size}_sss_patch{sss_size}",
+                            async_save=async_checkpoints)
         return state, train_loss, train_accuracy
     except Exception:
         # crash-save parity (multimodal.py:194-200)
@@ -310,6 +316,7 @@ def train_unimodal_model(
     train_step, state: BayesTrainState, dataloader, epoch: int,
     total_num_epochs: int, csv_path: str, model_type: str, sum_writer,
     key: jax.Array, lr: float, strict_errors: bool = False,
+    async_checkpoints: bool = False,
 ) -> Tuple[BayesTrainState, float, float]:
     """One unimodal training epoch (unimodal.py:21-175); CSV columns
     ["Epoch","Model type","Loss","Accuracy","lr"], row logs epoch+1."""
@@ -357,7 +364,8 @@ def train_unimodal_model(
                              train_accuracy, lr])
 
         if epoch % 5 == 0:
-            ckpt.save_model(state.post, csv_path, model_type)
+            ckpt.save_model(state.post, csv_path, model_type,
+                            async_save=async_checkpoints)
         return state, train_accuracy, train_loss
     except Exception:
         ckpt.save_model(state.post, csv_path, model_type)
@@ -452,6 +460,7 @@ def train_and_evaluate_multimodal_model(
     double_scheduler_step: bool = True,
     checkpoint_resume_path: Optional[str] = None,
     strict_errors: bool = False,
+    async_checkpoints: bool = False,
 ) -> BayesTrainState:
     """loop_utils.py:162-250: for each epoch train -> scheduler.step() ->
     eval -> scheduler.step() *again* (the reference double-steps its StepLR
@@ -475,7 +484,8 @@ def train_and_evaluate_multimodal_model(
         state, train_loss, train_acc = train_multimodal_model(
             train_step, state, train_loader, epoch, num_epochs, train_csv,
             model_type, sum_writer, k1, scheduler.lr,
-            bathy_patch_type, sss_patch_type, strict_errors=strict_errors)
+            bathy_patch_type, sss_patch_type, strict_errors=strict_errors,
+            async_checkpoints=async_checkpoints)
         scheduler.step()
         test_acc = evaluate_multimodal_model(
             eval_step, state, test_loader, epoch, num_epochs, eval_csv,
@@ -487,7 +497,10 @@ def train_and_evaluate_multimodal_model(
         sum_writer.add_scalar("Accuracy/val_epoch", test_acc, epoch)
         if checkpoint_resume_path:
             ckpt.save_train_state(checkpoint_resume_path, state, epoch + 1,
-                                  {model_type: scheduler.epoch_count})
+                                  {model_type: scheduler.epoch_count},
+                                  async_save=async_checkpoints)
+    if async_checkpoints:
+        ckpt.wait_for_saves()
     return state
 
 
@@ -496,6 +509,7 @@ def train_and_evaluate_unimodal_model(
     state: BayesTrainState, scheduler: StepLR, csv_dir: str, sum_writer,
     key: jax.Array, model_type: str, class_names=None,
     skip_epoch_zero: bool = True, strict_errors: bool = False,
+    async_checkpoints: bool = False,
 ) -> BayesTrainState:
     """loop_utils.py:65-159. The reference's epoch loop is
     ``range(1, num_epochs)`` — it *skips epoch 0* (an off-by-one,
@@ -512,11 +526,13 @@ def train_and_evaluate_unimodal_model(
         state, train_acc, train_loss = train_unimodal_model(
             train_step, state, train_loader, epoch, num_epochs, train_csv,
             model_type, sum_writer, k1, scheduler.lr,
-            strict_errors=strict_errors)
+            strict_errors=strict_errors, async_checkpoints=async_checkpoints)
         test_acc = evaluate_unimodal_model(
             eval_step, state, test_loader, epoch, num_epochs, eval_csv,
             model_type, k2, class_names, strict_errors=strict_errors)
         scheduler.step()
         sum_writer.add_scalar(f"Loss/train_{model_type}", train_loss, epoch)
         sum_writer.add_scalar(f"Accuracy/val_{model_type}", test_acc, epoch)
+    if async_checkpoints:
+        ckpt.wait_for_saves()
     return state

@@ -1,6 +1,9 @@
 """Public pipeline API — reference package-level exports
 (/root/reference/src/Multimodal_AUV/__init__.py:5-10)."""
-from multimodal_auv_tpu.pipelines.inference import run_auv_inference  # noqa: F401
+from multimodal_auv_tpu.pipelines.inference import (  # noqa: F401
+    export_auv_serving_artifact,
+    run_auv_inference,
+)
 from multimodal_auv_tpu.pipelines.training import (  # noqa: F401
     run_AUV_training_from_scratch,
     run_auv_retraining,

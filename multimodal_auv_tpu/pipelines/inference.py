@@ -58,25 +58,8 @@ def run_auv_inference(
     logger.info("Using devices: %s", jax.devices())
 
     arch = arch or ArchConfig()
-    bundle = make_multimodal_bundle(num_classes, BNNPriorSpec(),
-                                    jax.random.PRNGKey(seed), arch)
-
-    weights = hub.fetch_pretrained_weights(local_path=model_weights_path)
-    if weights is not None:
-        from multimodal_auv_tpu.interop.torch_import import (
-            load_and_prepare_multimodal_model,
-        )
-
-        bundle, stats = load_and_prepare_multimodal_model(
-            bundle, weights, num_classes=num_classes)
-        logger.info("Pretrained weights loaded: %s", stats)
-    elif not allow_random_init:
-        raise RuntimeError(
-            "No pretrained weights available (offline and no "
-            "model_weights_path). Pass allow_random_init=True to proceed "
-            "with a randomly initialised model.")
-    else:
-        logger.warning("Proceeding with randomly initialised model.")
+    bundle = _pretrained_bundle(num_classes, arch, seed, model_weights_path,
+                                allow_random_init, logger)
 
     dirs = ([data_directory] if isinstance(data_directory, (str, bytes))
             else list(data_directory))
@@ -142,3 +125,62 @@ def run_auv_inference(
             mesh=mesh, step=step)
     logger.info("Final inference process completed successfully.")
     return output_csv
+
+
+def _pretrained_bundle(num_classes, arch, seed, model_weights_path,
+                       allow_random_init, logger):
+    """Build the multimodal bundle and load pretrained weights (HF download
+    or local torch checkpoint) — shared by the serving entry points."""
+    bundle = make_multimodal_bundle(num_classes, BNNPriorSpec(),
+                                    jax.random.PRNGKey(seed), arch)
+    weights = hub.fetch_pretrained_weights(local_path=model_weights_path)
+    if weights is not None:
+        from multimodal_auv_tpu.interop.torch_import import (
+            load_and_prepare_multimodal_model,
+        )
+
+        bundle, stats = load_and_prepare_multimodal_model(
+            bundle, weights, num_classes=num_classes)
+        logger.info("Pretrained weights loaded: %s", stats)
+    elif not allow_random_init:
+        raise RuntimeError(
+            "No pretrained weights available (offline and no "
+            "model_weights_path). Pass allow_random_init=True to proceed "
+            "with a randomly initialised model.")
+    else:
+        logger.warning("Proceeding with randomly initialised model.")
+    return bundle
+
+
+def export_auv_serving_artifact(
+    output_dir: str,
+    batch_size: int = 4,
+    num_mc_samples: int = 20,
+    num_classes: int = 7,
+    *,
+    model_weights_path: Optional[str] = None,
+    allow_random_init: bool = False,
+    arch: Optional[ArchConfig] = None,
+    mc_chunk: Optional[int] = None,
+    seed: int = 0,
+    platforms=None,
+):
+    """Export an AOT serving artifact (serving.py): the compiled packed MC
+    predict program + posterior state, loadable on a serving host with only
+    jax + numpy (no model code, no HF access, no re-tracing).
+
+    No reference analogue — functions.py:26-82 rebuilds its torch modules
+    per process; this ships the compiled program itself."""
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s - %(levelname)s - %(message)s")
+    logger = logging.getLogger(__name__)
+    arch = arch or ArchConfig()
+    bundle = _pretrained_bundle(num_classes, arch, seed, model_weights_path,
+                                allow_random_init, logger)
+    from multimodal_auv_tpu.serving import export_predict_artifact
+
+    return export_predict_artifact(
+        bundle, output_dir, batch_size=batch_size,
+        num_mc_samples=num_mc_samples, image_size=arch.image_size,
+        mc_chunk=mc_chunk, platforms=platforms, seed=seed)

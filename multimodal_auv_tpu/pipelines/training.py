@@ -61,6 +61,7 @@ def _train_multimodal_common(
     use_packed_loader: bool = False,
     image_size: Optional[int] = None,
     strict_errors: bool = False,
+    async_checkpoints: bool = False,
 ):
     log_dir = setup_pipeline_logging()
     sum_writer = SummaryWriter(os.path.join("tensorboard_logs",
@@ -123,6 +124,7 @@ def _train_multimodal_common(
         double_scheduler_step=double_scheduler_step,
         checkpoint_resume_path=resume_checkpoint,
         strict_errors=strict_errors,
+        async_checkpoints=async_checkpoints,
     )
     sum_writer.close()
     bundle.post = state.post
@@ -153,6 +155,7 @@ def run_AUV_training_from_scratch(
     bf16_weights: bool = False,
     use_packed_loader: bool = False,
     strict_errors: bool = False,
+    async_checkpoints: bool = False,
 ) -> bool:
     """Signature parity with functions.py:361-374 (``devices`` accepted for
     API compatibility; placement is mesh-driven on TPU).
@@ -198,6 +201,7 @@ def run_AUV_training_from_scratch(
             bf16_weights=bf16_weights,
             use_packed_loader=use_packed_loader,
             strict_errors=strict_errors,
+            async_checkpoints=async_checkpoints,
             image_size=arch.image_size,
         )
         logger.info("Full training pipeline finished.")
@@ -232,6 +236,7 @@ def run_auv_retraining(
     bf16_weights: bool = False,
     use_packed_loader: bool = False,
     strict_errors: bool = False,
+    async_checkpoints: bool = False,
 ) -> bool:
     """Foundation-model retraining (functions.py:84-258): pretrained HF
     weights, fc2 head swapped when num_classes != 7, then multimodal
@@ -276,6 +281,7 @@ def run_auv_retraining(
             bf16_weights=bf16_weights,
             use_packed_loader=use_packed_loader,
             strict_errors=strict_errors,
+            async_checkpoints=async_checkpoints,
             image_size=arch.image_size,
         )
         return True

@@ -1,0 +1,171 @@
+"""AOT serving artifacts: ``jax.export`` the compiled predict program.
+
+Production serving for the reference means re-instantiating the torch
+modules, re-downloading weights, and re-tracing in every process
+(/root/reference/src/Multimodal_AUV/functions/functions.py:26-82). The
+TPU-native path exports the *compiled program itself*: the packed MC
+predict step (uint8 batch -> fused CSV columns, engine/predict.py) is
+lowered once with ``jax.export`` and written to disk next to the
+posterior/BN state. A serving host then needs only this module + jax +
+numpy — no flax, no model code, no tracing — and every serving process
+runs the byte-identical StableHLO program.
+
+Artifact layout (a directory):
+
+    program.jaxexport   serialized jax.export.Exported (StableHLO)
+    state.npz           posterior + BN leaves, ordered (leaf_00000, ...)
+    meta.json           version, shapes, num_mc, platforms, class names
+
+The exported callable has signature
+``(state_leaves, (main_u8, bathy_u8, sss_u8), key, mask) -> outputs`` with
+the state as a flat *list* of arrays, so the loader never needs the
+pytree structure (it feeds the npz arrays back in index order).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.export
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+ARTIFACT_VERSION = 1
+_PROGRAM = "program.jaxexport"
+_STATE = "state.npz"
+_META = "meta.json"
+
+
+def export_predict_artifact(bundle, out_dir: str, *, batch_size: int,
+                            num_mc_samples: int, image_size: int = 256,
+                            mc_chunk: Optional[int] = None,
+                            impl: str = "auto",
+                            platforms: Optional[Sequence[str]] = None,
+                            class_names: Optional[Sequence[str]] = None,
+                            seed: int = 0) -> str:
+    """Export the packed predict step + state for ``bundle`` to ``out_dir``.
+
+    ``platforms``: lowering targets (e.g. ``["tpu"]``); defaults to the
+    current backend. ``batch_size`` is static (XLA programs have static
+    shapes); serve ragged tails by zero-padding + the validity ``mask``
+    argument, exactly like the in-process serving loop.
+    """
+    from multimodal_auv_tpu.engine.predict import make_packed_predict_step
+
+    step = make_packed_predict_step(bundle, num_mc_samples,
+                                    mc_chunk=mc_chunk, impl=impl)
+    leaves, treedef = jax.tree.flatten((bundle.post, bundle.batch_stats))
+
+    def serve(state_leaves, u8_inputs, key, mask):
+        post, batch_stats = jax.tree.unflatten(treedef, state_leaves)
+        out = step(post, batch_stats, u8_inputs, key, mask)
+        return {k: out[k] for k in
+                ("predicted", "predictive_uncertainty",
+                 "aleatoric_uncertainty", "mean_prob", "csv_cols")}
+
+    s = int(image_size)
+    b = batch_size
+    state_specs = [jax.ShapeDtypeStruct(np.shape(l), l.dtype) for l in leaves]
+    u8 = jax.ShapeDtypeStruct
+    u8_specs = (u8((b, s, s, 3), np.uint8), u8((b, s, s, 3), np.uint8),
+                u8((b, s, s, 1), np.uint8))
+    key_spec = jax.ShapeDtypeStruct(np.shape(jax.random.PRNGKey(0)),
+                                    np.uint32)
+    mask_spec = jax.ShapeDtypeStruct((b,), np.float32)
+
+    exported = jax.export.export(
+        jax.jit(serve), platforms=list(platforms) if platforms else None,
+    )(state_specs, u8_specs, key_spec, mask_spec)
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, _PROGRAM), "wb") as f:
+        f.write(exported.serialize())
+    np.savez(os.path.join(out_dir, _STATE),
+             **{f"leaf_{i:05d}": np.asarray(l) for i, l in enumerate(leaves)})
+    num_classes = getattr(bundle.module, "num_classes", None)
+    meta = {
+        "version": ARTIFACT_VERSION,
+        "batch_size": b,
+        "image_size": s,
+        "num_mc_samples": num_mc_samples,
+        "num_state_leaves": len(leaves),
+        "num_classes": num_classes,
+        "class_names": list(class_names) if class_names else None,
+        "platforms": list(exported.platforms),
+        "seed": seed,
+    }
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+    logger.info("Exported serving artifact to %s (platforms=%s, batch=%d, "
+                "mc=%d, %d state leaves)", out_dir, exported.platforms, b,
+                num_mc_samples, len(leaves))
+    return out_dir
+
+
+class ServingArtifact:
+    """A loaded serving artifact: ``predict`` runs the exported program.
+
+    Needs only jax + numpy at load time — the model classes are baked
+    into the serialized StableHLO.
+    """
+
+    def __init__(self, exported, state_leaves, meta: dict):
+        self._exported = exported
+        self._leaves = state_leaves
+        self.meta = meta
+        self.batch_size = int(meta["batch_size"])
+        self.image_size = int(meta["image_size"])
+        self._call = jax.jit(exported.call)
+
+    @classmethod
+    def load(cls, artifact_dir: str, *, device=None) -> "ServingArtifact":
+        with open(os.path.join(artifact_dir, _META)) as f:
+            meta = json.load(f)
+        if meta.get("version") != ARTIFACT_VERSION:
+            raise ValueError(
+                f"serving artifact version {meta.get('version')} != "
+                f"supported {ARTIFACT_VERSION}")
+        with open(os.path.join(artifact_dir, _PROGRAM), "rb") as f:
+            exported = jax.export.deserialize(f.read())
+        npz = np.load(os.path.join(artifact_dir, _STATE))
+        leaves = [npz[f"leaf_{i:05d}"]
+                  for i in range(int(meta["num_state_leaves"]))]
+        if device is not None:
+            leaves = [jax.device_put(l, device) for l in leaves]
+        else:
+            leaves = [jax.device_put(l) for l in leaves]
+        return cls(exported, leaves, meta)
+
+    def predict(self, main_u8, bathy_u8, sss_u8, *, key=None, mask=None):
+        """Run one batch. Inputs are uint8 NHWC host arrays of the
+        artifact's static batch size (zero-pad + mask a ragged tail).
+        Returns a dict of numpy arrays (predicted class, both
+        uncertainties, mean softmax, fused csv_cols)."""
+        b = self.batch_size
+        for name, a, ch in (("main", main_u8, 3), ("bathy", bathy_u8, 3),
+                            ("sss", sss_u8, 1)):
+            a = np.asarray(a)
+            if a.shape != (b, self.image_size, self.image_size, ch):
+                raise ValueError(
+                    f"{name} batch shape {a.shape} != artifact's "
+                    f"({b}, {self.image_size}, {self.image_size}, {ch})")
+            if a.dtype != np.uint8:
+                raise ValueError(f"{name} batch must be uint8, got {a.dtype}")
+        if key is None:
+            key = jax.random.PRNGKey(int(self.meta.get("seed", 0)))
+        if mask is None:
+            mask = np.ones((b,), np.float32)
+        out = self._call(self._leaves,
+                         (np.asarray(main_u8), np.asarray(bathy_u8),
+                          np.asarray(sss_u8)),
+                         np.asarray(key, np.uint32),
+                         np.asarray(mask, np.float32))
+        return jax.tree.map(np.asarray, out)
+
+
+def load_predict_artifact(artifact_dir: str, *, device=None) -> ServingArtifact:
+    return ServingArtifact.load(artifact_dir, device=device)

@@ -170,6 +170,32 @@ def main():
     results.append(check("unpack VJP == autodiff transpose (73M)",
                          e_unpack == 0.0, f"maxerr={e_unpack:.2e}"))
 
+    # AOT serving artifact on-chip: export the packed predict step for TPU,
+    # reload, and pin it bit-exact against the in-process step (serving.py)
+    import tempfile
+
+    from multimodal_auv_tpu.engine.predict import make_packed_predict_step
+    from multimodal_auv_tpu.serving import (export_predict_artifact,
+                                            load_predict_artifact)
+
+    small = make_multimodal_bundle(7, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                   ArchConfig.tiny(image_size=64))
+    d = tempfile.mkdtemp(prefix="auv_art_")
+    export_predict_artifact(small, d, batch_size=2, num_mc_samples=4,
+                            image_size=64)
+    art = load_predict_artifact(d)
+    rng = np.random.default_rng(0)
+    u8 = (rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8),
+          rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8),
+          rng.integers(0, 255, (2, 64, 64, 1), dtype=np.uint8))
+    k = jax.random.PRNGKey(5)
+    got = art.predict(*u8, key=k)
+    ref = make_packed_predict_step(small, 4)(
+        small.post, small.batch_stats, u8, k, jnp.ones((2,), jnp.float32))
+    e_art = np.abs(got["csv_cols"] - np.asarray(ref["csv_cols"])).max()
+    results.append(check("AOT artifact == in-process step (on-chip)",
+                         e_art == 0.0, f"maxerr={e_art:.2e}"))
+
     print(f"\n{sum(results)}/{len(results)} checks passed")
     return 0 if all(results) else 1
 

@@ -280,6 +280,34 @@ def test_checkpoint_roundtrip(tmp_path):
     assert os.path.exists(tmp_path / "models" / "bayesian_model_typemultimodal")
 
 
+def test_async_checkpoint_roundtrip(tmp_path):
+    """async_save commits in orbax's background thread; after
+    wait_for_saves() the checkpoint is durable and bit-identical."""
+    from multimodal_auv_tpu.engine import checkpointing as ckpt
+
+    bundle, tx, state = _mm_state()
+    path = str(tmp_path / "ck" / "async_state")
+    ckpt.save_train_state(path, state, epoch=7, scheduler_counts={"m": 2},
+                          async_save=True)
+    ckpt.wait_for_saves()
+    state2, epoch, sched = ckpt.restore_train_state(path, state)
+    assert epoch == 7 and sched == {"m": 2}
+    np.testing.assert_array_equal(np.asarray(state2.post.mu),
+                                  np.asarray(state.post.mu))
+    np.testing.assert_array_equal(np.asarray(state2.post.rho),
+                                  np.asarray(state.post.rho))
+
+    # back-to-back async saves to the same path must serialise, not corrupt
+    ckpt.save_model(state.post, str(tmp_path / "a" / "b.csv"), "mm",
+                    async_save=True)
+    ckpt.save_model(state.post, str(tmp_path / "a" / "b.csv"), "mm",
+                    async_save=True)
+    ckpt.wait_for_saves()
+    p, ok = ckpt.load_and_fix_state_dict(
+        state.post, str(tmp_path / "models" / "bayesian_model_typemm"))
+    assert ok
+
+
 def test_masked_bn_ragged_batch_equals_unpadded():
     """Padded ragged-tail rows must not pollute train-mode BN statistics:
     the real rows of a padded+masked batch equal the same rows run unpadded

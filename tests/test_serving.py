@@ -1,0 +1,187 @@
+"""AOT serving artifact (serving.py): export -> load -> predict must be
+byte-exact vs the in-process packed predict step, and the loader must not
+need the model classes (only jax + numpy).
+
+No reference analogue: the reference re-instantiates torch modules per
+serving process (functions/functions.py:26-82); here the compiled program
+itself ships.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_auv_tpu.config import BNNPriorSpec
+from multimodal_auv_tpu.engine.predict import make_packed_predict_step
+from multimodal_auv_tpu.models.model_utils import ArchConfig, make_multimodal_bundle
+from multimodal_auv_tpu.serving import (ARTIFACT_VERSION,
+                                        export_predict_artifact,
+                                        load_predict_artifact)
+
+ARCH = ArchConfig.micro()
+B, S, MC = 4, 32, 4
+
+
+@pytest.fixture(scope="module")
+def artifact_dir(tmp_path_factory):
+    bundle = make_multimodal_bundle(3, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                    ARCH)
+    d = str(tmp_path_factory.mktemp("artifact"))
+    export_predict_artifact(bundle, d, batch_size=B, num_mc_samples=MC,
+                            image_size=S, class_names=["a", "b", "c"])
+    return d, bundle
+
+
+def _batch(seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 255, (B, S, S, 3), dtype=np.uint8),
+            rng.integers(0, 255, (B, S, S, 3), dtype=np.uint8),
+            rng.integers(0, 255, (B, S, S, 1), dtype=np.uint8))
+
+
+def test_artifact_roundtrip_exact(artifact_dir):
+    d, bundle = artifact_dir
+    art = load_predict_artifact(d)
+    m, b, s = _batch()
+    key = jax.random.PRNGKey(7)
+    out = art.predict(m, b, s, key=key)
+
+    step = make_packed_predict_step(bundle, MC)
+    ref = step(bundle.post, bundle.batch_stats, (m, b, s), key,
+               jnp.ones((B,), jnp.float32))
+    np.testing.assert_array_equal(out["predicted"],
+                                  np.asarray(ref["predicted"]))
+    np.testing.assert_array_equal(out["csv_cols"], np.asarray(ref["csv_cols"]))
+    np.testing.assert_array_equal(out["mean_prob"],
+                                  np.asarray(ref["mean_prob"]))
+
+
+def test_artifact_deterministic_and_mask(artifact_dir):
+    d, _ = artifact_dir
+    art = load_predict_artifact(d)
+    m, b, s = _batch(1)
+    key = jax.random.PRNGKey(3)
+    o1 = art.predict(m, b, s, key=key)
+    o2 = art.predict(m, b, s, key=key)
+    np.testing.assert_array_equal(o1["csv_cols"], o2["csv_cols"])
+    # ragged tail: masked rows must not change real rows' outputs
+    mask = np.array([1, 1, 0, 0], np.float32)
+    m2, b2, s2 = (a.copy() for a in (m, b, s))
+    m2[2:], b2[2:], s2[2:] = 0, 0, 0
+    om = art.predict(m2, b2, s2, key=key, mask=mask)
+    m3, b3, s3 = (a.copy() for a in (m, b, s))
+    m3[2:], b3[2:], s3[2:] = 255, 255, 255
+    om2 = art.predict(m3, b3, s3, key=key, mask=mask)
+    np.testing.assert_allclose(om["mean_prob"][:2], om2["mean_prob"][:2],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_artifact_input_validation(artifact_dir):
+    d, _ = artifact_dir
+    art = load_predict_artifact(d)
+    m, b, s = _batch()
+    with pytest.raises(ValueError, match="batch shape"):
+        art.predict(m[:2], b[:2], s[:2])
+    with pytest.raises(ValueError, match="uint8"):
+        art.predict(m.astype(np.float32), b, s)
+
+
+def test_artifact_version_gate(artifact_dir, tmp_path):
+    d, _ = artifact_dir
+    import json
+    import shutil
+    bad = tmp_path / "bad"
+    shutil.copytree(d, bad)
+    meta = json.loads((bad / "meta.json").read_text())
+    meta["version"] = ARTIFACT_VERSION + 1
+    (bad / "meta.json").write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="version"):
+        load_predict_artifact(str(bad))
+
+
+def test_export_pipeline_api(tmp_path):
+    """pipelines.export_auv_serving_artifact: offline (HF_HUB_OFFLINE) +
+    allow_random_init exports a loadable artifact end-to-end."""
+    from multimodal_auv_tpu.pipelines import export_auv_serving_artifact
+
+    d = str(tmp_path / "art")
+    out = export_auv_serving_artifact(
+        d, batch_size=B, num_mc_samples=MC, num_classes=3,
+        allow_random_init=True, arch=ARCH)
+    assert out == d
+    art = load_predict_artifact(d)
+    assert art.meta["num_classes"] == 3
+    m, b, s = _batch(2)
+    res = art.predict(m, b, s)
+    assert res["predicted"].shape == (B,)
+    assert res["csv_cols"].shape == (3, B)
+
+
+def test_cli_export_serving_flag_parity():
+    from multimodal_auv_tpu import cli
+
+    captured = {}
+
+    def fake(**kw):
+        captured.update(kw)
+
+    import multimodal_auv_tpu.pipelines as P
+
+    orig = P.export_auv_serving_artifact
+    P.export_auv_serving_artifact = fake
+    try:
+        rc = cli.export_serving_cli([
+            "--output_dir", "/tmp/a", "--batch_size", "8",
+            "--num_mc_samples", "12", "--platforms", "tpu,cpu"])
+    finally:
+        P.export_auv_serving_artifact = orig
+    assert rc == 0
+    assert captured["output_dir"] == "/tmp/a"
+    assert captured["batch_size"] == 8
+    assert captured["platforms"] == ["tpu", "cpu"]
+
+
+def test_loader_needs_no_model_code(artifact_dir):
+    """The loader path must run in a process where the model/flax modules
+    were never imported — proven by a subprocess with an import tripwire."""
+    d, _ = artifact_dir
+    import subprocess
+    import sys
+    code = f"""
+import builtins, sys
+_real = builtins.__import__
+FORBIDDEN = ("flax", "multimodal_auv_tpu.models", "multimodal_auv_tpu.engine",
+             "multimodal_auv_tpu.bayes")
+def guard(name, *a, **k):
+    if any(name == f or name.startswith(f + ".") for f in FORBIDDEN):
+        raise ImportError("forbidden in serving process: " + name)
+    return _real(name, *a, **k)
+builtins.__import__ = guard
+sys.path.insert(0, {os.getcwd()!r})
+import numpy as np
+import jax
+# the axon TPU plugin force-registers itself and overrides JAX_PLATFORMS;
+# pin back to CPU (same dance as conftest.py) so this subprocess never
+# touches the real chip
+jax.config.update("jax_platforms", "cpu")
+from multimodal_auv_tpu.serving import load_predict_artifact
+art = load_predict_artifact({d!r})
+rng = np.random.default_rng(0)
+out = art.predict(rng.integers(0, 255, ({B},{S},{S},3), dtype=np.uint8),
+                  rng.integers(0, 255, ({B},{S},{S},3), dtype=np.uint8),
+                  rng.integers(0, 255, ({B},{S},{S},1), dtype=np.uint8))
+assert out["predicted"].shape == ({B},)
+print("SERVE_OK")
+"""
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               JAX_COMPILATION_CACHE_DIR=cache,
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0",
+               JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="0")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr
+    assert "SERVE_OK" in r.stdout
