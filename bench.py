@@ -557,12 +557,14 @@ def measure_artifact_tpu(batch: int, num_mc: int, iters: int) -> float:
     key = jax.random.PRNGKey(1)
     for i in range(2):  # compile + warmup, D2H fence
         out = art.predict(m, b, ss, key=jax.random.fold_in(key, 1000 + i))
+    # production loop shape: one-batch-lagged fetch, ONE fused D2H per batch
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = art.predict(m, b, ss, key=jax.random.fold_in(key, i))
+    n = 0
+    for out in art.predict_batches((m, b, ss) for _ in range(iters)):
+        n += out["predicted"].shape[0]
     dt = time.perf_counter() - t0
     print(f"# artifact: export {export_s:.1f}s, dir {d}", file=sys.stderr)
-    return batch * iters / dt
+    return n / dt
 
 
 def main():

@@ -227,9 +227,11 @@ def export_serving_cli(argv=None):
                     "loads it with only jax + numpy.")
     parser.add_argument("--output_dir", type=str, required=True,
                         help="Artifact directory to write.")
-    parser.add_argument("--batch_size", type=int, default=4,
+    parser.add_argument("--batch_size", default="4",
                         help="Static serving batch size (pad + mask ragged "
-                             "tails).")
+                             "tails), or 'poly' for a batch-polymorphic "
+                             "artifact (any size, one XLA specialization "
+                             "per distinct size).")
     parser.add_argument("--num_mc_samples", type=int, default=20)
     parser.add_argument("--num_classes", type=int, default=7)
     parser.add_argument("--model_weights", type=str, default=None,
@@ -246,7 +248,8 @@ def export_serving_cli(argv=None):
 
     export_auv_serving_artifact(
         output_dir=args.output_dir,
-        batch_size=args.batch_size,
+        batch_size=("poly" if args.batch_size == "poly"
+                    else int(args.batch_size)),
         num_mc_samples=args.num_mc_samples,
         num_classes=args.num_classes,
         model_weights_path=args.model_weights,

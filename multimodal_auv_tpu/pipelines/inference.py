@@ -154,7 +154,7 @@ def _pretrained_bundle(num_classes, arch, seed, model_weights_path,
 
 def export_auv_serving_artifact(
     output_dir: str,
-    batch_size: int = 4,
+    batch_size=4,  # int, or "poly" for a batch-polymorphic artifact
     num_mc_samples: int = 20,
     num_classes: int = 7,
     *,

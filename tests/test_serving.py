@@ -101,6 +101,46 @@ def test_artifact_version_gate(artifact_dir, tmp_path):
         load_predict_artifact(str(bad))
 
 
+def test_predict_batches_lagged_stream(artifact_dir):
+    """predict_batches must yield the same outputs, in order, as per-batch
+    predict with the matching fold_in subkeys."""
+    d, _ = artifact_dir
+    art = load_predict_artifact(d)
+    key = jax.random.PRNGKey(11)
+    batches = [_batch(i) for i in range(3)]
+    streamed = list(art.predict_batches(iter(batches), key=key))
+    assert len(streamed) == 3
+    for i, (got, b) in enumerate(zip(streamed, batches)):
+        ref = art.predict(*b, key=jax.random.fold_in(key, i))
+        np.testing.assert_array_equal(got["csv_cols"], ref["csv_cols"])
+
+
+def test_polymorphic_batch_artifact(tmp_path):
+    """batch_size='poly' exports ONE artifact that serves any batch size,
+    bit-exact vs the in-process step at each size."""
+    bundle = make_multimodal_bundle(3, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                    ARCH)
+    d = str(tmp_path / "poly")
+    export_predict_artifact(bundle, d, batch_size="poly", num_mc_samples=MC,
+                            image_size=S)
+    art = load_predict_artifact(d)
+    assert art.batch_size == "poly"
+    step = make_packed_predict_step(bundle, MC)
+    rng = np.random.default_rng(3)
+    key = jax.random.PRNGKey(9)
+    for b in (2, 5):
+        m = rng.integers(0, 255, (b, S, S, 3), dtype=np.uint8)
+        ba = rng.integers(0, 255, (b, S, S, 3), dtype=np.uint8)
+        ss = rng.integers(0, 255, (b, S, S, 1), dtype=np.uint8)
+        out = art.predict(m, ba, ss, key=key)
+        ref = step(bundle.post, bundle.batch_stats, (m, ba, ss), key,
+                   jnp.ones((b,), jnp.float32))
+        np.testing.assert_array_equal(out["csv_cols"],
+                                      np.asarray(ref["csv_cols"]))
+        np.testing.assert_array_equal(out["mean_prob"],
+                                      np.asarray(ref["mean_prob"]))
+
+
 def test_export_pipeline_api(tmp_path):
     """pipelines.export_auv_serving_artifact: offline (HF_HUB_OFFLINE) +
     allow_random_init exports a loadable artifact end-to-end."""
