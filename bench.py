@@ -522,7 +522,8 @@ def measure_torch_cpu_train(batch: int, num_mc: int) -> float:
     return batch / step_time
 
 
-def measure_artifact_tpu(batch: int, num_mc: int, iters: int) -> float:
+def measure_artifact_tpu(batch: int, num_mc: int, iters: int,
+                         mode: str = "mc") -> float:
     """Serving throughput through an AOT artifact (serving.py): export the
     packed predict step + state, load it back, and drive the exported
     program batch-by-batch (synchronous result fetch — the conservative
@@ -545,7 +546,7 @@ def measure_artifact_tpu(batch: int, num_mc: int, iters: int) -> float:
     d = tempfile.mkdtemp(prefix="auv_artifact_")
     t0 = time.perf_counter()
     export_predict_artifact(bundle, d, batch_size=batch,
-                            num_mc_samples=num_mc)
+                            num_mc_samples=num_mc, mode=mode)
     export_s = time.perf_counter() - t0
     art = load_predict_artifact(d)
 
@@ -605,9 +606,12 @@ def main():
 
     if args.artifact:
         value = measure_artifact_tpu(args.batch, args.num_mc,
-                                     max(args.iters, 10))
+                                     max(args.iters, 10),
+                                     mode=("dvp" if args.dvp else "mc"))
         print(json.dumps({
-            "metric": "multimodal_bnn_artifact_serving_patches_per_sec",
+            "metric": ("multimodal_bnn_artifact_dvp_patches_per_sec"
+                       if args.dvp else
+                       "multimodal_bnn_artifact_serving_patches_per_sec"),
             "value": round(value, 3),
             "unit": "patches/sec/chip",
             "vs_baseline": None,

@@ -238,6 +238,17 @@ def export_serving_cli(argv=None):
                         help="Local torch checkpoint (skips the HF download).")
     parser.add_argument("--allow_random_init", action="store_true")
     parser.add_argument("--mc_chunk", type=int, default=None)
+    parser.add_argument("--dvp", action="store_true",
+                        help="Export the single-pass moment-propagation "
+                             "program (~1.7x serving rate; guardrailed at "
+                             "export time, see docs).")
+    parser.add_argument("--dvp_on_excess", choices=("warn", "mc"),
+                        default="mc",
+                        help="Guardrail action if the posterior spread "
+                             "exceeds the DVP-validated regime: 'mc' "
+                             "exports the exact MC program instead "
+                             "(recorded in meta.json), 'warn' exports DVP "
+                             "anyway.")
     parser.add_argument("--platforms", type=str, default=None,
                         help="Comma-separated lowering targets, e.g. 'tpu' "
                              "or 'tpu,cpu' (default: current backend).")
@@ -257,6 +268,8 @@ def export_serving_cli(argv=None):
         arch=_arch(args),
         mc_chunk=args.mc_chunk,
         platforms=(args.platforms.split(",") if args.platforms else None),
+        use_dvp=args.dvp,
+        dvp_on_excess=args.dvp_on_excess,
     )
     return 0
 

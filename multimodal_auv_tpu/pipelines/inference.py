@@ -164,10 +164,15 @@ def export_auv_serving_artifact(
     mc_chunk: Optional[int] = None,
     seed: int = 0,
     platforms=None,
+    use_dvp: bool = False,
+    dvp_on_excess: str = "mc",
 ):
     """Export an AOT serving artifact (serving.py): the compiled packed MC
     predict program + posterior state, loadable on a serving host with only
     jax + numpy (no model code, no HF access, no re-tracing).
+
+    ``use_dvp`` exports the single-pass moment-propagation program instead
+    (same ABI; guardrailed at export time — see serving.py).
 
     No reference analogue — functions.py:26-82 rebuilds its torch modules
     per process; this ships the compiled program itself."""
@@ -183,4 +188,5 @@ def export_auv_serving_artifact(
     return export_predict_artifact(
         bundle, output_dir, batch_size=batch_size,
         num_mc_samples=num_mc_samples, image_size=arch.image_size,
-        mc_chunk=mc_chunk, platforms=platforms, seed=seed)
+        mc_chunk=mc_chunk, platforms=platforms, seed=seed,
+        mode=("dvp" if use_dvp else "mc"), dvp_on_excess=dvp_on_excess)

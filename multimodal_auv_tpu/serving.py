@@ -44,6 +44,8 @@ def export_predict_artifact(bundle, out_dir: str, *, batch_size,
                             num_mc_samples: int, image_size: int = 256,
                             mc_chunk: Optional[int] = None,
                             impl: str = "auto",
+                            mode: str = "mc",
+                            dvp_on_excess: str = "mc",
                             platforms: Optional[Sequence[str]] = None,
                             class_names: Optional[Sequence[str]] = None,
                             seed: int = 0) -> str:
@@ -58,11 +60,37 @@ def export_predict_artifact(bundle, out_dir: str, *, batch_size,
     the cost of one XLA specialization per distinct size seen at load
     time (standard serving bucketing) — verified bit-exact vs the static
     step at every size (tests/test_serving.py).
+
+    ``mode="dvp"`` exports the single-pass moment-propagation step
+    (engine/moment.py, ~1.7x the exact-MC serving rate) instead of exact
+    MC — same artifact ABI, so the loader and serving host are unchanged.
+    The DVP guardrail runs at *export* time: if the posterior spread
+    exceeds the validated regime, ``dvp_on_excess`` decides (default
+    ``"mc"``: the artifact silently contains the exact MC program — the
+    mode actually exported is recorded in ``meta.json["mode"]``).
     """
     from multimodal_auv_tpu.engine.predict import make_packed_predict_step
 
-    step = make_packed_predict_step(bundle, num_mc_samples,
-                                    mc_chunk=mc_chunk, impl=impl)
+    exported_mode = mode
+    spread = None
+    if mode == "dvp":
+        from multimodal_auv_tpu.engine.moment import (
+            DVP_SPREAD_THRESHOLD,
+            make_dvp_predict_step,
+            posterior_spread,
+        )
+
+        spread = posterior_spread(bundle.post, bundle.meta)
+        step = make_dvp_predict_step(bundle, num_mc_samples,
+                                     on_excess=dvp_on_excess,
+                                     packed_inputs=True)
+        if spread > DVP_SPREAD_THRESHOLD and dvp_on_excess == "mc":
+            exported_mode = "mc"  # the guardrail swapped in the exact step
+    elif mode == "mc":
+        step = make_packed_predict_step(bundle, num_mc_samples,
+                                        mc_chunk=mc_chunk, impl=impl)
+    else:
+        raise ValueError(f"mode must be 'mc' or 'dvp', got {mode!r}")
     leaves, treedef = jax.tree.flatten((bundle.post, bundle.batch_stats))
 
     def serve(state_leaves, u8_inputs, key, mask):
@@ -112,6 +140,9 @@ def export_predict_artifact(bundle, out_dir: str, *, batch_size,
         "class_names": list(class_names) if class_names else None,
         "platforms": list(exported.platforms),
         "seed": seed,
+        "mode": exported_mode,
+        "posterior_spread": (None if spread is None
+                             else round(float(spread), 6)),
     }
     with open(os.path.join(out_dir, _META), "w") as f:
         json.dump(meta, f, indent=1)
@@ -135,6 +166,7 @@ class ServingArtifact:
         b = meta["batch_size"]
         self.batch_size = b if b == "poly" else int(b)
         self.image_size = int(meta["image_size"])
+        self.mode = meta.get("mode", "mc")
         self._call = jax.jit(exported.call)
 
     @classmethod

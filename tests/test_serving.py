@@ -141,6 +141,76 @@ def test_polymorphic_batch_artifact(tmp_path):
                                       np.asarray(ref["mean_prob"]))
 
 
+def test_dvp_artifact_mode(tmp_path):
+    """mode='dvp' exports the single-pass moment-propagation program under
+    the same artifact ABI, bit-exact vs the in-process DVP step; meta
+    records the mode and the measured posterior spread."""
+    from multimodal_auv_tpu.engine.moment import make_dvp_predict_step
+
+    bundle = make_multimodal_bundle(3, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                    ARCH)
+    d = str(tmp_path / "dvp")
+    export_predict_artifact(bundle, d, batch_size=B, num_mc_samples=MC,
+                            image_size=S, mode="dvp")
+    art = load_predict_artifact(d)
+    assert art.mode == "dvp"
+    assert art.meta["posterior_spread"] is not None
+    m, b, s = _batch(5)
+    key = jax.random.PRNGKey(3)
+    out = art.predict(m, b, s, key=key)
+    step = make_dvp_predict_step(bundle, MC, packed_inputs=True)
+    ref = step(bundle.post, bundle.batch_stats, (m, b, s), key,
+               jnp.ones((B,), jnp.float32))
+    np.testing.assert_array_equal(out["csv_cols"], np.asarray(ref["csv_cols"]))
+    np.testing.assert_array_equal(out["mean_prob"],
+                                  np.asarray(ref["mean_prob"]))
+
+
+def test_dvp_artifact_guardrail_fallback(tmp_path):
+    """Export-time guardrail: a spread posterior with dvp_on_excess='mc'
+    must ship the exact MC program, and meta.json must say so."""
+    import json
+
+    bundle = make_multimodal_bundle(3, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                    ARCH)
+    mu = np.asarray(bundle.post.mu)
+    rho = np.log(np.expm1(np.maximum(0.5 * np.abs(mu), 1e-6))).astype(
+        np.float32)
+    bundle.post = bundle.post.replace(rho=jnp.asarray(rho))
+    d = str(tmp_path / "fb")
+    export_predict_artifact(bundle, d, batch_size=B, num_mc_samples=MC,
+                            image_size=S, mode="dvp")
+    with open(os.path.join(d, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["mode"] == "mc"
+    assert meta["posterior_spread"] > 0.15
+    art = load_predict_artifact(d)
+    m, b, s = _batch(6)
+    key = jax.random.PRNGKey(4)
+    out = art.predict(m, b, s, key=key)
+    step = make_packed_predict_step(bundle, MC)
+    ref = step(bundle.post, bundle.batch_stats, (m, b, s), key,
+               jnp.ones((B,), jnp.float32))
+    np.testing.assert_array_equal(out["csv_cols"], np.asarray(ref["csv_cols"]))
+
+
+def test_predict_batches_ragged_mask(artifact_dir):
+    """4-tuple stream entries carry a validity mask; masked rows must not
+    change the real rows' outputs (masked-BN artifact semantics)."""
+    d, _ = artifact_dir
+    art = load_predict_artifact(d)
+    key = jax.random.PRNGKey(21)
+    m, b, s = _batch(9)
+    full_mask = np.ones((B,), np.float32)
+    tail_mask = np.array([1, 1, 0, 0], np.float32)
+    outs = list(art.predict_batches(
+        [(m, b, s, full_mask), (m, b, s, tail_mask)], key=key))
+    ref = art.predict(m, b, s, key=jax.random.fold_in(key, 0),
+                      mask=full_mask)
+    np.testing.assert_array_equal(outs[0]["csv_cols"], ref["csv_cols"])
+    assert outs[1]["mean_prob"].shape == (B, 3)
+
+
 def test_export_pipeline_api(tmp_path):
     """pipelines.export_auv_serving_artifact: offline (HF_HUB_OFFLINE) +
     allow_random_init exports a loadable artifact end-to-end."""
