@@ -209,10 +209,15 @@ class ServingArtifact:
             key = jax.random.PRNGKey(int(self.meta.get("seed", 0)))
         if mask is None:
             mask = np.ones((np.shape(main_u8)[0],), np.float32)
+        if not isinstance(key, jax.Array):
+            # host keys pass through untouched; np.asarray on a DEVICE key
+            # would block on a device->host round trip per batch (measured
+            # 19.6 -> 25.8 p/s through a tunneled TPU just from this)
+            key = np.asarray(key, np.uint32)
         return self._call(self._leaves,
                           (np.asarray(main_u8), np.asarray(bathy_u8),
                            np.asarray(sss_u8)),
-                          np.asarray(key, np.uint32),
+                          key,
                           np.asarray(mask, np.float32))
 
     @staticmethod
@@ -243,14 +248,22 @@ class ServingArtifact:
         fetch: batch k+1 is dispatched before batch k's device->host copy,
         so the round trip overlaps device compute — the production loop
         shape of engine/predict.py. Each batch gets a distinct PRNG
-        subkey (fold_in of ``key``)."""
+        subkey (fold_in of ``key``), computed on the HOST cpu backend —
+        folding on the device would cost a blocking device->host key
+        fetch per batch that breaks the dispatch/fetch overlap (measured
+        21.8 vs 54+ p/s through a tunneled TPU; BENCH_NOTES.md)."""
         if key is None:
             key = jax.random.PRNGKey(int(self.meta.get("seed", 0)))
+        key = np.asarray(key, np.uint32)  # one sync, before the loop
+        cpu = jax.devices("cpu")[0]
         prev = None
         for i, batch in enumerate(batches):
             mask = batch[3] if len(batch) == 4 else None
-            out = self._dispatch(batch[0], batch[1], batch[2],
-                                 jax.random.fold_in(key, i), mask)
+            with jax.default_device(cpu):
+                # threefry fold_in is backend-independent: bit-identical
+                # to a device-side fold_in of the same key
+                k = np.asarray(jax.random.fold_in(key, i), np.uint32)
+            out = self._dispatch(batch[0], batch[1], batch[2], k, mask)
             if prev is not None:
                 yield self._unpack(prev)
             prev = out

@@ -196,6 +196,32 @@ def main():
     results.append(check("AOT artifact == in-process step (on-chip)",
                          e_art == 0.0, f"maxerr={e_art:.2e}"))
 
+    # streamed serving: predict_batches' host-folded keys must reproduce
+    # per-batch predict with device-side fold_in subkeys, on hardware
+    streamed = list(art.predict_batches([u8, u8], key=k))
+    ref0 = art.predict(*u8, key=jax.random.fold_in(k, 0))
+    ref1 = art.predict(*u8, key=jax.random.fold_in(k, 1))
+    e_stream = max(
+        np.abs(streamed[0]["csv_cols"] - ref0["csv_cols"]).max(),
+        np.abs(streamed[1]["csv_cols"] - ref1["csv_cols"]).max())
+    results.append(check("artifact lagged stream == per-batch (on-chip)",
+                         e_stream == 0.0, f"maxerr={e_stream:.2e}"))
+
+    # DVP artifact: same ABI, bit-exact vs the in-process DVP step
+    from multimodal_auv_tpu.engine.moment import make_dvp_predict_step
+
+    d2 = tempfile.mkdtemp(prefix="auv_art_dvp_")
+    export_predict_artifact(small, d2, batch_size=2, num_mc_samples=4,
+                            image_size=64, mode="dvp")
+    art_dvp = load_predict_artifact(d2)
+    got_dvp = art_dvp.predict(*u8, key=k)
+    ref_dvp = make_dvp_predict_step(small, 4, packed_inputs=True)(
+        small.post, small.batch_stats, u8, k, jnp.ones((2,), jnp.float32))
+    e_dvp = np.abs(got_dvp["csv_cols"] - np.asarray(ref_dvp["csv_cols"])).max()
+    results.append(check(
+        "DVP artifact == in-process DVP step (on-chip)",
+        art_dvp.mode == "dvp" and e_dvp == 0.0, f"maxerr={e_dvp:.2e}"))
+
     print(f"\n{sum(results)}/{len(results)} checks passed")
     return 0 if all(results) else 1
 
