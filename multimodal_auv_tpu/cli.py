@@ -242,6 +242,11 @@ def export_serving_cli(argv=None):
                         help="Export the single-pass moment-propagation "
                              "program (~1.7x serving rate; guardrailed at "
                              "export time, see docs).")
+    parser.add_argument("--data_shards", type=int, default=1,
+                        help="Export a multi-device program: batch sharded "
+                             "over an N-device ('data',) mesh, state "
+                             "replicated. Serving host needs >= N devices; "
+                             "batch_size must be static and divisible by N.")
     parser.add_argument("--dvp_on_excess", choices=("warn", "mc"),
                         default="mc",
                         help="Guardrail action if the posterior spread "
@@ -270,6 +275,7 @@ def export_serving_cli(argv=None):
         platforms=(args.platforms.split(",") if args.platforms else None),
         use_dvp=args.dvp,
         dvp_on_excess=args.dvp_on_excess,
+        data_shards=args.data_shards,
     )
     return 0
 

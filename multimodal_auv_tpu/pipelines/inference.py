@@ -166,6 +166,7 @@ def export_auv_serving_artifact(
     platforms=None,
     use_dvp: bool = False,
     dvp_on_excess: str = "mc",
+    data_shards: int = 1,
 ):
     """Export an AOT serving artifact (serving.py): the compiled packed MC
     predict program + posterior state, loadable on a serving host with only
@@ -189,4 +190,5 @@ def export_auv_serving_artifact(
         bundle, output_dir, batch_size=batch_size,
         num_mc_samples=num_mc_samples, image_size=arch.image_size,
         mc_chunk=mc_chunk, platforms=platforms, seed=seed,
-        mode=("dvp" if use_dvp else "mc"), dvp_on_excess=dvp_on_excess)
+        mode=("dvp" if use_dvp else "mc"), dvp_on_excess=dvp_on_excess,
+        data_shards=data_shards)

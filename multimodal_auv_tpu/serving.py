@@ -40,12 +40,30 @@ _STATE = "state.npz"
 _META = "meta.json"
 
 
+def _mesh_shardings(data_shards: int):
+    """(replicated, batch-sharded, fused-output) NamedShardings over an
+    N-device ('data',) mesh built from the first N local devices."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    devs = jax.devices()
+    if len(devs) < data_shards:
+        raise ValueError(f"data_shards={data_shards} but only {len(devs)} "
+                         "devices are visible")
+    mesh = Mesh(np.array(devs[:data_shards]), ("data",))
+    repl = NamedSharding(mesh, PartitionSpec())
+    batch = NamedSharding(mesh, PartitionSpec("data"))
+    # fused output is (3 + C, batch): shard the batch (minor) axis
+    out = NamedSharding(mesh, PartitionSpec(None, "data"))
+    return repl, batch, out
+
+
 def export_predict_artifact(bundle, out_dir: str, *, batch_size,
                             num_mc_samples: int, image_size: int = 256,
                             mc_chunk: Optional[int] = None,
                             impl: str = "auto",
                             mode: str = "mc",
                             dvp_on_excess: str = "mc",
+                            data_shards: int = 1,
                             platforms: Optional[Sequence[str]] = None,
                             class_names: Optional[Sequence[str]] = None,
                             seed: int = 0) -> str:
@@ -68,6 +86,14 @@ def export_predict_artifact(bundle, out_dir: str, *, batch_size,
     exceeds the validated regime, ``dvp_on_excess`` decides (default
     ``"mc"``: the artifact silently contains the exact MC program — the
     mode actually exported is recorded in ``meta.json["mode"]``).
+
+    ``data_shards=N`` exports a *multi-device* program: the batch (and
+    mask/outputs) are sharded over an N-device ``('data',)`` mesh with the
+    state replicated — XLA inserts the BN-statistics collectives. The
+    serving host must have >= N devices; the loader rebuilds the mesh.
+    Requires a static ``batch_size`` divisible by N. Numerics match the
+    single-device program to f32 collective-reduction roundoff (~1e-7
+    relative), not bitwise.
     """
     from multimodal_auv_tpu.engine.predict import make_packed_predict_step
 
@@ -109,19 +135,39 @@ def export_predict_artifact(bundle, out_dir: str, *, batch_size,
 
     s = int(image_size)
     if batch_size == "poly":
+        if data_shards > 1:
+            raise ValueError("data_shards > 1 requires a static batch_size "
+                             "(the per-device shard shape must be static)")
         b, = jax.export.symbolic_shape("b")
     else:
         b = int(batch_size)
-    state_specs = [jax.ShapeDtypeStruct(np.shape(l), l.dtype) for l in leaves]
-    u8 = jax.ShapeDtypeStruct
-    u8_specs = (u8((b, s, s, 3), np.uint8), u8((b, s, s, 3), np.uint8),
-                u8((b, s, s, 1), np.uint8))
-    key_spec = jax.ShapeDtypeStruct(np.shape(jax.random.PRNGKey(0)),
-                                    np.uint32)
-    mask_spec = jax.ShapeDtypeStruct((b,), np.float32)
 
+    state_sh = batch_sh = out_sh = None
+    if data_shards > 1:
+        if b % data_shards:
+            raise ValueError(f"batch_size {b} must be divisible by "
+                             f"data_shards {data_shards}")
+        state_sh, batch_sh, out_sh = _mesh_shardings(data_shards)
+
+    def spec(shape, dtype, sharding):
+        return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
+
+    state_specs = [spec(np.shape(l), l.dtype, state_sh) for l in leaves]
+    u8_specs = (spec((b, s, s, 3), np.uint8, batch_sh),
+                spec((b, s, s, 3), np.uint8, batch_sh),
+                spec((b, s, s, 1), np.uint8, batch_sh))
+    key_spec = spec(np.shape(jax.random.PRNGKey(0)), np.uint32, state_sh)
+    mask_spec = spec((b,), np.float32, batch_sh)
+
+    jit_kwargs = {}
+    if data_shards > 1:
+        jit_kwargs = dict(
+            in_shardings=([state_sh] * len(leaves), (batch_sh,) * 3,
+                          state_sh, batch_sh),
+            out_shardings=out_sh)
     exported = jax.export.export(
-        jax.jit(serve), platforms=list(platforms) if platforms else None,
+        jax.jit(serve, **jit_kwargs),
+        platforms=list(platforms) if platforms else None,
     )(state_specs, u8_specs, key_spec, mask_spec)
 
     os.makedirs(out_dir, exist_ok=True)
@@ -143,6 +189,7 @@ def export_predict_artifact(bundle, out_dir: str, *, batch_size,
         "mode": exported_mode,
         "posterior_spread": (None if spread is None
                              else round(float(spread), 6)),
+        "data_shards": int(data_shards),
     }
     with open(os.path.join(out_dir, _META), "w") as f:
         json.dump(meta, f, indent=1)
@@ -167,7 +214,19 @@ class ServingArtifact:
         self.batch_size = b if b == "poly" else int(b)
         self.image_size = int(meta["image_size"])
         self.mode = meta.get("mode", "mc")
-        self._call = jax.jit(exported.call)
+        self.data_shards = int(meta.get("data_shards", 1))
+        if self.data_shards > 1:
+            # multi-device program: rebuild the ('data',) mesh and pin the
+            # call's input shardings to the export-time layout (state
+            # replicated, batch/mask sharded) so host numpy inputs are
+            # scattered correctly
+            state_sh, batch_sh, _ = _mesh_shardings(self.data_shards)
+            self._call = jax.jit(
+                exported.call,
+                in_shardings=([state_sh] * len(state_leaves),
+                              (batch_sh,) * 3, state_sh, batch_sh))
+        else:
+            self._call = jax.jit(exported.call)
 
     @classmethod
     def load(cls, artifact_dir: str, *, device=None) -> "ServingArtifact":
@@ -182,7 +241,10 @@ class ServingArtifact:
         npz = np.load(os.path.join(artifact_dir, _STATE))
         leaves = [npz[f"leaf_{i:05d}"]
                   for i in range(int(meta["num_state_leaves"]))]
-        if device is not None:
+        if int(meta.get("data_shards", 1)) > 1:
+            state_sh, _, _ = _mesh_shardings(int(meta["data_shards"]))
+            leaves = [jax.device_put(l, state_sh) for l in leaves]
+        elif device is not None:
             leaves = [jax.device_put(l, device) for l in leaves]
         else:
             leaves = [jax.device_put(l) for l in leaves]

@@ -211,6 +211,55 @@ def test_predict_batches_ragged_mask(artifact_dir):
     assert outs[1]["mean_prob"].shape == (B, 3)
 
 
+def test_sharded_artifact(tmp_path):
+    """data_shards=8: the exported multi-device program shards the batch
+    over the ('data',) mesh and matches the single-device step to f32
+    collective-reduction roundoff; predict_batches streams it unchanged."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    bundle = make_multimodal_bundle(3, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                    ARCH)
+    d = str(tmp_path / "sharded")
+    export_predict_artifact(bundle, d, batch_size=8, num_mc_samples=MC,
+                            image_size=S, data_shards=8)
+    art = load_predict_artifact(d)
+    assert art.data_shards == 8
+    rng = np.random.default_rng(11)
+    m = rng.integers(0, 255, (8, S, S, 3), dtype=np.uint8)
+    b = rng.integers(0, 255, (8, S, S, 3), dtype=np.uint8)
+    ss = rng.integers(0, 255, (8, S, S, 1), dtype=np.uint8)
+    key = jax.random.PRNGKey(5)
+    out = art.predict(m, b, ss, key=key)
+
+    step = make_packed_predict_step(bundle, MC)
+    ref = step(bundle.post, bundle.batch_stats, (m, b, ss), key,
+               jnp.ones((8,), jnp.float32))
+    np.testing.assert_array_equal(out["predicted"],
+                                  np.asarray(ref["predicted"]))
+    np.testing.assert_allclose(out["mean_prob"], np.asarray(ref["mean_prob"]),
+                               rtol=1e-5, atol=1e-6)
+
+    streamed = list(art.predict_batches([(m, b, ss)], key=key))
+    np.testing.assert_array_equal(
+        streamed[0]["csv_cols"],
+        np.asarray(art.predict(m, b, ss,
+                               key=jax.random.fold_in(key, 0))["csv_cols"]))
+
+
+def test_sharded_artifact_validation():
+    """poly + shards and non-divisible batches are rejected at export."""
+    bundle = make_multimodal_bundle(3, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                    ARCH)
+    with pytest.raises(ValueError, match="static batch_size"):
+        export_predict_artifact(bundle, "/tmp/x", batch_size="poly",
+                                num_mc_samples=MC, image_size=S,
+                                data_shards=2)
+    with pytest.raises(ValueError, match="divide"):
+        export_predict_artifact(bundle, "/tmp/x", batch_size=3,
+                                num_mc_samples=MC, image_size=S,
+                                data_shards=2)
+
+
 def test_export_pipeline_api(tmp_path):
     """pipelines.export_auv_serving_artifact: offline (HF_HUB_OFFLINE) +
     allow_random_init exports a loadable artifact end-to-end."""
