@@ -254,7 +254,7 @@ def test_sharded_artifact_validation():
         export_predict_artifact(bundle, "/tmp/x", batch_size="poly",
                                 num_mc_samples=MC, image_size=S,
                                 data_shards=2)
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="divisible"):
         export_predict_artifact(bundle, "/tmp/x", batch_size=3,
                                 num_mc_samples=MC, image_size=S,
                                 data_shards=2)
