@@ -45,10 +45,17 @@ class Subset:
         return getattr(self.dataset, name)
 
 
+def split_indices(n: int, test_size: float = 0.2, random_state: int = 42):
+    """The canonical train/test index split. The packed and unpacked
+    training paths MUST share this one helper: two diverging copies of
+    (test_size, random_state) would silently train the packed path on
+    samples the unpacked path holds out (evaluation leak)."""
+    return train_test_split(list(range(n)), test_size=test_size,
+                            random_state=random_state)
+
+
 def split_dataset(dataset, test_size: float = 0.2, random_state: int = 42):
-    idx = list(range(len(dataset)))
-    train_idx, test_idx = train_test_split(
-        idx, test_size=test_size, random_state=random_state)
+    train_idx, test_idx = split_indices(len(dataset), test_size, random_state)
     return Subset(dataset, train_idx), Subset(dataset, test_idx)
 
 
@@ -236,9 +243,7 @@ def prepare_packed_train_loaders(
         packed = pack_training_dataset(dataset, out, bathy_patch_type,
                                        sss_patch_type, size=sz)
 
-    idx = list(range(len(dataset)))
-    train_idx, test_idx = train_test_split(idx, test_size=0.2,
-                                           random_state=42)
+    train_idx, test_idx = split_indices(len(dataset))
     train = PackedTrainBatches(packed, batch_size, train_idx, shuffle=True,
                                seed=seed)
     test = PackedTrainBatches(packed, batch_size, test_idx)

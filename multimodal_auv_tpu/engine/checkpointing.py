@@ -68,6 +68,13 @@ def save_pytree(path: str, tree: Any, *, async_save: bool = False) -> str:
     ``wait_for_saves()`` before reading the checkpoint or exiting)."""
     path = os.path.abspath(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    if not async_save:
+        # A synchronous save (e.g. the epoch loops' crash-save running with
+        # force=True) must not race an in-flight async write to the same
+        # directory: two uncoordinated writers delete/rename the same paths,
+        # so the older background save could finalize OVER the newer crash
+        # state. Drain the async queue first; no-op when nothing is pending.
+        wait_for_saves()
     ckptr = _async_checkpointer() if async_save else _checkpointer()
     ckptr.save(path, tree, force=True)
     return path
@@ -79,6 +86,7 @@ def restore_pytree(path: str, target: Optional[Any] = None) -> Any:
     template's sharding — every process reads only the shards it owns."""
     import orbax.checkpoint as ocp
 
+    wait_for_saves()  # never read a checkpoint a background save is writing
     ckptr = _checkpointer()
     if target is not None:
         restore_args = ocp.checkpoint_utils.construct_restore_args(target)

@@ -249,7 +249,9 @@ DVP_SPREAD_THRESHOLD = 0.15
 def make_dvp_predict_step(bundle, num_feature_samples: int = 20, *,
                           spread_threshold: float = DVP_SPREAD_THRESHOLD,
                           on_excess: str = "warn",
-                          packed_inputs: bool = False):
+                          packed_inputs: bool = False,
+                          mc_chunk=None, impl: str = "auto",
+                          return_mode: bool = False):
     """Single-probabilistic-pass predict step: moment-propagated trunks +
     MC over feature noise and head weights only. Same output schema as
     engine.predict.make_predict_step.
@@ -263,8 +265,18 @@ def make_dvp_predict_step(bundle, num_feature_samples: int = 20, *,
                             ``num_feature_samples`` draws (safe default
                             for serving configs that must not silently
                             lose accuracy).
+
+    ``mc_chunk``/``impl`` configure the exact-MC step the fallback builds
+    (they are meaningless to the DVP program itself). ``return_mode=True``
+    returns ``(step, mode)`` with mode ``"dvp"`` or ``"mc"`` — the ONE
+    authoritative record of which program was built (callers must not
+    re-derive the spread-vs-threshold decision; serving.py records this in
+    the artifact's meta.json).
     """
     import logging
+
+    def _ret(step, mode):
+        return (step, mode) if return_mode else step
 
     spread = posterior_spread(bundle.post, bundle.meta)
     if spread > spread_threshold:
@@ -280,10 +292,14 @@ def make_dvp_predict_step(bundle, num_feature_samples: int = 20, *,
                     make_packed_predict_step,
                 )
 
-                return make_packed_predict_step(bundle, num_feature_samples)
+                return _ret(make_packed_predict_step(
+                    bundle, num_feature_samples, mc_chunk=mc_chunk,
+                    impl=impl), "mc")
             from multimodal_auv_tpu.engine.predict import make_predict_step
 
-            return make_predict_step(bundle, num_feature_samples)
+            return _ret(make_predict_step(
+                bundle, num_feature_samples, mc_chunk=mc_chunk, impl=impl),
+                "mc")
         logger.warning(
             "DVP guardrail: posterior spread %.3f exceeds the validated "
             "regime (threshold %.3f, BENCH_NOTES.md) — DVP estimators may "
@@ -374,4 +390,4 @@ def make_dvp_predict_step(bundle, num_feature_samples: int = 20, *,
                                    au.astype(jnp.float32)]),
         }
 
-    return step
+    return _ret(step, "dvp")

@@ -35,7 +35,7 @@ def fetch_pretrained_weights(
     try:
         from huggingface_hub import hf_hub_download
 
-        if not os.environ.get("HF_HUB_OFFLINE") and not _hub_reachable():
+        if not _env_offline() and not _hub_reachable():
             # zero-egress environments: without this, huggingface_hub's
             # connect+retry backoff stalls the pipeline for tens of seconds
             # before failing. A cached download may still exist, so fall
@@ -50,6 +50,14 @@ def fetch_pretrained_weights(
             "Could not fetch pretrained weights from the HuggingFace Hub "
             "(%s). Offline environment? Pass a local weights path.", e)
         return None
+
+
+def _env_offline() -> bool:
+    """HF_HUB_OFFLINE with huggingface_hub's parsing: '0'/'false'/'no'/''
+    mean ONLINE (a raw truthiness test would treat the string '0' as
+    offline and skip the reachability fast-fail probe)."""
+    return os.environ.get("HF_HUB_OFFLINE", "").upper() in (
+        "1", "ON", "YES", "TRUE")
 
 
 def _hub_reachable(timeout: float = 3.0) -> bool:

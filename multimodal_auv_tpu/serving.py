@@ -101,17 +101,15 @@ def export_predict_artifact(bundle, out_dir: str, *, batch_size,
     spread = None
     if mode == "dvp":
         from multimodal_auv_tpu.engine.moment import (
-            DVP_SPREAD_THRESHOLD,
             make_dvp_predict_step,
             posterior_spread,
         )
 
         spread = posterior_spread(bundle.post, bundle.meta)
-        step = make_dvp_predict_step(bundle, num_mc_samples,
-                                     on_excess=dvp_on_excess,
-                                     packed_inputs=True)
-        if spread > DVP_SPREAD_THRESHOLD and dvp_on_excess == "mc":
-            exported_mode = "mc"  # the guardrail swapped in the exact step
+        step, exported_mode = make_dvp_predict_step(
+            bundle, num_mc_samples, on_excess=dvp_on_excess,
+            packed_inputs=True, mc_chunk=mc_chunk, impl=impl,
+            return_mode=True)
     elif mode == "mc":
         step = make_packed_predict_step(bundle, num_mc_samples,
                                         mc_chunk=mc_chunk, impl=impl)
@@ -215,6 +213,7 @@ class ServingArtifact:
         self.image_size = int(meta["image_size"])
         self.mode = meta.get("mode", "mc")
         self.data_shards = int(meta.get("data_shards", 1))
+        self._num_calls = 0  # fresh-draw counter for key=None predict()
         if self.data_shards > 1:
             # multi-device program: rebuild the ('data',) mesh and pin the
             # call's input shardings to the export-time layout (state
@@ -268,7 +267,17 @@ class ServingArtifact:
         (3 + C, batch) — no host fetch."""
         self._validate(main_u8, bathy_u8, sss_u8)
         if key is None:
-            key = jax.random.PRNGKey(int(self.meta.get("seed", 0)))
+            # Fresh MC draws per call: fold a per-artifact call counter into
+            # the base key (on the host cpu backend — a device fold_in would
+            # block on a per-batch key fetch, see predict_batches). Reusing
+            # one key verbatim would score every batch of a survey with the
+            # SAME weight samples — fixed-ensemble semantics with correlated
+            # errors. Pass an explicit key for reproducibility.
+            base = jax.random.PRNGKey(int(self.meta.get("seed", 0)))
+            with jax.default_device(jax.devices("cpu")[0]):
+                key = np.asarray(
+                    jax.random.fold_in(base, self._num_calls), np.uint32)
+            self._num_calls += 1
         if mask is None:
             mask = np.ones((np.shape(main_u8)[0],), np.float32)
         if not isinstance(key, jax.Array):
@@ -299,7 +308,11 @@ class ServingArtifact:
         artifact's batch size (zero-pad + mask a ragged tail; any size if
         the artifact was exported batch-polymorphic). Returns a dict of
         numpy arrays (predicted class, both uncertainties, mean softmax,
-        fused csv_cols), fetched in a single device->host transfer."""
+        fused csv_cols), fetched in a single device->host transfer.
+        With ``key=None`` each call folds a per-artifact counter into the
+        export seed, so repeated calls draw fresh MC weight samples (call
+        i matches ``predict_batches``'s batch i); pass an explicit key to
+        reproduce a specific draw."""
         return self._unpack(self._dispatch(main_u8, bathy_u8, sss_u8,
                                            key, mask))
 

@@ -134,3 +134,23 @@ def test_inference_loader(infer_tree):
     main, bathy, sss, names = batches[0]
     assert main.shape == (2, 256, 256, 3)
     assert isinstance(names, list) and isinstance(names[0], str)
+
+
+def test_packed_and_unpacked_split_share_indices():
+    """The packed and unpacked training paths MUST hold out the same
+    samples (loaders.split_indices is the single source of truth); two
+    diverging (test_size, random_state) copies would silently train the
+    packed path on the unpacked path's eval set."""
+    from multimodal_auv_tpu.data.loaders import split_indices
+
+    tr, te = split_indices(25)
+    assert sorted(tr + te) == list(range(25)) and len(te) == 5
+    assert [tr, te] == split_indices(25)  # deterministic
+
+    class _DS:
+        def __len__(self):
+            return 25
+
+    sub_tr, sub_te = split_dataset(_DS())
+    assert list(sub_tr.indices) == list(tr)
+    assert list(sub_te.indices) == list(te)

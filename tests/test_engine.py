@@ -537,3 +537,19 @@ def test_strict_errors_reraises_instead_of_zero(tmp_path):
             csv_path=ecsv, model_type="multimodal", key=jax.random.PRNGKey(0),
             bathy_patch_type="patch_10m_bathy",
             sss_patch_type="patch_10m_sss", strict_errors=True)
+
+
+def test_sync_save_drains_pending_async_saves(tmp_path):
+    """A synchronous save (the epoch loops' crash-save path) must drain
+    any in-flight async save to the same directory first: two
+    uncoordinated orbax writers delete/rename the same paths, so an older
+    background save could otherwise finalize OVER the newer crash state."""
+    from multimodal_auv_tpu.engine import checkpointing as ckpt
+
+    path = str(tmp_path / "ck" / "state")
+    old = {"w": np.full((8,), 1.0, np.float32)}
+    new = {"w": np.full((8,), 2.0, np.float32)}
+    ckpt.save_pytree(path, old, async_save=True)
+    ckpt.save_pytree(path, new)  # sync: must wait, then win
+    got = ckpt.restore_pytree(path)
+    np.testing.assert_array_equal(np.asarray(got["w"]), new["w"])

@@ -217,3 +217,33 @@ def test_dvp_guardrail_trips_on_spread_posterior(caplog):
                                   np.asarray(want["predicted"]))
     np.testing.assert_allclose(np.asarray(got["predictive_uncertainty"]),
                                np.asarray(want["predictive_uncertainty"]))
+
+
+def test_dvp_return_mode_reports_built_program():
+    """return_mode=True is the ONE authoritative record of whether the
+    guardrail fell back: callers (serving.py's artifact export) must not
+    re-derive the spread-vs-threshold decision themselves."""
+    from multimodal_auv_tpu.config import BNNPriorSpec
+    from multimodal_auv_tpu.engine.moment import (
+        make_dvp_predict_step,
+        posterior_spread,
+    )
+    from multimodal_auv_tpu.models.model_utils import (
+        ArchConfig,
+        make_multimodal_bundle,
+    )
+
+    bundle = make_multimodal_bundle(4, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                    ArchConfig.tiny())
+    _, mode = make_dvp_predict_step(bundle, num_feature_samples=2,
+                                    return_mode=True)
+    assert mode == "dvp"
+
+    mu = np.asarray(bundle.post.mu)
+    rho = np.log(np.expm1(np.maximum(0.5 * np.abs(mu), 1e-6))).astype(
+        np.float32)
+    bundle.post = bundle.post.replace(rho=jnp.asarray(rho))
+    assert posterior_spread(bundle.post, bundle.meta) > 0.15
+    step, mode = make_dvp_predict_step(bundle, num_feature_samples=2,
+                                       on_excess="mc", return_mode=True)
+    assert mode == "mc" and callable(step)

@@ -344,3 +344,23 @@ print("SERVE_OK")
                        text=True, env=env, timeout=600)
     assert r.returncode == 0, r.stderr
     assert "SERVE_OK" in r.stdout
+
+
+def test_keyless_predict_draws_fresh_samples(artifact_dir):
+    """predict(key=None) must fold a per-artifact call counter into the
+    export seed: repeated keyless calls draw FRESH MC weight samples
+    (reusing one key verbatim would score a whole survey with the same
+    fixed ensemble — correlated errors), and call i must match
+    predict_batches' batch i so the two keyless entry points agree."""
+    d, _ = artifact_dir
+    art = load_predict_artifact(d)
+    m, b, s = _batch(5)
+    o0 = art.predict(m, b, s)
+    o1 = art.predict(m, b, s)
+    # same inputs, fresh draws -> the MC-mean softmax must move
+    assert np.abs(o0["mean_prob"] - o1["mean_prob"]).max() > 0
+    # call i == fold_in(export seed, i) == keyless predict_batches batch i
+    art2 = load_predict_artifact(d)
+    streamed = list(art2.predict_batches(iter([(m, b, s), (m, b, s)])))
+    np.testing.assert_array_equal(o0["csv_cols"], streamed[0]["csv_cols"])
+    np.testing.assert_array_equal(o1["csv_cols"], streamed[1]["csv_cols"])

@@ -157,3 +157,18 @@ def test_bench_mfu_flop_model():
     # 57 patches/s x 20 draws x 31.8 GF / 197 TF/s peak ~= 18.4%
     mfu = 57.0 * 20 * per_draw / 197e12
     assert 0.17 < mfu < 0.20
+
+
+def test_hub_offline_env_parsing(monkeypatch):
+    """HF_HUB_OFFLINE must be parsed with huggingface_hub's semantics:
+    '0'/'false'/'' mean ONLINE. A raw truthiness test would treat the
+    string '0' as offline and skip the reachability fast-fail probe."""
+    from multimodal_auv_tpu.interop import hub
+
+    for v, want in [("1", True), ("ON", True), ("yes", True),
+                    ("true", True), ("0", False), ("false", False),
+                    ("no", False), ("", False)]:
+        monkeypatch.setenv("HF_HUB_OFFLINE", v)
+        assert hub._env_offline() is want, v
+    monkeypatch.delenv("HF_HUB_OFFLINE")
+    assert hub._env_offline() is False
