@@ -81,6 +81,8 @@ def clahe_u8(channel: np.ndarray, clip_limit: float = 0.01,
     h, w = channel.shape
     if kernel_size is None:
         th, tw = max(h // 8, 1), max(w // 8, 1)
+    elif np.isscalar(kernel_size):
+        th = tw = int(kernel_size)  # skimage accepts a scalar: same per axis
     else:
         th, tw = kernel_size
     ny, nx = -(-h // th), -(-w // tw)

@@ -478,29 +478,35 @@ def train_and_evaluate_multimodal_model(
         logger.info("Resumed from %s at epoch %d", checkpoint_resume_path,
                     start_epoch)
 
-    for epoch in range(start_epoch, num_epochs):
-        set_learning_rate(state.opt_state, scheduler.lr)
-        key, k1, k2 = jax.random.split(key, 3)
-        state, train_loss, train_acc = train_multimodal_model(
-            train_step, state, train_loader, epoch, num_epochs, train_csv,
-            model_type, sum_writer, k1, scheduler.lr,
-            bathy_patch_type, sss_patch_type, strict_errors=strict_errors,
-            async_checkpoints=async_checkpoints)
-        scheduler.step()
-        test_acc = evaluate_multimodal_model(
-            eval_step, state, test_loader, epoch, num_epochs, eval_csv,
-            model_type, k2, bathy_patch_type, sss_patch_type, class_names,
-            strict_errors=strict_errors)
-        if double_scheduler_step:
-            scheduler.step()  # loop_utils.py:246 quirk
-        sum_writer.add_scalar("Loss/train_epoch", train_loss, epoch)
-        sum_writer.add_scalar("Accuracy/val_epoch", test_acc, epoch)
-        if checkpoint_resume_path:
-            ckpt.save_train_state(checkpoint_resume_path, state, epoch + 1,
-                                  {model_type: scheduler.epoch_count},
-                                  async_save=async_checkpoints)
-    if async_checkpoints:
-        ckpt.wait_for_saves()
+    # finally: a strict_errors re-raise (the eval loop has no crash-save
+    # that would drain the queue) must not exit with async checkpoint
+    # writes still in flight — an unfinalized orbax write would lose the
+    # cadence checkpoint the logs already claimed was saved.
+    try:
+        for epoch in range(start_epoch, num_epochs):
+            set_learning_rate(state.opt_state, scheduler.lr)
+            key, k1, k2 = jax.random.split(key, 3)
+            state, train_loss, train_acc = train_multimodal_model(
+                train_step, state, train_loader, epoch, num_epochs, train_csv,
+                model_type, sum_writer, k1, scheduler.lr,
+                bathy_patch_type, sss_patch_type, strict_errors=strict_errors,
+                async_checkpoints=async_checkpoints)
+            scheduler.step()
+            test_acc = evaluate_multimodal_model(
+                eval_step, state, test_loader, epoch, num_epochs, eval_csv,
+                model_type, k2, bathy_patch_type, sss_patch_type, class_names,
+                strict_errors=strict_errors)
+            if double_scheduler_step:
+                scheduler.step()  # loop_utils.py:246 quirk
+            sum_writer.add_scalar("Loss/train_epoch", train_loss, epoch)
+            sum_writer.add_scalar("Accuracy/val_epoch", test_acc, epoch)
+            if checkpoint_resume_path:
+                ckpt.save_train_state(checkpoint_resume_path, state, epoch + 1,
+                                      {model_type: scheduler.epoch_count},
+                                      async_save=async_checkpoints)
+    finally:
+        if async_checkpoints:
+            ckpt.wait_for_saves()
     return state
 
 
@@ -520,19 +526,24 @@ def train_and_evaluate_unimodal_model(
     eval_csv = os.path.join(csv_dir, f"unimodal_{model_type}_eval_results.csv")
 
     start = 1 if skip_epoch_zero else 0
-    for epoch in range(start, num_epochs):
-        set_learning_rate(state.opt_state, scheduler.lr)
-        key, k1, k2 = jax.random.split(key, 3)
-        state, train_acc, train_loss = train_unimodal_model(
-            train_step, state, train_loader, epoch, num_epochs, train_csv,
-            model_type, sum_writer, k1, scheduler.lr,
-            strict_errors=strict_errors, async_checkpoints=async_checkpoints)
-        test_acc = evaluate_unimodal_model(
-            eval_step, state, test_loader, epoch, num_epochs, eval_csv,
-            model_type, k2, class_names, strict_errors=strict_errors)
-        scheduler.step()
-        sum_writer.add_scalar(f"Loss/train_{model_type}", train_loss, epoch)
-        sum_writer.add_scalar(f"Accuracy/val_{model_type}", test_acc, epoch)
-    if async_checkpoints:
-        ckpt.wait_for_saves()
+    try:  # see train_and_evaluate_multimodal_model: drain even on re-raise
+        for epoch in range(start, num_epochs):
+            set_learning_rate(state.opt_state, scheduler.lr)
+            key, k1, k2 = jax.random.split(key, 3)
+            state, train_acc, train_loss = train_unimodal_model(
+                train_step, state, train_loader, epoch, num_epochs, train_csv,
+                model_type, sum_writer, k1, scheduler.lr,
+                strict_errors=strict_errors,
+                async_checkpoints=async_checkpoints)
+            test_acc = evaluate_unimodal_model(
+                eval_step, state, test_loader, epoch, num_epochs, eval_csv,
+                model_type, k2, class_names, strict_errors=strict_errors)
+            scheduler.step()
+            sum_writer.add_scalar(f"Loss/train_{model_type}", train_loss,
+                                  epoch)
+            sum_writer.add_scalar(f"Accuracy/val_{model_type}", test_acc,
+                                  epoch)
+    finally:
+        if async_checkpoints:
+            ckpt.wait_for_saves()
     return state

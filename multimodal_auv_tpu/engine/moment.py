@@ -230,9 +230,10 @@ def posterior_spread(post: PackedPosterior, meta: Optional[PackMeta] = None
     (non-pad) packed region — the cheap statistic gating DVP fidelity.
 
     DVP's accuracy was validated at MOPED-tight posteriors
-    (sigma = moped_delta*|w| = 0.05|w|: argmax agreement 1.0, max softmax
-    diff 3e-4 vs 20-MC on the full model — BENCH_NOTES.md) and the
-    approximation error grows as training spreads the posterior."""
+    (sigma = moped_delta*|w| = 0.1|w| with the default BNNPriorSpec,
+    i.e. spread ~= 0.1: argmax agreement 1.0, max softmax diff 3e-4 vs
+    20-MC on the full model — BENCH_NOTES.md) and the approximation error
+    grows as training spreads the posterior."""
     import numpy as np
 
     n = meta.n_real if meta is not None else post.mu.shape[0]
@@ -241,8 +242,9 @@ def posterior_spread(post: PackedPosterior, meta: Optional[PackMeta] = None
     return float(np.mean(sigma / (np.abs(mu) + 1e-8)))
 
 
-# 3x the MOPED-validated regime (spread 0.05); beyond this the silent-
-# accuracy-loss risk outweighs DVP's speedup and the guardrail trips.
+# 1.5x the MOPED-validated regime (spread ~= moped_delta = 0.1 at the
+# default init); beyond this the silent-accuracy-loss risk outweighs
+# DVP's speedup and the guardrail trips.
 DVP_SPREAD_THRESHOLD = 0.15
 
 
@@ -251,7 +253,8 @@ def make_dvp_predict_step(bundle, num_feature_samples: int = 20, *,
                           on_excess: str = "warn",
                           packed_inputs: bool = False,
                           mc_chunk=None, impl: str = "auto",
-                          return_mode: bool = False):
+                          return_mode: bool = False,
+                          spread: float = None):
     """Single-probabilistic-pass predict step: moment-propagated trunks +
     MC over feature noise and head weights only. Same output schema as
     engine.predict.make_predict_step.
@@ -271,14 +274,24 @@ def make_dvp_predict_step(bundle, num_feature_samples: int = 20, *,
     returns ``(step, mode)`` with mode ``"dvp"`` or ``"mc"`` — the ONE
     authoritative record of which program was built (callers must not
     re-derive the spread-vs-threshold decision; serving.py records this in
-    the artifact's meta.json).
+    the artifact's meta.json). ``spread`` accepts a precomputed
+    ``posterior_spread`` value so a caller that already measured it (the
+    serving exporter records it in meta.json) doesn't pay the full-posterior
+    numpy pass twice.
     """
     import logging
+
+    if on_excess not in ("warn", "mc"):
+        # anything unrecognised would silently behave as "warn" — the exact
+        # silent-accuracy-loss path the guardrail exists to prevent
+        raise ValueError(
+            f"on_excess must be 'warn' or 'mc', got {on_excess!r}")
 
     def _ret(step, mode):
         return (step, mode) if return_mode else step
 
-    spread = posterior_spread(bundle.post, bundle.meta)
+    if spread is None:
+        spread = posterior_spread(bundle.post, bundle.meta)
     if spread > spread_threshold:
         logger = logging.getLogger(__name__)
         if on_excess == "mc":

@@ -92,8 +92,13 @@ def run_auv_inference(
         if use_dvp:
             from multimodal_auv_tpu.engine.moment import make_dvp_predict_step
 
+            # mc_chunk must reach the builder: the step is prebuilt here, so
+            # the mc_chunk forwarded to predict_and_save below is inert and
+            # the guardrail's exact-MC fallback would otherwise silently
+            # ignore the requested chunking.
             step = make_dvp_predict_step(bundle, num_mc_samples,
-                                         on_excess="mc", packed_inputs=True)
+                                         on_excess="mc", packed_inputs=True,
+                                         mc_chunk=mc_chunk)
         multimodal_predict_and_save_packed(
             bundle, cache, output_csv, num_mc_samples=num_mc_samples,
             batch_size=batch_size, key=jax.random.PRNGKey(seed + 1),
@@ -115,7 +120,7 @@ def run_auv_inference(
             from multimodal_auv_tpu.engine.moment import make_dvp_predict_step
 
             step = make_dvp_predict_step(bundle, num_mc_samples,
-                                         on_excess="mc")
+                                         on_excess="mc", mc_chunk=mc_chunk)
         multimodal_predict_and_save(
             bundle, dataloader, output_csv,
             num_mc_samples=num_mc_samples,

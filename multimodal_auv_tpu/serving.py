@@ -109,7 +109,7 @@ def export_predict_artifact(bundle, out_dir: str, *, batch_size,
         step, exported_mode = make_dvp_predict_step(
             bundle, num_mc_samples, on_excess=dvp_on_excess,
             packed_inputs=True, mc_chunk=mc_chunk, impl=impl,
-            return_mode=True)
+            return_mode=True, spread=spread)
     elif mode == "mc":
         step = make_packed_predict_step(bundle, num_mc_samples,
                                         mc_chunk=mc_chunk, impl=impl)
@@ -214,6 +214,7 @@ class ServingArtifact:
         self.mode = meta.get("mode", "mc")
         self.data_shards = int(meta.get("data_shards", 1))
         self._num_calls = 0  # fresh-draw counter for key=None predict()
+        self._base_key_np = None  # lazy cache, see _base_key()
         if self.data_shards > 1:
             # multi-device program: rebuild the ('data',) mesh and pin the
             # call's input shardings to the export-time layout (state
@@ -262,6 +263,20 @@ class ServingArtifact:
             if a.dtype != np.uint8:
                 raise ValueError(f"{name} batch must be uint8, got {a.dtype}")
 
+    def _base_key(self):
+        """The export-seed PRNG key as a cached HOST numpy array.
+        jax.random.PRNGKey with no device context materialises on the
+        default (TPU) device, so building it per keyless call would pay a
+        blocking device->host transfer per batch — the exact round trip
+        the keyless paths exist to avoid (threefry is backend-independent,
+        so the cpu-built key is bit-identical)."""
+        if self._base_key_np is None:
+            with jax.default_device(jax.devices("cpu")[0]):
+                self._base_key_np = np.asarray(
+                    jax.random.PRNGKey(int(self.meta.get("seed", 0))),
+                    np.uint32)
+        return self._base_key_np
+
     def _dispatch(self, main_u8, bathy_u8, sss_u8, key, mask):
         """Run one batch, returning the device-resident fused output
         (3 + C, batch) — no host fetch."""
@@ -273,10 +288,9 @@ class ServingArtifact:
             # one key verbatim would score every batch of a survey with the
             # SAME weight samples — fixed-ensemble semantics with correlated
             # errors. Pass an explicit key for reproducibility.
-            base = jax.random.PRNGKey(int(self.meta.get("seed", 0)))
             with jax.default_device(jax.devices("cpu")[0]):
-                key = np.asarray(
-                    jax.random.fold_in(base, self._num_calls), np.uint32)
+                key = np.asarray(jax.random.fold_in(
+                    self._base_key(), self._num_calls), np.uint32)
             self._num_calls += 1
         if mask is None:
             mask = np.ones((np.shape(main_u8)[0],), np.float32)
@@ -328,7 +342,7 @@ class ServingArtifact:
         fetch per batch that breaks the dispatch/fetch overlap (measured
         21.8 vs 54+ p/s through a tunneled TPU; BENCH_NOTES.md)."""
         if key is None:
-            key = jax.random.PRNGKey(int(self.meta.get("seed", 0)))
+            key = self._base_key()
         key = np.asarray(key, np.uint32)  # one sync, before the loop
         cpu = jax.devices("cpu")[0]
         prev = None

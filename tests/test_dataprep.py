@@ -242,3 +242,15 @@ def test_clahe_reference_color_semantics():
     # measured divergence between the two paths is gross (documented)
     d = np.abs(faithful.astype(int) - gray_rep.astype(int))
     assert d.mean() > 10
+
+
+def test_clahe_scalar_kernel_size_matches_tuple():
+    """skimage equalize_adapthist accepts a scalar kernel_size (same tile
+    size on both axes); the docstring promises its parameter semantics, so
+    the int form must work and equal the explicit 2-tuple."""
+    from multimodal_auv_tpu.dataprep.optical import clahe_u8
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (64, 48), dtype=np.uint8)
+    np.testing.assert_array_equal(clahe_u8(img, kernel_size=16),
+                                  clahe_u8(img, kernel_size=(16, 16)))

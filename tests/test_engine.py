@@ -553,3 +553,38 @@ def test_sync_save_drains_pending_async_saves(tmp_path):
     ckpt.save_pytree(path, new)  # sync: must wait, then win
     got = ckpt.restore_pytree(path)
     np.testing.assert_array_equal(np.asarray(got["w"]), new["w"])
+
+
+def test_orchestrator_drains_async_saves_on_strict_raise(tmp_path, monkeypatch):
+    """A strict_errors re-raise mid-epoch (eval loop: no crash-save drains
+    the queue) must still wait for in-flight async checkpoint writes —
+    exiting with an unfinalized orbax write loses the cadence checkpoint
+    the logs already claimed was saved."""
+    from multimodal_auv_tpu.engine import checkpointing as ckpt_mod
+
+    calls = []
+    monkeypatch.setattr(ckpt_mod, "wait_for_saves",
+                        lambda: calls.append(1))
+
+    bundle, tx, state = _mm_state(lr=1e-3)
+    tstep = make_train_step(bundle.module, bundle.meta, SPEC, tx, num_mc=2,
+                            impl="jnp")
+    estep = make_eval_step(bundle.module, bundle.meta, SPEC, num_mc=2,
+                           impl="jnp")
+    ds = SyntheticMultimodalDataset(n=4)
+    tl = DataLoader(ds, batch_size=4, num_workers=0)
+
+    class PoisonEval:
+        batch_size = 4
+
+        def __iter__(self):
+            yield "not a batch"
+
+    sched = StepLR(1e-3, step_size=1, gamma=0.5)
+    sw = SummaryWriter(str(tmp_path / "tb"))
+    with pytest.raises(Exception):
+        train_and_evaluate_multimodal_model(
+            tl, PoisonEval(), 1, tstep, estep, state, sched,
+            str(tmp_path / "csv"), sw, jax.random.PRNGKey(0),
+            strict_errors=True, async_checkpoints=True)
+    assert calls, "wait_for_saves not called on the exception path"

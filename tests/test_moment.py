@@ -247,3 +247,21 @@ def test_dvp_return_mode_reports_built_program():
     step, mode = make_dvp_predict_step(bundle, num_feature_samples=2,
                                        on_excess="mc", return_mode=True)
     assert mode == "mc" and callable(step)
+
+
+def test_dvp_rejects_unknown_on_excess():
+    """An unrecognised on_excess would silently behave as 'warn' — the
+    silent-accuracy-loss path the guardrail exists to prevent — so the
+    builder must reject it loudly."""
+    from multimodal_auv_tpu.config import BNNPriorSpec
+    from multimodal_auv_tpu.engine.moment import make_dvp_predict_step
+    from multimodal_auv_tpu.models.model_utils import (
+        ArchConfig,
+        make_multimodal_bundle,
+    )
+
+    bundle = make_multimodal_bundle(3, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                    ArchConfig.tiny())
+    with pytest.raises(ValueError, match="on_excess"):
+        make_dvp_predict_step(bundle, num_feature_samples=2,
+                              on_excess="exact")
