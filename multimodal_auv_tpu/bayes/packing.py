@@ -95,8 +95,18 @@ class PackMeta:
             _set_path(params, e.path, leaf.reshape(e.shape))
         return params
 
-    def pack_tree(self, params: Params) -> jax.Array:
-        """Inverse of unpack for the variational leaves (used by importers)."""
+    def pack_tree(self, params: Params, *, pad_value: float = 0.0
+                  ) -> jax.Array:
+        """Inverse of unpack for the variational leaves.
+
+        ``pad_value`` fills the [n_real, n_padded) alignment tail. When
+        rebuilding a POSTERIOR array, pass ``spec.prior_mu`` (for mu) or
+        ``softplus_inv(spec.prior_sigma)`` (for rho) — the zero-KL /
+        zero-noise pad invariant (module docstring) holds only with the
+        prior pad values; a zero pad would contribute spurious KL
+        (sigma=softplus(0)=0.693 vs prior 1.0 is ~0.107 nats/element) and
+        sample nonzero pad noise. The default 0.0 is only safe for
+        non-posterior payloads (e.g. gradients, masks)."""
         parts = []
         for e in self.entries:
             leaf = _get_path(params, e.path)
@@ -106,7 +116,8 @@ class PackMeta:
         flat = jnp.concatenate(parts) if parts else jnp.zeros((0,), jnp.float32)
         pad = self.n_padded - self.n_real
         if pad:
-            flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+            flat = jnp.concatenate([flat,
+                                    jnp.full((pad,), pad_value, flat.dtype)])
         return flat
 
 
@@ -187,8 +198,12 @@ def bayesianize(
     exactly-zero weights — a deliberate fix over bayesian-torch, which
     produces -inf there).
 
-    Without MOPED, bayesian-torch draws mu ~ N(posterior_mu_init, 0.1) and
-    sets rho = posterior_rho_init; the same is done here (requires ``rng``).
+    Without MOPED, bayesian-torch draws BOTH parameters with noise:
+    mu ~ N(posterior_mu_init, 0.1) and rho ~ N(posterior_rho_init, 0.1)
+    (its layers' init_parameters call .normal_(init, std=0.1) on each);
+    the same is done here (requires ``rng``). Note every reference config
+    enables MOPED (cli.py:126), so this path is parity-matched to the
+    library, not to a reference run.
     """
     entries: List[PackEntry] = []
     mu_parts: List[np.ndarray | jax.Array] = []
@@ -212,11 +227,15 @@ def bayesianize(
             rho_parts.append(jnp.log(jnp.expm1(sigma)))
         else:
             k = jax.random.fold_in(rng, i)
+            km, kr = jax.random.split(k)
             mu_parts.append(
                 spec.posterior_mu_init
-                + 0.1 * jax.random.normal(k, flat.shape, jnp.float32)
+                + 0.1 * jax.random.normal(km, flat.shape, jnp.float32)
             )
-            rho_parts.append(jnp.full(flat.shape, spec.posterior_rho_init, jnp.float32))
+            rho_parts.append(
+                spec.posterior_rho_init
+                + 0.1 * jax.random.normal(kr, flat.shape, jnp.float32)
+            )
         _set_path(det, path, None)
 
     n_real = offset

@@ -47,9 +47,18 @@ def resolve_patch_size(patch_type, kind: str, available) -> "str | None":
     tensor)."""
     if not patch_type or patch_type == f"patch_30_{kind}":
         return None
-    m = _PATCH_TYPE_SIZE_RE.match(str(patch_type))
+    s = str(patch_type)
+    m = _PATCH_TYPE_SIZE_RE.match(s)
     if m and m.group(1) in available:
         return m.group(1)
+    # Reference dict-key form: its patch dicts are keyed by BARE sizes
+    # ('10m', train/multimodal.py:299), so patch_type='10m' selects the
+    # 10m patch there via .get(patch_type) — accept that spelling too.
+    # (The 'patch_10m_bathy' spelling above is this repo's documented
+    # fix: in the reference it misses the dict and silently falls back
+    # to the full-resolution tensor.)
+    if s in available:
+        return s
     return None
 
 

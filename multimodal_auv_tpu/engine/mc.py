@@ -84,7 +84,12 @@ def mc_logits(
     one kernel launch (ops/sampling.py::gaussian_shift_scale_split). The
     (mu, sigma) HBM reads amortise over the chunk while each draw consumes
     like a single-draw output (slicing a stacked output measured ~3x slower
-    end-to-end on v5e). Inference-only: not differentiable."""
+    end-to-end on v5e). Inference-only: not differentiable. Best-effort
+    HINT, not a command: callers pass it unconditionally and it is
+    IGNORED (stacked path) when combined with ``antithetic``,
+    ``ws_sharding`` or ``return_batch_stats``, whose draw consumption
+    (mirror pairing / cross-chip sharding / sequential BN chaining) needs
+    the stacked layout."""
     draws_per_chunk = mc_chunk * (2 if antithetic else 1)
     if num_mc % draws_per_chunk != 0:
         raise ValueError(
@@ -169,14 +174,12 @@ def mc_logits(
         chunk_step_bs = (jax.checkpoint(chunk_body_bs) if sample_in_remat
                          else chunk_body_bs)
 
-        keys = jax.random.split(key, nchunks)
-        if nchunks == 1:
-            new_bs, logits = chunk_step_bs(batch_stats, keys[0])
-        else:
-            new_bs, logits = jax.lax.scan(chunk_step_bs, batch_stats, keys)
-            logits = logits.reshape((num_mc,) + logits.shape[2:])
+        new_bs, logits = _dispatch_chunks(chunk_step_bs, batch_stats, key,
+                                          nchunks, num_mc)
         return logits, new_bs
 
+    # split_sampling is a hint (see docstring): antithetic / mc-sharded
+    # consumption needs the stacked layout, so those flags win silently.
     if split_sampling and ws_sharding is None and not antithetic:
         def chunk_step_split(_, k):
             ws_list = gaussian_shift_scale_split(
@@ -185,12 +188,8 @@ def mc_logits(
             # unrolled sequential forwards over independent per-draw arrays
             return None, jnp.stack([fwd(w) for w in ws_list])
 
-        keys = jax.random.split(key, nchunks)
-        if nchunks == 1:
-            _, logits = chunk_step_split(None, keys[0])
-        else:
-            _, logits = jax.lax.scan(chunk_step_split, None, keys)
-            logits = logits.reshape((num_mc,) + logits.shape[2:])
+        _, logits = _dispatch_chunks(chunk_step_split, None, key,
+                                     nchunks, num_mc)
         return logits
 
     def chunk_body(k):
@@ -227,13 +226,23 @@ def mc_logits(
     def chunk_step(_, k):
         return None, chunk_body(k)
 
+    _, logits = _dispatch_chunks(chunk_step, None, key, nchunks, num_mc)
+    return logits
+
+
+
+def _dispatch_chunks(step, carry, key, nchunks, num_mc):
+    """Shared chunk dispatch: one direct call when nchunks == 1, else a
+    lax.scan over per-chunk keys with the (nchunks, chunk, ...) logit
+    stack flattened back to the num_mc draw axis. All three consumption
+    paths (chained-BN, split, stacked) MUST dispatch identically — key
+    derivation or reshape drift between them would silently change which
+    eps each draw sees (the custom VJP regenerates eps from these keys)."""
     keys = jax.random.split(key, nchunks)
     if nchunks == 1:
-        _, logits = chunk_step(None, keys[0])
-    else:
-        _, logits = jax.lax.scan(chunk_step, None, keys)
-        logits = logits.reshape((num_mc,) + logits.shape[2:])
-    return logits
+        return step(carry, keys[0])
+    carry, logits = jax.lax.scan(step, carry, keys)
+    return carry, logits.reshape((num_mc,) + logits.shape[2:])
 
 
 def refresh_batch_stats(module, meta, post, batch_stats, inputs,

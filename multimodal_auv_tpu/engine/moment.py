@@ -244,7 +244,11 @@ def posterior_spread(post: PackedPosterior, meta: Optional[PackMeta] = None
 
 # 1.5x the MOPED-validated regime (spread ~= moped_delta = 0.1 at the
 # default init); beyond this the silent-accuracy-loss risk outweighs
-# DVP's speedup and the guardrail trips.
+# DVP's speedup and the guardrail trips. Measured on-chip
+# (scripts/probe_dvp_spread.py, BENCH_NOTES round 3): argmax agreement
+# holds 1.00 through spread 0.3 and first breaks at 0.5, so 0.15 is
+# conservative for class decisions; it is kept because the uncertainty
+# heads' fidelity beyond it cannot be bounded by that probe.
 DVP_SPREAD_THRESHOLD = 0.15
 
 

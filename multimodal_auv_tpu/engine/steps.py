@@ -84,8 +84,10 @@ def make_train_step(module, meta, spec: BNNPriorSpec, tx, num_mc: int, *,
                     update_batch_stats: bool = True, ws_sharding=None,
                     donate: bool = False, sample_dtype=None,
                     packed_inputs: bool = False):
-    """Returns jitted (state, inputs, labels, key, kl_weight, batch_size_scale)
-    -> (state, metrics).
+    """Returns jitted (state, inputs, labels, mask, key, kl_weight,
+    batch_size_scale) -> (state, metrics). ``mask`` is f32[batch]
+    (1.0 = real row, 0.0 = ragged-tail padding) and sits BEFORE ``key`` —
+    bind arguments positionally with care.
 
     BN running stats are chained through the MC loop (one momentum update per
     stochastic forward — exact reference semantics, train/multimodal.py:
@@ -190,8 +192,9 @@ def make_train_step(module, meta, spec: BNNPriorSpec, tx, num_mc: int, *,
 def make_eval_step(module, meta, spec: BNNPriorSpec, num_mc: int, *,
                    mc_chunk: int = 1, impl: str = "auto", ws_sharding=None,
                    packed_inputs: bool = False):
-    """Returns jitted (post, batch_stats, inputs, labels, key, kl_scale)
-    -> metrics with both uncertainty families.
+    """Returns jitted (post, batch_stats, inputs, labels, mask, key,
+    kl_scale) -> metrics with both uncertainty families. ``mask`` is
+    f32[batch] (1.0 = real row, 0.0 = ragged-tail padding), BEFORE ``key``.
 
     ``kl_scale`` absorbs the call-site-dependent divisor: multimodal eval
     divides the KL by len(dataloader) (multimodal.py:293) while unimodal

@@ -35,6 +35,15 @@ BLOCK_ROWS = 512  # 512x128 f32 = 256 KiB per buffer in VMEM
 _TWO_PI = 6.283185307179586
 
 
+
+def _seed_from_key(key):
+    """The ONE key->kernel-seed derivation. The sampling custom VJP
+    regenerates eps in the backward from the same key (zero residuals),
+    and the split/stacked/eps kernels must sample identical noise for a
+    given key — all of which holds only if every call site derives the
+    int32 seed identically. Change it here or nowhere."""
+    return jax.random.bits(key, shape=(1,), dtype=jnp.uint32).astype(jnp.int32)
+
 def _softplus(x):
     # Stable softplus; rho is typically in [-12, 1] here.
     return jnp.where(x > 20.0, x, jnp.log1p(jnp.exp(jnp.minimum(x, 20.0))))
@@ -234,7 +243,7 @@ def gaussian_shift_scale_split(mu, sigma, key, num_draws, *,
     if mu.shape[0] % LANES != 0:
         raise ValueError(f"packed size {mu.shape[0]} not a multiple of {LANES}")
     rows = mu.shape[0] // LANES
-    seed = jax.random.bits(key, shape=(1,), dtype=jnp.uint32).astype(jnp.int32)
+    seed = _seed_from_key(key)
     outs = _pallas_reparam_split(
         mu.reshape(rows, LANES), sigma.reshape(rows, LANES), seed, num_draws,
         out_dtype, interpret=(impl == "pallas_interpret"))
@@ -294,7 +303,7 @@ def gaussian_reparam(
         if mu.shape[0] % LANES != 0:
             raise ValueError(f"packed size {mu.shape[0]} not a multiple of {LANES}")
         rows = mu.shape[0] // LANES
-        seed = jax.random.bits(key, shape=(1,), dtype=jnp.uint32).astype(jnp.int32)
+        seed = _seed_from_key(key)
         out = _pallas_reparam(
             mu.reshape(rows, LANES),
             rho.reshape(rows, LANES),
@@ -319,7 +328,7 @@ def _shift_scale_impl(mu, sigma, key, num_draws, impl, out_dtype):
         if mu.shape[0] % LANES != 0:
             raise ValueError(f"packed size {mu.shape[0]} not a multiple of {LANES}")
         rows = mu.shape[0] // LANES
-        seed = jax.random.bits(key, shape=(1,), dtype=jnp.uint32).astype(jnp.int32)
+        seed = _seed_from_key(key)
         out = _pallas_reparam(
             mu.reshape(rows, LANES),
             sigma.reshape(rows, LANES),
@@ -360,7 +369,7 @@ def _gss_bwd(num_draws, impl, out_dtype, res, g):
         if num_draws is None:
             eps = eps[0]
     else:
-        seed = jax.random.bits(key, shape=(1,), dtype=jnp.uint32).astype(jnp.int32)
+        seed = _seed_from_key(key)
         eps = _pallas_eps(mu.shape[0], seed, n, jnp.float32,
                           interpret=(impl == "pallas_interpret"))
         if num_draws is None:

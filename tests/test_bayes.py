@@ -76,8 +76,10 @@ def test_moped_init_matches_bayesian_torch_parameterisation():
 def test_non_moped_init():
     spec = BNNPriorSpec(moped_enable=False)
     post, meta = bayesianize(tiny_params(), spec, rng=jax.random.PRNGKey(3))
+    # bayesian-torch draws BOTH with std 0.1: .normal_(init, 0.1) in each
+    # layer's init_parameters (mu around 0.0, rho around -3.0)
     rho = np.asarray(post.rho[: meta.n_real])
-    np.testing.assert_allclose(rho, -3.0)
+    assert abs(rho.mean() + 3.0) < 0.05 and 0.05 < rho.std() < 0.2
     mu = np.asarray(post.mu[: meta.n_real])
     assert abs(mu.mean()) < 0.05 and 0.05 < mu.std() < 0.2
 
@@ -176,3 +178,23 @@ def test_unpack_custom_vjp_matches_autodiff():
     for a, b in zip(jax.tree_util.tree_leaves(gd1),
                     jax.tree_util.tree_leaves(gd2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_pack_tree_pad_value_preserves_zero_kl_invariant():
+    """pack_tree must be able to rebuild a posterior array whose pad region
+    keeps the zero-KL / zero-noise invariant: with pad_value = prior values
+    the round trip pack_tree(unpack(x)) == x including the pad; the 0.0
+    default is only for non-posterior payloads."""
+    from multimodal_auv_tpu.bayes import softplus_inv
+
+    spec = BNNPriorSpec(prior_mu=0.0, prior_sigma=1.0)
+    post, meta = bayesianize(tiny_params(), spec)
+    assert meta.n_padded > meta.n_real  # the fixture must exercise the pad
+    mu_tree = meta.unpack(post.mu, post.det)
+    packed = meta.pack_tree(mu_tree, pad_value=spec.prior_mu)
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(post.mu))
+    rho_tree = meta.unpack(post.rho, post.det)
+    packed_rho = meta.pack_tree(
+        rho_tree, pad_value=softplus_inv(spec.prior_sigma))
+    np.testing.assert_allclose(np.asarray(packed_rho), np.asarray(post.rho),
+                               rtol=1e-6)

@@ -154,3 +154,24 @@ def test_packed_and_unpacked_split_share_indices():
     sub_tr, sub_te = split_dataset(_DS())
     assert list(sub_tr.indices) == list(tr)
     assert list(sub_te.indices) == list(te)
+
+
+def test_resolve_patch_size_accepts_both_spellings():
+    """The reference's patch dicts are keyed by BARE sizes ('10m',
+    datasets.py:299) and looked up with .get(patch_type), so '10m' selects
+    the 10m patch there; 'patch_10m_bathy' is this repo's documented-fix
+    spelling (in the reference it misses the dict and silently falls back
+    to full-res). Both must resolve; 'patch_30_<kind>' and unknown sizes
+    fall back to full (None)."""
+    from multimodal_auv_tpu.data.datasets import resolve_patch_size
+
+    avail = {"10m", "20m"}
+    assert resolve_patch_size("patch_10m_bathy", "bathy", avail) == "10m"
+    assert resolve_patch_size("10m", "bathy", avail) == "10m"
+    assert resolve_patch_size("20m", "sss", avail) == "20m"
+    assert resolve_patch_size("patch_30_bathy", "bathy", avail) is None
+    assert resolve_patch_size("30m", "bathy", avail) is None  # not discovered
+    assert resolve_patch_size(None, "bathy", avail) is None
+    # reference-config form 'patch_10_bathy' (no m): falls back to full in
+    # BOTH stacks (the reference dict has no such key either)
+    assert resolve_patch_size("patch_10_bathy", "bathy", avail) is None

@@ -26,7 +26,7 @@ def _data(n, num_classes=3, seed=0):
 
 
 def test_unimodal_bnn_learns_synthetic_classes():
-    spec = BNNPriorSpec(moped_enable=False)  # random init, rho=-3
+    spec = BNNPriorSpec(moped_enable=False)  # random init, rho ~ N(-3, 0.1)
     arch = ArchConfig(stage_sizes=(1, 1), width=8, image_size=S,
                       dtype=jnp.float32)
     bundle = make_unimodal_bundle(3, 3, spec, jax.random.PRNGKey(0), arch)
