@@ -42,6 +42,25 @@ def _decode_u8(path: str, mode: str, size: int) -> np.ndarray:
     return arr
 
 
+def inference_fingerprint(dataset) -> str:
+    """Content fingerprint of an InferenceFolderDataset (or a ConcatDataset
+    of them): sha1 over every referenced path + mtime/size in sample order.
+    Stored in the packed cache's pack_meta.json — a mismatch means the
+    cache was packed from a different directory list or on-disk state and
+    silently serving it would emit rows for the WRONG survey."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for it in dataset.data:
+        for p in (it["main_image"], it["bathy_image"], it["sss_image"]):
+            try:
+                st = os.stat(p)
+                h.update(f"{p}|{st.st_mtime_ns}|{st.st_size};".encode())
+            except OSError:
+                h.update(f"{p}|missing;".encode())
+    return h.hexdigest()
+
+
 def pack_inference_dataset(dataset, out_dir: str, size: int = IMAGE_SIZE,
                            workers: Optional[int] = None) -> Dict[str, object]:
     """Pack an InferenceFolderDataset into {main,bathy,sss}.npy + names."""
@@ -73,6 +92,9 @@ def pack_inference_dataset(dataset, out_dir: str, size: int = IMAGE_SIZE,
 
     with open(os.path.join(out_dir, "names.json"), "w") as f:
         json.dump(names, f)
+    with open(os.path.join(out_dir, "pack_meta.json"), "w") as f:
+        json.dump({"size": size,
+                   "fingerprint": inference_fingerprint(dataset)}, f)
     main.flush(); bathy.flush(); sss.flush()
     logger.info("Packed %d samples into %s", n, out_dir)
     return {"main": main, "bathy": bathy, "sss": sss, "names": names}

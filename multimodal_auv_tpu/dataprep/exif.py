@@ -89,7 +89,11 @@ def parse_telemetry(comment: str) -> Dict[str, float]:
     """Regex-parse the GAVIA telemetry block exactly as the reference does
     (Example_data_preparation.py:309-348): floats default to NaN when
     absent; ``<lat>DDMM.MMMM[NS]</lat>`` / ``<lon>DDDMM.MMMM[EW]</lon>``
-    carry a trailing hemisphere letter (lat: 2 degree digits, lon: 3)."""
+    carry a trailing hemisphere letter (lat: 2 degree digits, lon: 3).
+    The fixed-digit slicing is kept deliberately (NOT unified with
+    geodesy.ddmm_to_decimal, which floors v/100): the two only agree on
+    well-formed strings, and this path's contract is byte-for-byte
+    reference parity including malformed-input behavior."""
     import numpy as np
 
     vals: Dict[str, float] = {}

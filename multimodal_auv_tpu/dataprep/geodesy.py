@@ -80,8 +80,12 @@ def latlon_to_utm(lat: float, lon: float,
 
 
 def ddmm_to_decimal(value: float | str, hemisphere: str) -> float:
-    """GAVIA EXIF format ddmm.mmmm -> decimal degrees; S/W negative
-    (Example_data_preparation.py:336-348)."""
+    """GAVIA-style ddmm.mmmm -> decimal degrees; S/W negative. General
+    helper using floor(v/100) for the degree digits — note that
+    exif.parse_telemetry deliberately does NOT call this: it reproduces
+    the reference's fixed-digit string slicing byte-for-byte
+    (Example_data_preparation.py:336-348, lat 2 / lon 3 degree digits),
+    which only agrees with this helper on well-formed strings."""
     v = float(value)
     degrees = math.floor(v / 100.0)
     minutes = v - degrees * 100.0

@@ -25,7 +25,7 @@ import os
 import struct
 import zlib
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -132,8 +132,12 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
         out += entry
         prev = entry
         # "early change": the decoder's table lags the encoder's by one
-        # entry, so widen one entry sooner (libtiff-compatible).
-        if len(table) >= (1 << nbits) - 2 and nbits < 12:
+        # entry, so widen one entry sooner (libtiff-compatible: libtiff's
+        # encoder switches when ITS next free code reaches 1<<nbits, i.e.
+        # decoder table size (1<<nbits)-1 — verified byte-for-byte against
+        # a PIL/libtiff-written file; -2 corrupted every real LZW raster
+        # at the 9->10 bit switch, table entry 510).
+        if len(table) >= (1 << nbits) - 1 and nbits < 12:
             nbits += 1
     return bytes(out)
 
@@ -150,6 +154,8 @@ class GeoTiff:
     compression: int = 1
     predictor: int = 1
     planar: int = 1
+    byteorder: str = "<"  # struct-style '<' (II) or '>' (MM)
+    _mm: Any = None  # decoded-raster memmap attached by to_memmap()
     rows_per_strip: int = 0
     tile_width: int = 0
     tile_height: int = 0
@@ -175,6 +181,7 @@ class GeoTiff:
                     end = ">"
                 else:
                     raise TiffError(f"{path}: not a TIFF")
+                g.byteorder = end
                 magic = struct.unpack(end + "H", header[2:4])[0]
                 big = magic == 43
                 if magic not in (42, 43):
@@ -321,10 +328,14 @@ class GeoTiff:
         return (min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1))
 
     def index(self, x: float, y: float) -> Tuple[int, int]:
-        """Model coords -> (row, col)."""
+        """Model coords -> (row, col). floor, not int() truncation:
+        rasterio's index() (the parity target) maps a point up to one
+        pixel west/north of the origin to -1, while truncation would fold
+        it onto row/col 0 — shifting every just-outside patch window by a
+        pixel."""
         x0, dx, _, y0, _, dy = self.transform
-        col = int((x - x0) / dx)
-        row = int((y - y0) / dy)
+        col = math.floor((x - x0) / dx)
+        row = math.floor((y - y0) / dy)
         return row, col
 
     # ------------------------------------------------------------------
@@ -359,8 +370,15 @@ class GeoTiff:
         if len(data) < nbytes_expected:
             # truncated strip: pad with zeros (degrade, don't crash)
             data = data + b"\0" * (nbytes_expected - len(data))
-        return np.frombuffer(data, self.dtype, count=nbytes_expected //
-                             self.dtype.itemsize)
+        # decode with the FILE's byte order, hand native order downstream:
+        # a big-endian ('MM') raster's 16/32-bit samples read byte-swapped
+        # through a native-order frombuffer (59k/60k wrong values on a
+        # 'MM' uint16 fixture), and predictor math / consumers assume
+        # native order.
+        file_dt = self.dtype.newbyteorder(self.byteorder)
+        arr = np.frombuffer(data, file_dt, count=nbytes_expected //
+                            self.dtype.itemsize)
+        return arr.astype(self.dtype, copy=False)
 
     def _undo_predictor(self, block: np.ndarray) -> np.ndarray:
         """Horizontal differencing: per row, per channel, cumulative sum
@@ -385,6 +403,12 @@ class GeoTiff:
         if r1 <= r0 or c1 <= c0:
             if not boundless:
                 raise ValueError("window does not intersect raster")
+            return out
+
+        if self._mm is not None:
+            # pre-packed fast path (to_memmap): a pure slice, no decode
+            out[r0 - row_off:r1 - row_off, c0 - col_off:c1 - col_off] = \
+                self._mm[r0:r1, c0:c1, band]
             return out
 
         spp = self.count
@@ -424,14 +448,24 @@ class GeoTiff:
     # ------------------------------------------------------------------
     def to_memmap(self, cache_dir: str) -> np.memmap:
         """One-time pre-pack to a .npy memmap: subsequent windowed reads
-        become pure slices (the patch-sweep fast path)."""
+        (``read_window``) become pure slices (the patch-sweep fast path).
+        The cache key hashes the FULL path plus mtime_ns and size —
+        basename+mtime alone collided for same-named rasters in different
+        survey directories sharing a cache_dir (one silently returned the
+        other's pixels)."""
+        import hashlib
+
         os.makedirs(cache_dir, exist_ok=True)
-        key = os.path.basename(self.path) + f"_{os.path.getmtime(self.path):.0f}"
+        st = os.stat(self.path)
+        tag = hashlib.sha1(os.path.abspath(self.path).encode()).hexdigest()[:12]
+        key = (f"{os.path.basename(self.path)}_{tag}"
+               f"_{st.st_mtime_ns}_{st.st_size}")
         npy = os.path.join(cache_dir, key + ".npy")
         if not os.path.exists(npy):
             full = np.stack([self.read(b) for b in range(self.count)], axis=-1)
             np.save(npy, full)
-        return np.load(npy, mmap_mode="r")
+        self._mm = np.load(npy, mmap_mode="r")
+        return self._mm
 
 
 def _native_or_py_lzw(raw: bytes, expected: int) -> bytes:

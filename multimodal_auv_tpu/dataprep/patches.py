@@ -50,7 +50,13 @@ def process_and_save_data(
     rasters: Dict[str, GeoTiff] = {}
     for p in geotiff_files_paths:
         try:
-            rasters[p] = GeoTiff.open(p)
+            g = GeoTiff.open(p)
+            if pack_cache_dir:
+                # pre-pack to a .npy memmap: every subsequent window read
+                # is a pure slice instead of a strip/tile decode (the
+                # sweep fast path this parameter advertises)
+                g.to_memmap(pack_cache_dir)
+            rasters[p] = g
         except Exception as e:
             logger.error("Could not open GeoTIFF %s: %s", p, e)
 

@@ -208,8 +208,9 @@ int64_t lzw_decode(const uint8_t* src, int64_t srclen, uint8_t* dst,
       return -1;  // corrupt stream
     }
     // early change (decoder lags encoder by one entry) — must match the
-    // Python fallback in dataprep/geotiff.py (libtiff-compatible)
-    if (next_code >= (1 << nbits) - 2 && nbits < 12) ++nbits;
+    // Python fallback in dataprep/geotiff.py (libtiff-compatible: widen
+    // at table size (1<<nbits)-1; -2 corrupted real libtiff streams)
+    if (next_code >= (1 << nbits) - 1 && nbits < 12) ++nbits;
   }
   return out;
 }

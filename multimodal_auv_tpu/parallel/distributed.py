@@ -67,9 +67,10 @@ def host_shard_indices(n_samples: int, *, process_index: Optional[int] = None,
     return list(range(pi * per, min((pi + 1) * per, n_samples)))
 
 
-def make_global_batch(mesh, per_host_arrays: Sequence, ndim_batch: int = 1):
-    """Assemble a globally-sharded array from per-host shards
-    (jax.make_array_from_process_local_data) for multi-host input feeding."""
+def make_global_batch(mesh, per_host_arrays: Sequence):
+    """Assemble globally-sharded arrays from per-host shards
+    (jax.make_array_from_process_local_data) for multi-host input feeding.
+    Axis 0 is always the sharded batch axis."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sharding = NamedSharding(mesh, P("data"))

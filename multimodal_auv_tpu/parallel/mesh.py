@@ -85,7 +85,14 @@ def shard_state(mesh: Mesh, state: Any, fsdp: bool = False) -> Any:
 
     def place(path, leaf):
         keys = [getattr(p, "name", getattr(p, "key", "")) for p in path]
-        is_packed = any(k in ("mu", "rho") for k in keys)
+        # Only a LEAF named mu/rho is a packed array. `any(... in keys)`
+        # also matched the Adam state's own `mu` moment FIELD, so the
+        # first-moment copies of deterministic BN scale/bias leaves (path
+        # ...inner_state/mu/det/.../scale) got FSDP-sharded: device_put
+        # raises outright when the BN channel count doesn't divide the
+        # device count, and when it does, mu-moments silently sharded
+        # while their nu twins stayed replicated.
+        is_packed = bool(keys) and keys[-1] in ("mu", "rho")
         if is_packed and np.ndim(leaf) == 1:
             return jax.device_put(leaf, post_shard)
         return jax.device_put(leaf, repl)

@@ -76,12 +76,30 @@ def run_auv_inference(
             multimodal_predict_and_save_packed,
         )
 
+        from multimodal_auv_tpu.data.packing import inference_fingerprint
+
         cache = packed_cache_dir or os.path.join(
             dirs[0], f".packed_cache_{arch.image_size}")
-        if not os.path.exists(os.path.join(cache, "names.json")):
-            datasets = [InferenceFolderDataset(d, image_size=arch.image_size)
-                        for d in dirs]
-            ds = datasets[0] if len(datasets) == 1 else ConcatDataset(datasets)
+        # Staleness gate: the cache directory is keyed by dirs[0], so a
+        # names.json existence check alone would silently reuse a cache
+        # packed from a DIFFERENT directory list (or older on-disk state)
+        # — emitting inference rows for the wrong survey. The folder scan
+        # to fingerprint is cheap next to MC inference.
+        datasets = [InferenceFolderDataset(d, image_size=arch.image_size)
+                    for d in dirs]
+        ds = datasets[0] if len(datasets) == 1 else ConcatDataset(datasets)
+        meta_path = os.path.join(cache, "pack_meta.json")
+        stale = True
+        if os.path.exists(meta_path):
+            import json
+
+            meta = json.load(open(meta_path))
+            stale = (meta.get("size") != arch.image_size
+                     or meta.get("fingerprint") != inference_fingerprint(ds))
+            if stale:
+                logger.info("Packed cache %s is stale (different survey or "
+                            "on-disk state) — repacking", cache)
+        if stale:
             pack_inference_dataset(ds, cache, size=arch.image_size)
         mesh = None
         if mesh_spec is not None:

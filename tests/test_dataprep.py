@@ -122,51 +122,12 @@ def test_geotiff_multiband_and_memmap(tmp_path):
 
 
 def test_lzw_decode_roundtrip():
-    """LZW decoder against a stream produced by a tiny TIFF-LZW encoder."""
+    """LZW decoder against the shared reference encoder (tests/lzw_ref.py,
+    libtiff early-change semantics; the real-file golden is
+    test_lzw_decode_matches_libtiff_written_file)."""
     from multimodal_auv_tpu.dataprep.geotiff import _lzw_decode
 
-    def lzw_encode(data: bytes) -> bytes:
-        CLEAR, EOI = 256, 257
-        table = {bytes([i]): i for i in range(256)}
-        next_code = 258
-        nbits = 9
-        out_bits = []
-
-        def emit(code, nb):
-            out_bits.append((code, nb))
-
-        emit(CLEAR, nbits)
-        w = b""
-        for ch in data:
-            wc = w + bytes([ch])
-            if wc in table or len(wc) == 1:
-                w = wc
-            else:
-                emit(table[w], nbits)
-                table[wc] = next_code
-                next_code += 1
-                if next_code == (1 << nbits) - 1:
-                    nbits += 1
-                if next_code >= 4094:
-                    emit(CLEAR, nbits)
-                    table = {bytes([i]): i for i in range(256)}
-                    next_code = 258
-                    nbits = 9
-                w = bytes([ch])
-        if w:
-            emit(table[w], nbits)
-        emit(EOI, nbits)
-        # pack MSB-first
-        acc, accn, out = 0, 0, bytearray()
-        for code, nb in out_bits:
-            acc = (acc << nb) | code
-            accn += nb
-            while accn >= 8:
-                accn -= 8
-                out.append((acc >> accn) & 0xFF)
-        if accn:
-            out.append((acc << (8 - accn)) & 0xFF)
-        return bytes(out)
+    from tests.lzw_ref import lzw_encode
 
     rng = np.random.default_rng(0)
     payload = bytes(rng.integers(0, 8, size=5000, dtype=np.uint8))
@@ -254,3 +215,117 @@ def test_clahe_scalar_kernel_size_matches_tuple():
     img = rng.integers(0, 255, (64, 48), dtype=np.uint8)
     np.testing.assert_array_equal(clahe_u8(img, kernel_size=16),
                                   clahe_u8(img, kernel_size=(16, 16)))
+
+
+def test_lzw_decode_matches_libtiff_written_file(tmp_path):
+    """Golden against a REAL libtiff-written LZW stream (via PIL), not the
+    in-repo encoder: the decoders' early-change widen point was off by one
+    ((1<<nbits)-2 instead of -1), corrupting every real LZW raster from
+    table entry 510 on — masked by the matching off-by-one the test
+    encoder used to have. Covers the 9->10 bit switch."""
+    from PIL import Image
+
+    from multimodal_auv_tpu.dataprep.geotiff import GeoTiff
+
+    arr = (np.arange(200 * 300, dtype=np.uint32) % 251).astype(
+        np.uint8).reshape(200, 300)
+    p = str(tmp_path / "lzw.tif")
+    Image.fromarray(arr).save(p, compression="tiff_lzw")
+    got = GeoTiff.open(p).read()
+    got2d = got[0] if got.ndim == 3 else got
+    np.testing.assert_array_equal(got2d, np.asarray(Image.open(p)))
+
+
+def test_big_endian_tiff_samples_not_byteswapped(tmp_path):
+    """'MM' (big-endian) rasters with multi-byte samples must decode to
+    the written values: frombuffer with the native-order dtype read every
+    uint16 byte-swapped (0,1000,2000 -> 0,59395,53255)."""
+    import struct
+
+    from multimodal_auv_tpu.dataprep.geotiff import GeoTiff
+
+    vals = ((np.arange(64, dtype=np.uint32) * 1000) % 65536).astype(
+        np.uint16).reshape(8, 8)
+    ents = []
+
+    def ent(tag, typ, cnt, val):
+        ents.append(struct.pack(">HHII", tag, typ, cnt, val))
+
+    data = vals.astype(">u2").tobytes()
+    data_off = 8 + 2 + 12 * 9 + 4
+    ent(256, 3, 1, 8 << 16)
+    ent(257, 3, 1, 8 << 16)
+    ent(258, 3, 1, 16 << 16)
+    ent(259, 3, 1, 1 << 16)
+    ent(262, 3, 1, 1 << 16)
+    ent(273, 4, 1, data_off)
+    ent(277, 3, 1, 1 << 16)
+    ent(278, 3, 1, 8 << 16)
+    ent(279, 4, 1, len(data))
+    p = str(tmp_path / "be.tif")
+    with open(p, "wb") as f:
+        f.write(b"MM" + struct.pack(">H", 42) + struct.pack(">I", 8))
+        f.write(struct.pack(">H", len(ents)))
+        for e in ents:
+            f.write(e)
+        f.write(struct.pack(">I", 0))
+        f.write(data)
+    g = GeoTiff.open(p)
+    assert g.byteorder == ">"
+    got = g.read()
+    got2d = got[0] if got.ndim == 3 else got
+    np.testing.assert_array_equal(got2d, vals)
+    assert got2d.dtype.byteorder in ("=", "|", "<")  # native for consumers
+
+
+def test_memmap_fast_path_matches_decode_and_index_floors(tmp_path):
+    """to_memmap attaches the pre-packed raster so read_window serves pure
+    slices — results must equal the strip/tile decode path bit-for-bit.
+    Also pins index() flooring: a point one pixel west/north of the origin
+    maps to -1 (rasterio parity), not 0 via int() truncation."""
+    h, w = 40, 50
+    data = (np.arange(h * w, dtype=np.float32).reshape(h, w)) / 7.0
+    path = str(tmp_path / "m_Bathy.tif")
+    write_geotiff(path, data, transform=(100.0, 0.5, 0.0, 200.0, 0.0, -0.5))
+
+    g_decode = GeoTiff.open(path)
+    ref = g_decode.read_window(5, 7, 20, 30)
+    g_mm = GeoTiff.open(path)
+    g_mm.to_memmap(str(tmp_path / "cache"))
+    assert g_mm._mm is not None
+    np.testing.assert_array_equal(g_mm.read_window(5, 7, 20, 30), ref)
+    # boundless read through the memmap path
+    np.testing.assert_array_equal(
+        g_mm.read_window(-3, -3, 10, 10, boundless=True),
+        g_decode.read_window(-3, -3, 10, 10, boundless=True))
+
+    # index(): 0.2 m west of the origin is OUTSIDE -> col -1, not 0
+    assert g_decode.index(99.8, 200.0) == (0, -1)
+    assert g_decode.index(100.0, 200.2) == (-1, 0)
+    assert g_decode.index(100.3, 199.8) == (0, 0)
+
+
+def test_to_memmap_cache_no_collision_across_dirs(tmp_path):
+    """Two same-named rasters in different directories sharing one
+    cache_dir must not collide (basename+mtime keys did: the second open
+    silently returned the first raster's pixels)."""
+    import shutil
+
+    a = tmp_path / "surveyA"; a.mkdir()
+    b = tmp_path / "surveyB"; b.mkdir()
+    da = np.full((8, 8), 1.0, np.float32)
+    db = np.full((8, 8), 2.0, np.float32)
+    write_geotiff(str(a / "Bathy.tif"), da,
+                  transform=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0))
+    write_geotiff(str(b / "Bathy.tif"), db,
+                  transform=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0))
+    # force identical mtimes (the old collision trigger)
+    import os
+
+    st = os.stat(str(a / "Bathy.tif"))
+    os.utime(str(b / "Bathy.tif"), ns=(st.st_atime_ns, st.st_mtime_ns))
+    cache = str(tmp_path / "cache")
+    ma = GeoTiff.open(str(a / "Bathy.tif")).to_memmap(cache)
+    mb = GeoTiff.open(str(b / "Bathy.tif")).to_memmap(cache)
+    np.testing.assert_array_equal(np.asarray(ma)[:, :, 0], da)
+    np.testing.assert_array_equal(np.asarray(mb)[:, :, 0], db)

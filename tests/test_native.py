@@ -56,47 +56,9 @@ def test_window_copy_clipping(lib):
 
 def test_lzw_matches_python(lib):
     from multimodal_auv_tpu.dataprep.geotiff import _lzw_decode
-    from tests.test_dataprep import test_lzw_decode_roundtrip  # reuse encoder
+    from tests.lzw_ref import lzw_encode
 
-    # build a stream with the same encoder used by the python test
     import numpy as np
-
-    # inline encoder (duplicated tiny helper)
-    def lzw_encode(data: bytes) -> bytes:
-        CLEAR, EOI = 256, 257
-        table = {bytes([i]): i for i in range(256)}
-        next_code, nbits = 258, 9
-        bits = []
-        bits.append((CLEAR, nbits))
-        w = b""
-        for ch in data:
-            wc = w + bytes([ch])
-            if wc in table or len(wc) == 1:
-                w = wc
-            else:
-                bits.append((table[w], nbits))
-                table[wc] = next_code
-                next_code += 1
-                if next_code == (1 << nbits) - 1:
-                    nbits += 1
-                if next_code >= 4094:
-                    bits.append((CLEAR, nbits))
-                    table = {bytes([i]): i for i in range(256)}
-                    next_code, nbits = 258, 9
-                w = bytes([ch])
-        if w:
-            bits.append((table[w], nbits))
-        bits.append((EOI, nbits))
-        acc, accn, out = 0, 0, bytearray()
-        for code, nb in bits:
-            acc = (acc << nb) | code
-            accn += nb
-            while accn >= 8:
-                accn -= 8
-                out.append((acc >> accn) & 0xFF)
-        if accn:
-            out.append((acc << (8 - accn)) & 0xFF)
-        return bytes(out)
 
     rng = np.random.default_rng(2)
     payload = bytes(rng.integers(0, 16, size=20000, dtype=np.uint8))

@@ -266,3 +266,52 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
                                jax.random.PRNGKey(2), 0.5, 8.0)
         jax.block_until_ready(state2.post.mu)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_shard_state_fsdp_only_shards_packed_leaves():
+    """Only leaves NAMED mu/rho (the packed posterior arrays and their
+    Adam moment copies) may be FSDP-sharded. The old any-key-in-path test
+    also matched the Adam state's own `mu` moment FIELD, so first-moment
+    copies of deterministic BN scale/bias leaves got sharded — a hard
+    device_put error whenever the BN channel count doesn't divide the
+    device count (e.g. width-12 BN on 8 devices)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodal_auv_tpu.config import BNNPriorSpec
+    from multimodal_auv_tpu.engine.optim import make_optimizer
+    from multimodal_auv_tpu.engine.steps import BayesTrainState
+    from multimodal_auv_tpu.models.model_utils import (
+        ArchConfig,
+        make_multimodal_bundle,
+    )
+    from multimodal_auv_tpu.parallel.mesh import make_mesh, shard_state
+
+    # width 12 -> BN channel counts (12, 48, ...) not divisible by 8
+    arch = ArchConfig(stage_sizes=(1, 1), width=12, image_size=32,
+                      dtype=jnp.float32)
+    bundle = make_multimodal_bundle(3, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                    arch)
+    tx = make_optimizer(1e-3)
+    state = BayesTrainState(post=bundle.post,
+                            opt_state=tx.init(bundle.post),
+                            batch_stats=bundle.batch_stats,
+                            step=jnp.zeros((), jnp.int32))
+    mesh = make_mesh()
+    sharded = shard_state(mesh, state, fsdp=True)  # raised before the fix
+
+    def named_leaves(tree):
+        out = []
+        for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+            keys = [getattr(p, "name", getattr(p, "key", "")) for p in path]
+            out.append((keys, leaf))
+        return out
+
+    for keys, leaf in named_leaves(sharded):
+        spec = leaf.sharding.spec if hasattr(leaf.sharding, "spec") else None
+        is_packed = bool(keys) and keys[-1] in ("mu", "rho")
+        if is_packed and np.ndim(leaf) == 1:
+            assert spec is not None and any(spec), keys  # sharded
+        elif spec is not None:
+            assert not any(spec), keys  # replicated

@@ -180,3 +180,34 @@ def test_inference_pipeline_dvp_serving(tmp_path, monkeypatch):
                       use_dvp=True, use_packed_loader=True)
     rows2 = open(out2).read().strip().splitlines()
     assert len(rows2) == 1 + 5
+
+
+def test_packed_inference_cache_staleness_gate(tmp_path, monkeypatch):
+    """The packed cache dir is keyed by dirs[0], so a bare names.json
+    existence check silently reused a cache packed from a DIFFERENT
+    directory list — emitting rows for the wrong survey. The fingerprint
+    gate (pack_meta.json) must force a repack when the survey changes."""
+    from multimodal_auv_tpu.models.model_utils import ArchConfig
+    from multimodal_auv_tpu.pipelines.inference import run_auv_inference
+    from tests.fixtures.make_tree import make_inference_tree
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    rootA = make_inference_tree(str(tmp_path / "divesA"), n_samples=3)
+    rootB = make_inference_tree(str(tmp_path / "divesB"), n_samples=2)
+    arch = ArchConfig.tiny(image_size=64)
+
+    outA = str(tmp_path / "a.csv")
+    run_auv_inference(rootA, batch_size=2, output_csv=outA, num_mc_samples=2,
+                      num_classes=7, allow_random_init=True, arch=arch,
+                      use_packed_loader=True)
+    assert len(open(outA).read().strip().splitlines()) == 1 + 3
+
+    # same dirs[0] -> same cache dir; the old existence check would reuse
+    # the 3-sample pack and silently drop rootB's samples
+    outAB = str(tmp_path / "ab.csv")
+    run_auv_inference([rootA, rootB], batch_size=2, output_csv=outAB,
+                      num_mc_samples=2, num_classes=7,
+                      allow_random_init=True, arch=arch,
+                      use_packed_loader=True)
+    assert len(open(outAB).read().strip().splitlines()) == 1 + 5
