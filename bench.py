@@ -523,7 +523,9 @@ def measure_torch_cpu_train(batch: int, num_mc: int) -> float:
 
 
 def measure_artifact_tpu(batch: int, num_mc: int, iters: int,
-                         mode: str = "mc") -> float:
+                         mode: str = "mc"):
+    # returns (patches_per_sec, exported_mode) — exported_mode can differ
+    # from the request when the DVP guardrail falls back to exact MC
     """Serving throughput through an AOT artifact (serving.py): export the
     packed predict step + state, load it back, and drive the exported
     program batch-by-batch (synchronous result fetch — the conservative
@@ -549,6 +551,12 @@ def measure_artifact_tpu(batch: int, num_mc: int, iters: int,
                             num_mc_samples=num_mc, mode=mode)
     export_s = time.perf_counter() - t0
     art = load_predict_artifact(d)
+    if art.mode != mode:
+        # the DVP guardrail may have exported the exact-MC program
+        # (dvp_on_excess='mc' + spread posterior) — the ledger label must
+        # reflect what was MEASURED, not what was requested
+        print(f"# requested mode={mode!r} but artifact exported "
+              f"mode={art.mode!r} (guardrail fallback)", file=sys.stderr)
 
     s = art.image_size
     rng = np.random.default_rng(0)
@@ -565,7 +573,7 @@ def measure_artifact_tpu(batch: int, num_mc: int, iters: int,
         n += out["predicted"].shape[0]
     dt = time.perf_counter() - t0
     print(f"# artifact: export {export_s:.1f}s, dir {d}", file=sys.stderr)
-    return n / dt
+    return n / dt, art.mode
 
 
 def main():
@@ -605,12 +613,12 @@ def main():
     args = p.parse_args()
 
     if args.artifact:
-        value = measure_artifact_tpu(args.batch, args.num_mc,
-                                     max(args.iters, 10),
-                                     mode=("dvp" if args.dvp else "mc"))
+        value, exported_mode = measure_artifact_tpu(
+            args.batch, args.num_mc, max(args.iters, 10),
+            mode=("dvp" if args.dvp else "mc"))
         print(json.dumps({
             "metric": ("multimodal_bnn_artifact_dvp_patches_per_sec"
-                       if args.dvp else
+                       if exported_mode == "dvp" else
                        "multimodal_bnn_artifact_serving_patches_per_sec"),
             "value": round(value, 3),
             "unit": "patches/sec/chip",

@@ -114,6 +114,20 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # A plain q.put would park forever on the full bounded queue
+            # when the consumer abandons iteration (strict_errors raise,
+            # early break): stop.set() runs in the generator's finally but
+            # the blocked put never observes it — leaking a daemon thread
+            # + prefetch+1 collated image batches per abandoned epoch.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             from concurrent.futures import ThreadPoolExecutor
 
@@ -123,11 +137,12 @@ class DataLoader:
                         return
                     try:
                         samples = list(pool.map(self.dataset.__getitem__, b))
-                        q.put(_collate(samples))
+                        if not put(_collate(samples)):
+                            return
                     except Exception as e:  # propagate to consumer
-                        q.put(e)
+                        put(e)
                         return
-            q.put(None)
+            put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

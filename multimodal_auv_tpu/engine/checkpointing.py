@@ -122,14 +122,23 @@ def load_and_fix_state_dict(post, path: str):
         logger.error("Checkpoint restore failed from %s: %s", path, e)
         return post, False
 
+    def _names(p):
+        # Normalise path entries to bare names: orbax's raw restore yields
+        # plain DICTS (DictKey, keystr "['mu']") while the flax-struct
+        # template flattens with GetAttrKey (keystr ".mu") — comparing raw
+        # keystr never matched, silently dropping EVERY leaf while still
+        # reporting ok=True.
+        return tuple(getattr(k, "name", None) or getattr(k, "key", str(k))
+                     for k in p)
+
     flat_new, treedef = jax.tree_util.tree_flatten_with_path(post)
     raw_by_path = {
-        jax.tree_util.keystr(p): v
+        _names(p): v
         for p, v in jax.tree_util.tree_flatten_with_path(raw)[0]
     }
     out, dropped = [], 0
     for p, leaf in flat_new:
-        key = jax.tree_util.keystr(p)
+        key = _names(p)
         cand = raw_by_path.get(key)
         if cand is not None and np.shape(cand) == np.shape(leaf):
             out.append(jax.numpy.asarray(cand, leaf.dtype))
@@ -141,6 +150,11 @@ def load_and_fix_state_dict(post, path: str):
             out.append(leaf)
     logger.info("Checkpoint loaded from %s (%d leaves kept, %d dropped)",
                 path, len(out) - dropped, dropped)
+    if out and dropped == len(out):
+        # nothing matched: the caller would silently run on its INPUT
+        # (e.g. random-init) posterior believing the checkpoint loaded
+        logger.error("Checkpoint at %s matched zero leaves", path)
+        return post, False
     return jax.tree_util.tree_unflatten(treedef, out), True
 
 

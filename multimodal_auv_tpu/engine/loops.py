@@ -319,7 +319,14 @@ def train_unimodal_model(
     async_checkpoints: bool = False,
 ) -> Tuple[BayesTrainState, float, float]:
     """One unimodal training epoch (unimodal.py:21-175); CSV columns
-    ["Epoch","Model type","Loss","Accuracy","lr"], row logs epoch+1."""
+    ["Epoch","Model type","Loss","Accuracy","lr"], row logs epoch+1.
+
+    Returns (state, ACCURACY, LOSS) — the REVERSE of
+    train_multimodal_model's (state, loss, accuracy). The swap is the
+    reference's own asymmetry (unimodal.py:175 returns (accuracy, loss);
+    multimodal.py:202 returns (loss, accuracy)) and is kept for parity —
+    bind the outputs by name, never by porting the other loop's
+    destructuring."""
     csv_path = str(Path(csv_path))
     file_exists = os.path.isfile(csv_path)
     try:

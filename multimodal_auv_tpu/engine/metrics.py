@@ -67,10 +67,15 @@ def append_fields_to_last_row(csv_path: str, fields: Dict[str, str]) -> bool:
             if k not in fieldnames:
                 fieldnames.append(k)
             rows[-1][k] = v
-        with open(csv_path, "w", newline="") as f:
+        # write-then-rename: an in-place open('w') truncates first, so a
+        # crash mid-write (OOM/SIGKILL between epochs of a sweep) would
+        # destroy every prior epoch's rows of the study ledger
+        tmp = csv_path + ".tmp"
+        with open(tmp, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=fieldnames)
             w.writeheader()
             w.writerows(rows)
+        os.replace(tmp, csv_path)
         return True
     except Exception as e:
         logger.warning("Could not append fields to %s: %s", csv_path, e)

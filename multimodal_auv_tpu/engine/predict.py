@@ -31,8 +31,10 @@ logger = logging.getLogger(__name__)
 def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
                       mc_chunk: Optional[int] = None, impl: str = "auto",
                       sample_dtype=jnp.bfloat16, antithetic: bool = False,
-                      donate: bool = False, ws_sharding=None,
-                      fused_trunks: bool = False):
+                      ws_sharding=None, fused_trunks: bool = False):
+    # (no donate option: the posterior and batch_stats are REUSED across
+    # every batch of a survey — donating them would invalidate the caller's
+    # buffers after the first call; donation belongs to train steps only)
     """Build a jitted predict step: (post, batch_stats, inputs, key) ->
     {predicted, predictive_uncertainty, aleatoric_uncertainty, mean_prob}.
 

@@ -175,3 +175,24 @@ def test_resolve_patch_size_accepts_both_spellings():
     # reference-config form 'patch_10_bathy' (no m): falls back to full in
     # BOTH stacks (the reference dict has no such key either)
     assert resolve_patch_size("patch_10_bathy", "bathy", avail) is None
+
+
+def test_loader_worker_exits_when_iteration_abandoned(train_tree):
+    """Abandoning iteration mid-epoch (strict_errors raise, early break)
+    must terminate the prefetch worker: a plain q.put parked on the full
+    bounded queue never observed stop.set(), leaking a daemon thread plus
+    prefetch+1 collated image batches per abandoned epoch."""
+    import threading
+    import time
+
+    ds = MultimodalFolderDataset(train_tree)
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(DataLoader(ds, batch_size=1, num_workers=2, prefetch=1))
+        next(it)  # worker fills the queue and blocks on the next put
+        it.close()  # generator finally -> stop.set()
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before + 1, (
+        f"{threading.active_count() - before} leaked loader threads")

@@ -588,3 +588,34 @@ def test_orchestrator_drains_async_saves_on_strict_raise(tmp_path, monkeypatch):
             str(tmp_path / "csv"), sw, jax.random.PRNGKey(0),
             strict_errors=True, async_checkpoints=True)
     assert calls, "wait_for_saves not called on the exception path"
+
+
+def test_tolerant_restore_actually_loads_values(tmp_path):
+    """load_and_fix_state_dict must return the CHECKPOINT's values, not a
+    silently-unchanged input: orbax's raw restore yields plain dicts
+    (DictKey paths) while the flax-struct template flattens with
+    GetAttrKey, so a raw keystr comparison matched zero leaves and still
+    reported ok=True — callers ran on random weights believing the
+    checkpoint loaded. Also: zero-leaves-matched must report ok=False."""
+    import dataclasses
+
+    from multimodal_auv_tpu.engine import checkpointing as ckpt
+
+    bundle, tx, state = _mm_state()
+    path = str(tmp_path / "m" / "post")
+    ckpt.save_pytree(path, state.post)
+
+    # a DIFFERENT posterior template: restored values must overwrite it
+    other = dataclasses.replace(
+        state.post, mu=state.post.mu + 1.0, rho=state.post.rho - 1.0)
+    got, ok = ckpt.load_and_fix_state_dict(other, path)
+    assert ok
+    np.testing.assert_array_equal(np.asarray(got.mu),
+                                  np.asarray(state.post.mu))
+    np.testing.assert_array_equal(np.asarray(got.rho),
+                                  np.asarray(state.post.rho))
+
+    # totally mismatched checkpoint -> ok=False, input returned
+    ckpt.save_pytree(str(tmp_path / "w" / "x"), {"something": np.ones(3)})
+    got2, ok2 = ckpt.load_and_fix_state_dict(other, str(tmp_path / "w" / "x"))
+    assert not ok2
