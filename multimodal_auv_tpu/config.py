@@ -105,8 +105,15 @@ def load_yaml(path: str) -> RunConfig:
         kwargs = {}
         for k, v in (d or {}).items():
             if k not in names:
+                # loud, not silent: a typo'd section/field ('trainng:',
+                # 'num_epoch:') would otherwise yield an all-default run
+                # with no signal that the knob was ignored
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "config %s: unknown key %r (not a %s field) — ignored",
+                    path, k, cls.__name__)
                 continue
-            ft = names[k].type
             sub = {"bnn": BNNPriorSpec, "training": TrainingSpec,
                    "optimizer": OptimizerSpec, "scheduler": SchedulerSpec,
                    "mesh": MeshSpec}.get(k)

@@ -15,7 +15,7 @@ import os
 import queue
 import threading
 from collections import Counter
-from typing import Any, Dict, Iterator, List, Optional, Sequence
+from typing import Any, Iterator, List, Optional, Sequence
 
 import numpy as np
 from sklearn.model_selection import train_test_split

@@ -24,17 +24,25 @@ logger = logging.getLogger(__name__)
 
 
 def _decode_u8(path: str, mode: str, size: int) -> np.ndarray:
+    """uint8 decode + resize taking the SAME resize path as the unpacked
+    loader's transforms.load_image (native cv2-parity bilinear when built,
+    incl. grayscale via a trailing channel dim; PIL otherwise): the packed
+    caches must store the same pixels the unpacked path feeds for EVERY
+    modality — a mode-restricted native path silently diverged on resized
+    SSS ('L') images (native no-antialias vs PIL antialiased bilinear)."""
     with Image.open(path) as img:
         img = img.convert(mode)
         if img.size != (size, size):
             try:
                 from multimodal_auv_tpu.native import lib
-
-                if lib is not None and mode == "RGB":
-                    arr = np.asarray(img, np.uint8)
-                    return lib.resize_batch(arr[None], size, size)[0]
             except Exception:
-                pass
+                lib = None
+            if lib is not None:
+                arr = np.asarray(img, np.uint8)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                out = lib.resize_batch(arr[None], size, size, nthreads=1)[0]
+                return out if out.ndim == 3 else out[:, :, None]
             img = img.resize((size, size), Image.BILINEAR)
         arr = np.asarray(img, np.uint8)
     if arr.ndim == 2:
@@ -80,10 +88,14 @@ def pack_inference_dataset(dataset, out_dir: str, size: int = IMAGE_SIZE,
     items = [dataset.data[i] for i in range(n)]
 
     def work(i):
+        # _decode_or_zeros, not bare _decode_u8: a file truncated/removed
+        # between the dataset scan and the pack must degrade to the same
+        # zeros dummy the unpacked InferenceFolderDataset would feed — not
+        # abort the whole pack and strand partial .npy files in the cache.
         it = items[i]
-        main[i] = _decode_u8(it["main_image"], "RGB", size)
-        bathy[i] = _decode_u8(it["bathy_image"], "RGB", size)
-        sss[i] = _decode_u8(it["sss_image"], "L", size)
+        main[i] = _decode_or_zeros(it["main_image"], "RGB", size)
+        bathy[i] = _decode_or_zeros(it["bathy_image"], "RGB", size)
+        sss[i] = _decode_or_zeros(it["sss_image"], "L", size)
         return os.path.basename(it["main_image"])
 
     workers = workers or max((os.cpu_count() or 2) - 2, 1)
@@ -110,8 +122,12 @@ def load_packed(out_dir: str) -> Dict[str, object]:
 
 
 class PackedBatches:
-    """Iterate uint8 batches (main, bathy, sss, names) from packed arrays,
-    padding the tail to a fixed batch size (valid count reported)."""
+    """Iterate uint8 batches (main, bathy, sss, names) from packed arrays.
+
+    The final batch is RAGGED (no padding, no valid-count) — consumers
+    feeding a fixed-shape jitted step or AOT artifact must zero-pad the
+    tail and build the validity mask themselves, as
+    engine.predict.multimodal_predict_and_save_packed does."""
 
     def __init__(self, packed: Dict[str, object], batch_size: int):
         self.packed = packed

@@ -9,7 +9,9 @@ import pandas as pd
 
 logger = logging.getLogger(__name__)
 
-_GEOTIFF_SUFFIXES = (".tif", ".tiff", ".gtiff")
+# the reference accepts exactly .tif/.tiff (utilities.py:7) — no .gtiff,
+# which would classify files the reference pipeline skips
+_GEOTIFF_SUFFIXES = (".tif", ".tiff")
 
 
 def is_geotiff(file: str) -> bool:
@@ -18,9 +20,25 @@ def is_geotiff(file: str) -> bool:
 
 def filter_csv_by_image_names(csv_file_path: str,
                               image_folder_path: str) -> pd.DataFrame:
-    """Keep only coords.csv rows whose Image_Name exists in the folder."""
-    df = pd.read_csv(csv_file_path)
-    names = set(os.listdir(image_folder_path))
+    """Keep only coords.csv rows whose Image_Name exists in the folder.
+
+    Degrades like the reference (utilities.py:21-35): a missing/unreadable
+    CSV returns an EMPTY DataFrame, a missing image folder filters against
+    an empty name set — pipelines continue instead of crashing mid-ETL."""
+    try:
+        df = pd.read_csv(csv_file_path)
+    except FileNotFoundError:
+        logger.error("CSV file not found at %s", csv_file_path)
+        return pd.DataFrame()
+    except Exception as e:
+        logger.error("Error loading CSV %s: %s", csv_file_path, e)
+        return pd.DataFrame()
+    if os.path.exists(image_folder_path):
+        names = set(os.listdir(image_folder_path))
+    else:
+        logger.warning("Image folder not found at %s — no rows will match",
+                       image_folder_path)
+        names = set()
     out = df[df["Image_Name"].isin(names)].reset_index(drop=True)
     logger.info("Filtered %d -> %d rows by image presence", len(df), len(out))
     return out

@@ -22,7 +22,7 @@ the default MC path retains exact reference estimator semantics.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

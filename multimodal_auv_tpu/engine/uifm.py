@@ -13,7 +13,6 @@ step rather than per batch in Python.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

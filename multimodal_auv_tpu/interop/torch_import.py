@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multimodal_auv_tpu.bayes import PackedPosterior, softplus_inv
+from multimodal_auv_tpu.bayes import PackedPosterior
 from multimodal_auv_tpu.config import BNNPriorSpec
 
 logger = logging.getLogger(__name__)

@@ -19,7 +19,6 @@ under bayesianization (dnn_to_bnn converts only Conv/Linear — SURVEY.md §2.1)
 """
 from __future__ import annotations
 
-from dataclasses import field
 from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp

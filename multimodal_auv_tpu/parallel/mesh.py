@@ -21,7 +21,6 @@ from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np
-from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from multimodal_auv_tpu.config import MeshSpec

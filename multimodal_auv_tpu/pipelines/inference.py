@@ -15,8 +15,7 @@ from typing import Optional
 
 import jax
 
-from multimodal_auv_tpu.config import BNNPriorSpec, MeshSpec
-from multimodal_auv_tpu.data.loaders import prepare_inference_dataloader
+from multimodal_auv_tpu.config import BNNPriorSpec
 from multimodal_auv_tpu.engine.predict import multimodal_predict_and_save
 from multimodal_auv_tpu.interop import hub
 from multimodal_auv_tpu.models.model_utils import ArchConfig, make_multimodal_bundle

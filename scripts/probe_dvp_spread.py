@@ -18,10 +18,13 @@ silently violate is inference/predictors.py:52-95 (reference).
 Run ON TPU (one process at a time):  python scripts/probe_dvp_spread.py
 Append the output table to BENCH_NOTES.md's round-3 section.
 """
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+# robust to relative __file__ (Python <=3.10 does not absolutize it)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 import jax
 import jax.numpy as jnp

@@ -14,10 +14,13 @@ transcendental math), and measures whether a reduced-precision Box-Muller
 Run ON TPU (one process at a time):  python scripts/probe_rng_split.py
 """
 import functools
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+# robust to relative __file__ (Python <=3.10 does not absolutize it)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 import jax
 import jax.numpy as jnp

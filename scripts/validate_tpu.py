@@ -6,17 +6,20 @@ an end-to-end jitted predict step. Run on a machine with a real TPU:
 
     python scripts/validate_tpu.py
 """
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+# robust to relative __file__ (Python <=3.10 does not absolutize it)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir",
-                  __file__.rsplit("/", 2)[0] + "/.jax_cache")
+                  os.path.join(_REPO, ".jax_cache"))
 
 
 def check(name, ok, detail=""):

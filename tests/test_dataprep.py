@@ -329,3 +329,18 @@ def test_to_memmap_cache_no_collision_across_dirs(tmp_path):
     mb = GeoTiff.open(str(b / "Bathy.tif")).to_memmap(cache)
     np.testing.assert_array_equal(np.asarray(ma)[:, :, 0], da)
     np.testing.assert_array_equal(np.asarray(mb)[:, :, 0], db)
+
+
+def test_utilities_reference_degradation():
+    """utilities parity (reference utilities.py:5-35): is_geotiff accepts
+    exactly .tif/.tiff; filter_csv_by_image_names returns an EMPTY frame
+    for a missing CSV (the reference pipelines continue, not crash)."""
+    from multimodal_auv_tpu.dataprep.utilities import (
+        filter_csv_by_image_names,
+        is_geotiff,
+    )
+
+    assert is_geotiff("a.TIF") and is_geotiff("b.tiff")
+    assert not is_geotiff("c.gtiff") and not is_geotiff("d.png")
+    out = filter_csv_by_image_names("/nonexistent/coords.csv", "/nonexistent")
+    assert out.empty
