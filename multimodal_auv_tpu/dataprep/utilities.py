@@ -39,15 +39,35 @@ def filter_csv_by_image_names(csv_file_path: str,
         logger.warning("Image folder not found at %s — no rows will match",
                        image_folder_path)
         names = set()
+    if "Image_Name" not in df.columns:
+        # reference utilities.py:37-43: no Image_Name column -> return the
+        # frame UNFILTERED (with an error log), not a KeyError
+        logger.error("'Image_Name' column not found in CSV %s — returning "
+                     "unfiltered rows", csv_file_path)
+        return df
     out = df[df["Image_Name"].isin(names)].reset_index(drop=True)
     logger.info("Filtered %d -> %d rows by image presence", len(df), len(out))
     return out
 
 
-def update_csv_path(csv_file_path: str, old_prefix: str, new_prefix: str) -> pd.DataFrame:
-    """Rewrite the 'path' column prefix (drive/mount moves)."""
-    df = pd.read_csv(csv_file_path)
+def update_csv_path(csv_file_path: str, old_prefix: str, new_prefix: str):
+    """Rewrite the 'path' column prefix in place (drive/mount moves).
+
+    Degrades like the reference (utilities.py:46-90): missing file or
+    missing 'path' column logs an error and leaves the file untouched.
+    Returns the rewritten DataFrame on success, None on error (the
+    reference returns None always; callers in both stacks ignore it)."""
+    try:
+        df = pd.read_csv(csv_file_path)
+    except FileNotFoundError:
+        logger.error("CSV file '%s' not found.", csv_file_path)
+        return None
+    if "path" not in df.columns:
+        logger.error("'path' column not found in CSV header of %s",
+                     csv_file_path)
+        return None
     df["path"] = df["path"].astype(str).str.replace(old_prefix, new_prefix,
                                                     regex=False)
     df.to_csv(csv_file_path, index=False)
+    logger.info("CSV file '%s' updated successfully.", csv_file_path)
     return df

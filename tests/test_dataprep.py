@@ -344,3 +344,27 @@ def test_utilities_reference_degradation():
     assert not is_geotiff("c.gtiff") and not is_geotiff("d.png")
     out = filter_csv_by_image_names("/nonexistent/coords.csv", "/nonexistent")
     assert out.empty
+
+
+def test_utilities_missing_column_degradation(tmp_path):
+    """Reference utilities.py:37-43,46-90: a CSV without the expected
+    column degrades (unfiltered frame / untouched file), never raises."""
+    import pandas as pd
+
+    from multimodal_auv_tpu.dataprep.utilities import (
+        filter_csv_by_image_names,
+        update_csv_path,
+    )
+
+    csv = tmp_path / "coords.csv"
+    pd.DataFrame({"other": [1, 2]}).to_csv(csv, index=False)
+    out = filter_csv_by_image_names(str(csv), str(tmp_path))
+    assert list(out["other"]) == [1, 2]  # returned UNFILTERED
+
+    assert update_csv_path(str(csv), "/a", "/b") is None  # no 'path' column
+    assert update_csv_path(str(tmp_path / "nope.csv"), "/a", "/b") is None
+    pd.DataFrame({"path": ["/a/x.jpg"], "Image_Name": ["x.jpg"]}).to_csv(
+        csv, index=False)
+    df = update_csv_path(str(csv), "/a", "/b")
+    assert df["path"][0] == "/b/x.jpg"
+    assert pd.read_csv(csv)["path"][0] == "/b/x.jpg"  # rewritten in place
