@@ -294,7 +294,13 @@ class InferenceFolderDataset:
             except Exception as e:
                 logger.warning("Error loading %s for %s: %s; black image used",
                                path, key, e)
-                return T.zeros(channels, self.image_size)
+                # a BLACK IMAGE through the standard transform (reference
+                # datasets.py:186-193 intent): for main that means the
+                # optical normalization applies — which also makes the
+                # fallback bit-identical to the packed cache's uint8 zeros
+                # after on-chip normalization (data/packing.py)
+                z = T.zeros(channels, self.image_size)
+                return T.normalize_optical(z) if key == "main_image" else z
 
         main = load("main_image", item["main_image"], "RGB", 3)
         bathy = load("bathy_image", item["bathy_image"], "RGB", 3)

@@ -16,7 +16,6 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
-from PIL import Image
 
 from multimodal_auv_tpu.config import IMAGE_SIZE
 
@@ -24,30 +23,25 @@ logger = logging.getLogger(__name__)
 
 
 def _decode_u8(path: str, mode: str, size: int) -> np.ndarray:
-    """uint8 decode + resize taking the SAME resize path as the unpacked
-    loader's transforms.load_image (native cv2-parity bilinear when built,
-    incl. grayscale via a trailing channel dim; PIL otherwise): the packed
-    caches must store the same pixels the unpacked path feeds for EVERY
-    modality — a mode-restricted native path silently diverged on resized
-    SSS ('L') images (native no-antialias vs PIL antialiased bilinear)."""
-    with Image.open(path) as img:
-        img = img.convert(mode)
-        if img.size != (size, size):
-            try:
-                from multimodal_auv_tpu.native import lib
-            except Exception:
-                lib = None
-            if lib is not None:
-                arr = np.asarray(img, np.uint8)
-                if arr.ndim == 2:
-                    arr = arr[:, :, None]
-                out = lib.resize_batch(arr[None], size, size, nthreads=1)[0]
-                return out if out.ndim == 3 else out[:, :, None]
-            img = img.resize((size, size), Image.BILINEAR)
-        arr = np.asarray(img, np.uint8)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    return arr
+    """uint8 decode + resize through transforms.load_image_u8 — the SAME
+    code path the unpacked loader's load_image wraps with /255, so the
+    packed caches store exactly the pixels the unpacked path feeds for
+    every modality (an earlier local copy silently diverged on resized
+    SSS 'L' images: native no-antialias vs PIL antialiased bilinear)."""
+    from multimodal_auv_tpu.data.transforms import load_image_u8
+
+    return load_image_u8(path, mode, (size, size))
+
+
+def _hash_paths(h, paths) -> None:
+    """Fold path|mtime_ns|size (or path|missing) of each path into ``h`` —
+    the one stat-and-hash loop behind both staleness fingerprints."""
+    for p in paths:
+        try:
+            st = os.stat(p)
+            h.update(f"{p}|{st.st_mtime_ns}|{st.st_size};".encode())
+        except OSError:
+            h.update(f"{p}|missing;".encode())
 
 
 def inference_fingerprint(dataset) -> str:
@@ -60,12 +54,7 @@ def inference_fingerprint(dataset) -> str:
 
     h = hashlib.sha1()
     for it in dataset.data:
-        for p in (it["main_image"], it["bathy_image"], it["sss_image"]):
-            try:
-                st = os.stat(p)
-                h.update(f"{p}|{st.st_mtime_ns}|{st.st_size};".encode())
-            except OSError:
-                h.update(f"{p}|missing;".encode())
+        _hash_paths(h, (it["main_image"], it["bathy_image"], it["sss_image"]))
     return h.hexdigest()
 
 
@@ -168,11 +157,18 @@ def _select_patch_path(item: Dict, patch_type: Optional[str], kind: str,
 
 
 def _decode_or_zeros(path: Optional[str], mode: str, size: int) -> np.ndarray:
-    """Decode one image, or produce the zeros dummy the unpacked dataset
-    would feed: for a missing per-item patch (path None) and for an
-    unreadable file (warn + zeros, matching datasets.py:174-190 — one
-    corrupt image must not abort the whole pack). uint8 zeros /255 on-chip
-    equals the unpacked float zeros bit-exactly."""
+    """Decode one image, or produce the uint8 BLACK IMAGE the unpacked
+    dataset's fallbacks feed: for a missing per-item patch (path None) and
+    for an unreadable file (warn + zeros — one corrupt image must not
+    abort the whole pack). The stored uint8 zeros go through the standard
+    on-chip normalization, which matches the unpacked fallback exactly:
+    bathy/sss/patches are identity (/255 of zeros = zeros), and the main
+    image's optical normalization is applied by the unpacked fallback too
+    (InferenceFolderDataset feeds a *normalized* black image). The
+    training-side unpacked path has NO fallback for main/bathy/sss (it
+    raises, reference datasets.py:347-354 parity) — there the packed
+    zeros-degradation is a documented divergence requested for pack
+    robustness (ADVICE r2), logged per file."""
     channels = 3 if mode == "RGB" else 1
     if path is None:
         return np.zeros((size, size, channels), np.uint8)
@@ -195,12 +191,7 @@ def dataset_fingerprint(dataset) -> str:
         paths = [it["main_image"], it["bathy_image"], it["sss_image"]]
         for d in (it.get("patch_bathy") or {}, it.get("patch_sss") or {}):
             paths.extend(d[k] for k in sorted(d))
-        for p in paths:
-            try:
-                st = os.stat(p)
-                h.update(f"{p}|{st.st_mtime_ns}|{st.st_size};".encode())
-            except OSError:
-                h.update(f"{p}|missing;".encode())
+        _hash_paths(h, paths)
     h.update(np.asarray(dataset.labels, np.int64).tobytes())
     return h.hexdigest()
 

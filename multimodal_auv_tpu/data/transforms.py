@@ -31,13 +31,18 @@ def _native_lib():
         return None
 
 
-def load_image(path: str, mode: str = "RGB",
-               size: Tuple[int, int] = (IMAGE_SIZE, IMAGE_SIZE)) -> np.ndarray:
-    """Decode + bilinear resize + scale to [0,1]. Returns (H, W, C) f32;
-    grayscale ('L') keeps a trailing channel dim of 1.
+def load_image_u8(path: str, mode: str = "RGB",
+                  size: Tuple[int, int] = (IMAGE_SIZE, IMAGE_SIZE)
+                  ) -> np.ndarray:
+    """Decode + bilinear resize to uint8 (H, W, C); grayscale ('L') keeps
+    a trailing channel dim of 1.
 
-    Resize runs through the C++ native runtime when built (threaded
-    bilinear, cv2-parity — native/csrc/auvnative.cpp); PIL otherwise."""
+    This is the SINGLE decode/resize dispatch shared by the unpacked
+    loader (``load_image`` wraps it with /255) and the packed caches
+    (data/packing.py stores its output verbatim) — one code path, so the
+    two loaders can never feed different pixels. Resize runs through the
+    C++ native runtime when built (threaded bilinear, cv2-parity —
+    native/csrc/auvnative.cpp); PIL otherwise."""
     with Image.open(path) as img:
         img = img.convert(mode)
         if img.size != (size[1], size[0]):
@@ -46,15 +51,20 @@ def load_image(path: str, mode: str = "RGB",
                 arr = np.asarray(img, np.uint8)
                 if arr.ndim == 2:
                     arr = arr[:, :, None]
-                arr = lib.resize_batch(arr[None], size[0], size[1],
-                                       nthreads=1)[0]
-                arr = arr.astype(np.float32) / 255.0
-                return arr if arr.ndim == 3 else arr[:, :, None]
+                return lib.resize_batch(arr[None], size[0], size[1],
+                                        nthreads=1)[0]
             img = img.resize((size[1], size[0]), Image.BILINEAR)
-        arr = np.asarray(img, np.float32) / 255.0
+        arr = np.asarray(img, np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     return arr
+
+
+def load_image(path: str, mode: str = "RGB",
+               size: Tuple[int, int] = (IMAGE_SIZE, IMAGE_SIZE)) -> np.ndarray:
+    """Decode + bilinear resize + scale to [0,1]. Returns (H, W, C) f32;
+    grayscale ('L') keeps a trailing channel dim of 1."""
+    return load_image_u8(path, mode, size).astype(np.float32) / 255.0
 
 
 def normalize_optical(arr: np.ndarray) -> np.ndarray:

@@ -204,7 +204,7 @@ class ServingArtifact:
     into the serialized StableHLO.
     """
 
-    def __init__(self, exported, state_leaves, meta: dict):
+    def __init__(self, exported, state_leaves, meta: dict, shardings=None):
         self._exported = exported
         self._leaves = state_leaves
         self.meta = meta
@@ -216,11 +216,14 @@ class ServingArtifact:
         self._num_calls = 0  # fresh-draw counter for key=None predict()
         self._base_key_np = None  # lazy cache, see _base_key()
         if self.data_shards > 1:
-            # multi-device program: rebuild the ('data',) mesh and pin the
-            # call's input shardings to the export-time layout (state
+            # multi-device program: the ('data',) mesh is rebuilt ONCE (in
+            # load(), or here for a direct construction) and the call's
+            # input shardings pinned to the export-time layout (state
             # replicated, batch/mask sharded) so host numpy inputs are
-            # scattered correctly
-            state_sh, batch_sh, _ = _mesh_shardings(self.data_shards)
+            # scattered correctly — the same mesh object that placed the
+            # state leaves, so no re-layout on first call
+            state_sh, batch_sh, _ = (shardings if shardings is not None
+                                     else _mesh_shardings(self.data_shards))
             self._call = jax.jit(
                 exported.call,
                 in_shardings=([state_sh] * len(state_leaves),
@@ -241,14 +244,15 @@ class ServingArtifact:
         npz = np.load(os.path.join(artifact_dir, _STATE))
         leaves = [npz[f"leaf_{i:05d}"]
                   for i in range(int(meta["num_state_leaves"]))]
+        shardings = None
         if int(meta.get("data_shards", 1)) > 1:
-            state_sh, _, _ = _mesh_shardings(int(meta["data_shards"]))
-            leaves = [jax.device_put(l, state_sh) for l in leaves]
+            shardings = _mesh_shardings(int(meta["data_shards"]))
+            leaves = [jax.device_put(l, shardings[0]) for l in leaves]
         elif device is not None:
             leaves = [jax.device_put(l, device) for l in leaves]
         else:
             leaves = [jax.device_put(l) for l in leaves]
-        return cls(exported, leaves, meta)
+        return cls(exported, leaves, meta, shardings=shardings)
 
     def _validate(self, main_u8, bathy_u8, sss_u8):
         b = (np.shape(main_u8)[0] if self.batch_size == "poly"

@@ -277,3 +277,33 @@ def test_packed_cache_fingerprint_repacks_on_content_change(tmp_path):
     assert any(abs(float(np.mean(packed_b[i])) - 222) < 4
                for i in range(packed_b.shape[0]))
     assert batch["main_image"].dtype == np.uint8
+
+
+def test_degraded_main_image_parity_packed_vs_unpacked(tmp_path):
+    """A main image that becomes unreadable between scan and read must
+    yield the SAME model input on both serving paths: the unpacked
+    fallback feeds a *normalized* black image (the reference's
+    black-image-through-transform intent, datasets.py:186-193), and the
+    packed cache stores uint8 zeros whose on-chip optical normalization
+    lands on the identical values."""
+    from tests.fixtures.make_tree import make_inference_tree
+
+    root = make_inference_tree(str(tmp_path / "dives"), n_samples=3)
+    ds = InferenceFolderDataset(root)
+    # corrupt one main frame AFTER the scan validated it
+    victim = ds.data[1]["main_image"]
+    with open(victim, "wb") as f:
+        f.write(b"not a jpeg")
+
+    main_f, _, _, _ = ds[1]  # unpacked fallback
+    expected = (0.0 - np.asarray(OPTICAL_MEAN, np.float32)) / np.asarray(
+        OPTICAL_STD, np.float32)
+    np.testing.assert_allclose(np.asarray(main_f),
+                               np.broadcast_to(expected, main_f.shape),
+                               rtol=1e-6)
+
+    packed = pack_inference_dataset(ds, str(tmp_path / "packed"))
+    assert not np.any(packed["main"][1])  # uint8 zeros stored
+    on_chip = np.asarray(normalize_optical(jnp.asarray(packed["main"][1])))
+    np.testing.assert_allclose(on_chip, np.asarray(main_f), rtol=1e-4,
+                               atol=1e-6)

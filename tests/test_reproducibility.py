@@ -96,7 +96,14 @@ def test_corrupt_image_falls_back_to_black(tmp_path):
         f.write(b"not a jpeg")
     main, bathy, sss, name = ds[0]
     assert main.shape == (256, 256, 3)
-    assert float(np.abs(main).sum()) == 0.0  # black fallback
+    # black fallback THROUGH the standard transform: the main image's
+    # optical normalization applies to the black image (matching the
+    # packed cache's uint8 zeros after on-chip normalization)
+    from multimodal_auv_tpu.config import OPTICAL_MEAN, OPTICAL_STD
+    want = (0.0 - np.asarray(OPTICAL_MEAN, np.float32)) / np.asarray(
+        OPTICAL_STD, np.float32)
+    np.testing.assert_allclose(main, np.broadcast_to(want, main.shape),
+                               rtol=1e-6)
     # the other sample still loads normally
     main1, _, _, _ = ds[1]
     assert float(np.abs(main1).sum()) > 0.0
