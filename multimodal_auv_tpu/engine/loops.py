@@ -492,7 +492,14 @@ def train_and_evaluate_multimodal_model(
     try:
         for epoch in range(start_epoch, num_epochs):
             set_learning_rate(state.opt_state, scheduler.lr)
-            key, k1, k2 = jax.random.split(key, 3)
+            # per-epoch keys are folded from the BASE key by epoch index —
+            # not threaded through iteration-count splits — so a run
+            # resumed at epoch e (checkpoint_resume_path) replays the
+            # exact per-epoch RNG of an uninterrupted run: with the
+            # restored state + scheduler the trajectories are bit-equal
+            # (tests/test_engine.py::test_resume_matches_uninterrupted)
+            k1 = jax.random.fold_in(key, 2 * epoch)
+            k2 = jax.random.fold_in(key, 2 * epoch + 1)
             state, train_loss, train_acc = train_multimodal_model(
                 train_step, state, train_loader, epoch, num_epochs, train_csv,
                 model_type, sum_writer, k1, scheduler.lr,
@@ -536,7 +543,10 @@ def train_and_evaluate_unimodal_model(
     try:  # see train_and_evaluate_multimodal_model: drain even on re-raise
         for epoch in range(start, num_epochs):
             set_learning_rate(state.opt_state, scheduler.lr)
-            key, k1, k2 = jax.random.split(key, 3)
+            # epoch-indexed keys (resume-reproducible, see the multimodal
+            # orchestrator above)
+            k1 = jax.random.fold_in(key, 2 * epoch)
+            k2 = jax.random.fold_in(key, 2 * epoch + 1)
             state, train_acc, train_loss = train_unimodal_model(
                 train_step, state, train_loader, epoch, num_epochs, train_csv,
                 model_type, sum_writer, k1, scheduler.lr,

@@ -619,3 +619,79 @@ def test_tolerant_restore_actually_loads_values(tmp_path):
     ckpt.save_pytree(str(tmp_path / "w" / "x"), {"something": np.ones(3)})
     got2, ok2 = ckpt.load_and_fix_state_dict(other, str(tmp_path / "w" / "x"))
     assert not ok2
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    """Preemption realism: train 4 epochs straight vs get preempted at the
+    start of epoch 2 and resume from the checkpoint — the final posterior
+    and optimizer state must be BIT-equal. Holds because the orchestrator
+    folds per-epoch keys from the base key by epoch index (not
+    iteration-count splits) and the checkpoint restores state + scheduler
+    count. Both runs use num_epochs=4 (the KL anneal schedule depends on
+    the total)."""
+
+    class PreemptAt:
+        """Raises KeyboardInterrupt (what a real preemption delivers —
+        and a BaseException, so the engine's crash-save except clause
+        does not swallow it) when iterated for the n-th time."""
+
+        def __init__(self, loader, at):
+            self.loader, self.at, self.count = loader, at, 0
+
+        def __len__(self):
+            return len(self.loader)
+
+        def __getattr__(self, name):  # delegate batch_size etc.
+            return getattr(self.loader, name)
+
+        def __iter__(self):
+            self.count += 1
+            if self.count == self.at:
+                raise KeyboardInterrupt("preempted")
+            return iter(self.loader)
+
+    def fresh():
+        bundle, tx, state = _mm_state(lr=1e-3)
+        tstep = make_train_step(bundle.module, bundle.meta, SPEC, tx,
+                                num_mc=2, impl="jnp")
+        estep = make_eval_step(bundle.module, bundle.meta, SPEC,
+                               num_mc=2, impl="jnp")
+        ds = SyntheticMultimodalDataset(n=8)
+        return (state, tstep, estep,
+                DataLoader(ds, batch_size=4, num_workers=0),
+                DataLoader(ds, batch_size=4, num_workers=0))
+
+    pA = str(tmp_path / "ckA")
+    pB = str(tmp_path / "ckB")
+
+    # run A: 4 epochs uninterrupted
+    state, tstep, estep, tl, el = fresh()
+    train_and_evaluate_multimodal_model(
+        tl, el, 4, tstep, estep, state, StepLR(1e-3, 1, 0.5),
+        str(tmp_path / "csvA"), SummaryWriter(str(tmp_path / "tbA")),
+        jax.random.PRNGKey(7), checkpoint_resume_path=pA)
+
+    # run B: preempted entering epoch 2 (train loader iteration #3)
+    state, tstep, estep, tl, el = fresh()
+    with pytest.raises(KeyboardInterrupt):
+        train_and_evaluate_multimodal_model(
+            PreemptAt(tl, 3), el, 4, tstep, estep, state, StepLR(1e-3, 1, 0.5),
+            str(tmp_path / "csvB"), SummaryWriter(str(tmp_path / "tbB")),
+            jax.random.PRNGKey(7), checkpoint_resume_path=pB)
+    # ... new process: fresh state, same call; resumes at epoch 2
+    state, tstep, estep, tl, el = fresh()
+    train_and_evaluate_multimodal_model(
+        tl, el, 4, tstep, estep, state, StepLR(1e-3, 1, 0.5),
+        str(tmp_path / "csvB"), SummaryWriter(str(tmp_path / "tbB")),
+        jax.random.PRNGKey(7), checkpoint_resume_path=pB)
+
+    from multimodal_auv_tpu.engine import checkpointing as ckpt
+
+    _, _, stateT = _mm_state(lr=1e-3)
+    sA, eA, _ = ckpt.restore_train_state(pA, stateT)
+    sB, eB, _ = ckpt.restore_train_state(pB, stateT)
+    assert eA == eB == 4
+    np.testing.assert_array_equal(np.asarray(sA.post.mu), np.asarray(sB.post.mu))
+    np.testing.assert_array_equal(np.asarray(sA.post.rho), np.asarray(sB.post.rho))
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), sA.opt_state, sB.opt_state)
