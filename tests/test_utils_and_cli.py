@@ -39,22 +39,49 @@ def test_check_model_devices_logs(caplog):
     assert any("a" in r.message for r in caplog.records)
 
 
-def test_tb_writer_csv_fallback(tmp_path, monkeypatch):
-    """SummaryWriter must degrade to CSV when torch TB is unavailable."""
+def test_tb_writer_real_tensorboard_reads_our_events(tmp_path):
+    """The from-scratch tfevents encoder (TFRecord framing + masked CRC32C
+    + hand-encoded Event protos, no torch/tensorboard dependency) must be
+    readable by the REAL TensorBoard event loader, values exact."""
+    import glob
+
     import multimodal_auv_tpu.utils.tb as tb
 
-    class Boom:
-        def __init__(self, *a, **k):
-            raise ImportError("no tb")
-
-    monkeypatch.setattr("torch.utils.tensorboard.SummaryWriter", Boom,
-                        raising=False)
     w = tb.SummaryWriter(str(tmp_path / "tb"))
     w.add_scalar("Loss/train", 1.5, 0)
-    w.add_scalar("Loss/train", 1.2, 1)
-    if w._tb is None:
-        rows = open(tmp_path / "tb" / "scalars.csv").read().strip().split("\n")
-        assert len(rows) == 3
+    w.add_scalar("Loss/train", 1.25, 1)
+    w.add_scalar("Accuracy/val", 0.75, 1)
+
+    # CSV mirror
+    rows = open(tmp_path / "tb" / "scalars.csv").read().strip().split("\n")
+    assert len(rows) == 4
+
+    pytest.importorskip("tensorboard")
+    from tensorboard.backend.event_processing import event_file_loader
+
+    files = glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+    assert len(files) == 1
+    # LegacyEventFileLoader yields raw Event protos; the non-legacy one
+    # migrates simple_value into a tensor proto (data_compat)
+    events = list(event_file_loader.LegacyEventFileLoader(files[0]).Load())
+    assert events[0].file_version == "brain.Event:2"
+    scalars = [(e.step, v.tag, v.simple_value)
+               for e in events[1:] for v in e.summary.value]
+    assert scalars == [(0, "Loss/train", 1.5), (1, "Loss/train", 1.25),
+                       (1, "Accuracy/val", 0.75)]
+    assert all(e.wall_time > 0 for e in events)
+
+
+def test_tb_writer_crc32c_golden():
+    """CRC32C vectors (RFC 3720 B.4): the checksum the TFRecord framing
+    depends on must match the standard, not just round-trip."""
+    from multimodal_auv_tpu.utils.tb import _crc32c, _masked_crc
+
+    assert _crc32c(b"") == 0
+    assert _crc32c(b"123456789") == 0xE3069283
+    assert _crc32c(bytes(32)) == 0x8A9136AA
+    assert _masked_crc(b"123456789") == ((0xE3069283 >> 15 | (
+        0xE3069283 << 17 & 0xFFFFFFFF)) + 0xA282EAD8) & 0xFFFFFFFF
 
 
 def test_scheduler_steplr_semantics():
