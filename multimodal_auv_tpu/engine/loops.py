@@ -176,14 +176,27 @@ def train_multimodal_model(
                     return
                 j, m = done
                 loss = float(m["loss"])
+                loss_bad = not np.isfinite(loss)
                 if bool(m["skipped"]):
                     skipped += 1
-                    logger.warning("Skipping batch %d due to NaN/Inf", j)
-                if np.isfinite(loss):
-                    total_loss += loss
+                    logger.warning(
+                        "Skipping %s %d due to NaN/Inf",
+                        "batch" if loss_bad else "optimizer step for batch", j)
+                # kl/ce are computed before the reference's NaN check, so
+                # the CSV's last-batch columns update even for a skipped
+                # batch (multimodal.py:123-135)
+                last_kl, last_ce = float(m["scaled_kl"]), float(m["cross_entropy"])
+                if loss_bad:
+                    # reference `continue`s BEFORE total_loss/correct/total
+                    # and the TB scalar (multimodal.py:133-135): a skipped
+                    # batch contributes to neither the accuracy numerator
+                    # nor either denominator. (A finite loss with bad grads
+                    # only skips the optimizer step and still accumulates,
+                    # multimodal.py:141-155.)
+                    return
+                total_loss += loss
                 correct += float(m["correct"])
                 total += float(m["total"])
-                last_kl, last_ce = float(m["scaled_kl"]), float(m["cross_entropy"])
                 sum_writer.add_scalar("Loss/train", loss, j)
 
             for i, batch in enumerate(dataloader):

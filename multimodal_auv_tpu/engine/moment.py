@@ -191,8 +191,10 @@ def make_unimodal_dvp_predict_step(bundle, num_feature_samples: int = 20):
     stage_sizes = tuple(bundle.module.stage_sizes)
 
     @jax.jit
-    def step(post, batch_stats, inputs, key):
-        del batch_stats
+    def step(post, batch_stats, inputs, key, mask=None):
+        # mask: accepted for predict-step signature compatibility, unused
+        # (same rationale as make_dvp_predict_step's step)
+        del batch_stats, mask
         mu_tree, var_tree = _split_trees(meta, post)
         (x,) = inputs
         fm, fv = moment_resnet_features(mu_tree["model"], var_tree["model"],

@@ -169,6 +169,13 @@ class FusedMultiModal:
 
     def apply(self, variables, *inputs, train: bool = True, batch_mask=None,
               mutable=False):
+        if not train:
+            # the fused twin computes train-mode BN (current-batch stats)
+            # only; silently returning them for an eval-mode caller would
+            # be numerically wrong with no signal
+            raise NotImplementedError(
+                "FusedMultiModal supports train=True (MC predict) only — "
+                "use the unfused MultiModalModel for eval-mode BN")
         out = fused_multimodal_logits(variables["params"], *inputs,
                                       stage_sizes=tuple(self.stage_sizes),
                                       dtype=self.dtype,

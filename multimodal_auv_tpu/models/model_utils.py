@@ -153,8 +153,10 @@ def load_models(model_paths: Dict[str, str], num_classes: int = 7,
         module = ResNet(stage_sizes=tuple(arch.stage_sizes), width=arch.width,
                         num_classes=None, dtype=arch.dtype,
                         param_dtype=arch.param_dtype)
-        variables = module.init(
-            k, jnp.zeros((1, s, s, channels), jnp.float32), train=True)
+        # jitted init, same rationale as _bayesian_bundle (eager tracing
+        # dispatches every op individually: tens of seconds per trunk)
+        variables = jax.jit(partial(module.init, train=True))(
+            k, jnp.zeros((1, s, s, channels), jnp.float32))
         path = (model_paths or {}).get(key_name)
         if path and os.path.exists(path):
             try:
@@ -170,8 +172,6 @@ def load_models(model_paths: Dict[str, str], num_classes: int = 7,
                     )
 
                     sd = load_torch_state_dict(path)
-                    from multimodal_auv_tpu.bayes import bayesianize
-                    from multimodal_auv_tpu.config import BNNPriorSpec
                     from multimodal_auv_tpu.interop.torch_import import (
                         import_posterior,
                     )
@@ -273,11 +273,10 @@ def define_models(num_classes: int, const_bnn_prior_parameters,
         module = ResNet(stage_sizes=tuple(arch.stage_sizes), width=arch.width,
                         num_classes=None, dtype=arch.dtype,
                         param_dtype=arch.param_dtype)
-        variables = module.init(
-            key, jnp.zeros((1, s, s, input_channels), jnp.float32), train=True)
+        variables = jax.jit(partial(module.init, train=True))(
+            key, jnp.zeros((1, s, s, input_channels), jnp.float32))
         sd = sds.get(sd_name)
         if sd is not None:
-            from multimodal_auv_tpu.bayes import bayesianize
             from multimodal_auv_tpu.interop.torch_import import (
                 init_trunks_from_torchvision,
             )

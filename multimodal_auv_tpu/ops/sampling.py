@@ -41,8 +41,15 @@ def _seed_from_key(key):
     regenerates eps in the backward from the same key (zero residuals),
     and the split/stacked/eps kernels must sample identical noise for a
     given key — all of which holds only if every call site derives the
-    int32 seed identically. Change it here or nowhere."""
-    return jax.random.bits(key, shape=(1,), dtype=jnp.uint32).astype(jnp.int32)
+    seed identically. Change it here or nowhere.
+
+    TWO int32 words, consumed as prng_seed(word0, word1 + offset): a
+    single 32-bit base seed plus the per-(draw, block) offset range
+    (~num_draws * nblocks ≈ 2^15 for 20 draws of the 73M posterior) makes
+    cross-step range overlaps likely by the birthday bound within ~10^4
+    steps — two training steps would silently share part of their noise.
+    The second word pushes the collision space to 2^64."""
+    return jax.random.bits(key, shape=(2,), dtype=jnp.uint32).astype(jnp.int32)
 
 def _softplus(x):
     # Stable softplus; rho is typically in [-12, 1] here.
@@ -114,7 +121,7 @@ def _reparam_kernel(seed_ref, mu_ref, rho_ref, out_ref):
     blk = pl.program_id(0)
     draw = pl.program_id(1)
     nblk = pl.num_programs(0)
-    pltpu.prng_seed(seed_ref[0] + draw * nblk + blk)
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] + draw * nblk + blk)
 
     eps = _normal_block(mu_ref.shape)
     mu = mu_ref[:].astype(jnp.float32)
@@ -129,7 +136,7 @@ def _reparam_sigma_kernel(seed_ref, mu_ref, sigma_ref, out_ref):
     blk = pl.program_id(0)
     draw = pl.program_id(1)
     nblk = pl.num_programs(0)
-    pltpu.prng_seed(seed_ref[0] + draw * nblk + blk)
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] + draw * nblk + blk)
 
     eps = _normal_block(mu_ref.shape)
     mu = mu_ref[:].astype(jnp.float32)
@@ -145,7 +152,7 @@ def _eps_kernel(seed_ref, out_ref):
     blk = pl.program_id(0)
     draw = pl.program_id(1)
     nblk = pl.num_programs(0)
-    pltpu.prng_seed(seed_ref[0] + draw * nblk + blk)
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] + draw * nblk + blk)
     out_ref[0] = _normal_block(out_ref.shape[1:]).astype(out_ref.dtype)
 
 
@@ -202,7 +209,7 @@ def _pallas_reparam_split(mu2d, sigma2d, seed, num_draws, out_dtype, *,
         blk = pl.program_id(0)
         draw = pl.program_id(1)
         nblk = pl.num_programs(0)
-        pltpu.prng_seed(seed_ref[0] + draw * nblk + blk)
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] + draw * nblk + blk)
         eps = _normal_block(mu_ref.shape)
         val = (mu_ref[:].astype(jnp.float32)
                + sg_ref[:].astype(jnp.float32) * eps)

@@ -695,3 +695,55 @@ def test_resume_matches_uninterrupted(tmp_path):
     np.testing.assert_array_equal(np.asarray(sA.post.rho), np.asarray(sB.post.rho))
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), sA.opt_state, sB.opt_state)
+
+
+def test_skipped_batch_excluded_from_epoch_accounting(tmp_path):
+    """Reference multimodal.py:133-135: a NaN/Inf-loss batch is `continue`d
+    BEFORE total_loss/correct/total and the TB scalar — it must not count
+    in the accuracy numerator or either denominator. (kl/ce are computed
+    before the check, so the CSV's last-batch columns still update.)"""
+    import jax.numpy as jnp
+
+    from multimodal_auv_tpu.engine.optim import BayesTrainState
+
+    calls = {"n": 0}
+
+    def stub_step(state, inputs, labels, mask, key, kl_weight, bs):
+        i = calls["n"]
+        calls["n"] += 1
+        bad = i == 1  # second batch has a NaN loss
+        b = labels.shape[0]
+        m = {
+            "loss": jnp.asarray(float("nan") if bad else 1.0),
+            "cross_entropy": jnp.asarray(0.5 + i),
+            "scaled_kl": jnp.asarray(0.25 + i),
+            "correct": jnp.asarray(float(b)),  # all "correct", even when bad
+            "total": jnp.asarray(float(b)),
+            "skipped": jnp.asarray(bad),
+            "predicted": jnp.zeros((b,), jnp.int32),
+        }
+        m["fused"] = jnp.concatenate([
+            jnp.stack([m["loss"], m["cross_entropy"], m["scaled_kl"],
+                       m["correct"], m["total"],
+                       m["skipped"].astype(jnp.float32)]),
+            m["predicted"].astype(jnp.float32)])
+        return state, m
+
+    ds = SyntheticMultimodalDataset(n=12)  # 3 batches of 4
+    state = BayesTrainState(post=None, opt_state=None, batch_stats=None,
+                            step=jnp.zeros((), jnp.int32))
+    # epoch 1 (not 0): avoids the epoch%5==0 checkpoint save, which the
+    # stub state (post=None) cannot serialise
+    state, loss, acc = train_multimodal_model(
+        stub_step, state, DataLoader(ds, batch_size=4, num_workers=0),
+        1, 4, str(tmp_path / "t.csv"), "multimodal",
+        SummaryWriter(str(tmp_path / "tb")), jax.random.PRNGKey(0), 1e-3)
+    # batches 0 and 2 count (8 samples, loss 1.0 each); batch 1 excluded
+    assert acc == 1.0
+    assert loss == pytest.approx(2.0 / 8.0)
+    # CSV last-batch kl/ce come from batch 2 (the skipped batch updated
+    # them in passing, then batch 2 overwrote)
+    rows = open(tmp_path / "t.csv").read().strip().split("\n")
+    cols = rows[-1].split(",")
+    assert float(cols[5]) == pytest.approx(2.25)  # kl of batch 2
+    assert float(cols[6]) == pytest.approx(2.5)   # ce of batch 2
