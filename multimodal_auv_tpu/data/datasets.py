@@ -319,6 +319,11 @@ class ConcatDataset:
         return int(self._offsets[-1])
 
     def __getitem__(self, idx: int):
+        if idx < 0:  # torch ConcatDataset semantics
+            idx += len(self)
+        if not 0 <= idx < len(self):
+            raise IndexError(f"index {idx} out of range for "
+                             f"ConcatDataset of length {len(self)}")
         ds = int(np.searchsorted(self._offsets, idx, side="right") - 1)
         return self.datasets[ds][idx - int(self._offsets[ds])]
 

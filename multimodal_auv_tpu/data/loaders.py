@@ -41,7 +41,21 @@ class Subset:
     def __getitem__(self, i):
         return self.dataset[self.indices[i]]
 
+    # index-DEPENDENT attributes must be re-indexed to the subset —
+    # delegating them to the full dataset would silently return all-N
+    # labels/records for an n-row split (wrong class weights, wrong
+    # fingerprints)
+    _REINDEXED = ("labels", "data", "data_paths")
+
     def __getattr__(self, name):
+        if name.startswith("__") or "dataset" not in self.__dict__:
+            # dunder lookups (pickle/deepcopy probe __setstate__ etc.
+            # before __init__ ran) must fail normally, not recurse through
+            # self.dataset -> __getattr__('dataset') -> ...
+            raise AttributeError(name)
+        if name in self._REINDEXED:
+            full = getattr(self.dataset, name)
+            return [full[i] for i in self.indices]
         return getattr(self.dataset, name)
 
 

@@ -136,7 +136,7 @@ def load_and_fix_state_dict(post, path: str):
         _names(p): v
         for p, v in jax.tree_util.tree_flatten_with_path(raw)[0]
     }
-    out, dropped = [], 0
+    out, dropped, dropped_paths = [], 0, []
     for p, leaf in flat_new:
         key = _names(p)
         cand = raw_by_path.get(key)
@@ -147,9 +147,19 @@ def load_and_fix_state_dict(post, path: str):
                 logger.warning("Dropping %s: shape %s != %s", key,
                                np.shape(cand), np.shape(leaf))
             dropped += 1
+            dropped_paths.append(key)
             out.append(leaf)
     logger.info("Checkpoint loaded from %s (%d leaves kept, %d dropped)",
                 path, len(out) - dropped, dropped)
+    if dropped:
+        # name the unmatched leaves (not just an aggregate count): a
+        # heavily-partial restore keeps the caller's init values for the
+        # dropped leaves and would otherwise LOOK successful (ok=True)
+        shown = ["/".join(map(str, k)) for k in dropped_paths[:8]]
+        logger.warning(
+            "Checkpoint %s: %d leaves had no match and keep their input "
+            "values: %s%s", path, dropped, ", ".join(shown),
+            "" if dropped <= 8 else f", ... (+{dropped - 8} more)")
     if out and dropped == len(out):
         # nothing matched: the caller would silently run on its INPUT
         # (e.g. random-init) posterior believing the checkpoint loaded

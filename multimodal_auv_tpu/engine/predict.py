@@ -28,6 +28,28 @@ from multimodal_auv_tpu.models.model_utils import ModelBundle
 logger = logging.getLogger(__name__)
 
 
+def _mc_outputs(logits):
+    """The predict steps' shared output schema (variance-family predictive
+    uncertainty = predictors.py:73, aleatoric = mean entropy :77-79)."""
+    probs = U.softmax_probs(logits)
+    pred = U.predicted_class(probs)
+    pu = U.variance_uncertainty(probs)
+    au = U.aleatoric_uncertainty(probs, eps=1e-7)
+    return {
+        "predicted": pred,
+        "predictive_uncertainty": pu,
+        "aleatoric_uncertainty": au,
+        "mean_prob": U.mean_probs(probs),
+        # one fused (3, batch) f32 array so serving loops fetch the CSV
+        # columns in a SINGLE device->host transfer: on the axon tunnel
+        # each fetch costs a ~30 ms round trip, and three per batch was
+        # ~40% of end-to-end serving wall time (BENCH_NOTES.md)
+        "csv_cols": jnp.stack([pred.astype(jnp.float32),
+                               pu.astype(jnp.float32),
+                               au.astype(jnp.float32)]),
+    }
+
+
 def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
                       mc_chunk: Optional[int] = None, impl: str = "auto",
                       sample_dtype=jnp.bfloat16, antithetic: bool = False,
@@ -81,23 +103,7 @@ def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
                            sample_dtype=sample_dtype, antithetic=antithetic,
                            ws_sharding=ws_sharding, batch_mask=mask,
                            split_sampling=True)
-        probs = U.softmax_probs(logits)
-        pred = U.predicted_class(probs)
-        pu = U.variance_uncertainty(probs)
-        au = U.aleatoric_uncertainty(probs, eps=1e-7)
-        return {
-            "predicted": pred,
-            "predictive_uncertainty": pu,
-            "aleatoric_uncertainty": au,
-            "mean_prob": U.mean_probs(probs),
-            # one fused (3, batch) f32 array so serving loops fetch the CSV
-            # columns in a SINGLE device->host transfer: on the axon tunnel
-            # each fetch costs a ~30 ms round trip, and three per batch was
-            # ~40% of end-to-end serving wall time (BENCH_NOTES.md)
-            "csv_cols": jnp.stack([pred.astype(jnp.float32),
-                                   pu.astype(jnp.float32),
-                                   au.astype(jnp.float32)]),
-        }
+        return _mc_outputs(logits)
 
     return step
 
@@ -129,23 +135,7 @@ def make_packed_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
                            train=True, remat=False,
                            sample_dtype=sample_dtype, batch_mask=mask,
                            split_sampling=True)
-        probs = U.softmax_probs(logits)
-        pred = U.predicted_class(probs)
-        pu = U.variance_uncertainty(probs)
-        au = U.aleatoric_uncertainty(probs, eps=1e-7)
-        return {
-            "predicted": pred,
-            "predictive_uncertainty": pu,
-            "aleatoric_uncertainty": au,
-            "mean_prob": U.mean_probs(probs),
-            # one fused (3, batch) f32 array so serving loops fetch the CSV
-            # columns in a SINGLE device->host transfer: on the axon tunnel
-            # each fetch costs a ~30 ms round trip, and three per batch was
-            # ~40% of end-to-end serving wall time (BENCH_NOTES.md)
-            "csv_cols": jnp.stack([pred.astype(jnp.float32),
-                                   pu.astype(jnp.float32),
-                                   au.astype(jnp.float32)]),
-        }
+        return _mc_outputs(logits)
 
     return step
 
@@ -310,6 +300,12 @@ def multimodal_predict_and_save(
             sss = np.asarray(sss)
             valid = main.shape[0]
             if nominal is None:
+                nominal = valid
+            elif valid > nominal:
+                # a later batch larger than the first (custom iterables /
+                # bucketed loaders): grow the compiled shape rather than
+                # crash on a mask/batch mismatch (one extra XLA
+                # specialization; the reference handled arbitrary sizes)
                 nominal = valid
             mask = np.ones((nominal,), np.float32)
             if valid < nominal:

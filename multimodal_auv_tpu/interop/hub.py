@@ -30,7 +30,12 @@ def fetch_pretrained_weights(
     if local_path:
         if os.path.exists(local_path):
             return local_path
-        logger.warning("local weights path %s does not exist", local_path)
+        # loud, not a fallback: silently serving the generic hub weights
+        # after a typo'd --model_weights path would attribute the survey's
+        # results to the wrong model
+        raise FileNotFoundError(
+            f"model weights path {local_path!r} does not exist (omit it to "
+            "use the HuggingFace Hub checkpoint)")
 
     try:
         from huggingface_hub import hf_hub_download

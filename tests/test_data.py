@@ -196,3 +196,64 @@ def test_loader_worker_exits_when_iteration_abandoned(train_tree):
         time.sleep(0.1)
     assert threading.active_count() <= before + 1, (
         f"{threading.active_count() - before} leaked loader threads")
+
+
+class _PicklableDS:
+    """Module-level so pickle can resolve it (Subset pickling test)."""
+
+    labels = [10, 11, 12, 13]
+    data = ["a", "b", "c", "d"]
+    other = "shared"
+
+    def __len__(self):
+        return 4
+
+    def __getitem__(self, i):
+        return self.labels[i]
+
+
+def test_subset_reindexes_index_dependent_attrs():
+    """Subset must re-index labels/data/data_paths to the split — blind
+    delegation to the full dataset silently returns all-N rows (wrong
+    class weights/fingerprints). Pickling must not recurse."""
+    import copy
+    import pickle
+
+    from multimodal_auv_tpu.data.loaders import Subset
+
+    sub = Subset(_PicklableDS(), [2, 0])
+    assert sub.labels == [12, 10]
+    assert sub.data == ["c", "a"]
+    assert sub.other == "shared"  # index-independent attrs still delegate
+    assert sub[0] == 12
+    s2 = pickle.loads(pickle.dumps(sub))  # no RecursionError
+    assert s2.indices == [2, 0]
+    assert copy.deepcopy(sub).labels == [12, 10]
+
+
+def test_concat_dataset_negative_indices():
+    from multimodal_auv_tpu.data.datasets import ConcatDataset
+
+    class L(list):
+        @property
+        def data(self):
+            return self
+
+    c = ConcatDataset([L([1, 2]), L([3, 4, 5])])
+    assert c[-1] == 5 and c[-5] == 1
+    import pytest as _pytest
+    with _pytest.raises(IndexError):
+        c[5]
+    with _pytest.raises(IndexError):
+        c[-6]
+
+
+def test_explicit_missing_weights_path_raises(tmp_path):
+    """A typo'd --model_weights must fail loudly, not silently fall back
+    to the generic hub checkpoint."""
+    import pytest as _pytest
+
+    from multimodal_auv_tpu.interop.hub import fetch_pretrained_weights
+
+    with _pytest.raises(FileNotFoundError):
+        fetch_pretrained_weights(local_path=str(tmp_path / "nope.pth"))
