@@ -65,3 +65,27 @@ def test_lzw_matches_python(lib):
     enc = lzw_encode(payload)
     assert lib.lzw_decode(enc, len(payload)) == payload
     assert _lzw_decode(enc, len(payload)) == payload
+
+
+def test_lzw_differential_across_code_widths(lib):
+    """Randomized differential: C++ and Python decoders must agree with
+    the shared encoder on payloads whose string tables cross every code
+    width (9->10->11->12 bits and the 4096 clear) — the early-change
+    off-by-one class lives exactly at those boundaries."""
+    from multimodal_auv_tpu.dataprep.geotiff import _lzw_decode
+    from tests.lzw_ref import lzw_encode
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for trial, (alphabet, n) in enumerate(
+            [(2, 3000),      # low entropy: long strings, fast table growth
+             (256, 30000),   # high entropy: slow growth, exercises 12-bit
+             (8, 120000),    # long: forces table full + CLEAR cycles
+             (1, 9000)]):    # degenerate runs
+        payload = bytes(rng.integers(0, alphabet, size=n, dtype=np.uint8))
+        enc = lzw_encode(payload)
+        got_c = lib.lzw_decode(enc, n)
+        got_py = _lzw_decode(enc, n)
+        assert got_c == payload, f"C++ decoder diverged (trial {trial})"
+        assert got_py == payload, f"python decoder diverged (trial {trial})"
