@@ -28,6 +28,78 @@ from multimodal_auv_tpu.models.model_utils import ModelBundle
 logger = logging.getLogger(__name__)
 
 
+CSV_HEADER = ["Image Name", "Predicted Class",
+              "Predictive Uncertainty", "Aleatoric Uncertainty"]
+
+
+def _mesh_placement(bundle: ModelBundle, mesh):
+    """(post, batch_stats, place) for single-device or mesh serving.
+
+    Sharded copies stay LOCAL: mutating bundle.post in place would leak
+    mesh placements to a caller reusing the bundle elsewhere (round-2
+    verdict, What's weak #3)."""
+    post, batch_stats = bundle.post, bundle.batch_stats
+    if mesh is None:
+        return post, batch_stats, jnp.asarray
+    from multimodal_auv_tpu.parallel import mesh as M
+
+    post = M.shard_state(mesh, post)
+    batch_stats = jax.device_put(batch_stats, M.replicated(mesh))
+
+    def place(a):
+        a = np.asarray(a)
+        return jax.device_put(a, M.batch_sharding(mesh, a.ndim))
+
+    return post, batch_stats, place
+
+
+def _serve_batches(step, post, batch_stats, place, batches, writer, key,
+                   nominal=None):
+    """THE production serving loop, shared by the packed and folder paths.
+
+    Pads ragged batches to the nominal (compiled) size with a validity
+    mask, then dispatches batch k and drains batch k-1 — the one-batch
+    lag hides the device->host round trip behind the next batch's compute
+    (each fetched array costs a full ~30 ms round trip on a tunneled TPU;
+    BENCH_NOTES.md). An explicit jax.device_put prefetch of batch k+1 was
+    measured 1.5x SLOWER (device_put blocks on the tunnel); host numpy
+    straight into the jitted call is the fast path. ``nominal=None``
+    adopts the first batch's size and grows if a later batch exceeds it
+    (custom iterables)."""
+    pending = None
+
+    def drain(p):
+        out, names, valid = p
+        cols = np.asarray(out["csv_cols"])  # ONE D2H fetch for all rows
+        pred, pu, au = cols[0].astype(np.int64), cols[1], cols[2]
+        for i in range(valid):
+            name = (names[i] if isinstance(names, (list, tuple, np.ndarray))
+                    else names)
+            writer.writerow([name, int(pred[i]), float(pu[i]), float(au[i])])
+
+    for main, bathy, sss, names in batches:
+        main, bathy, sss = (np.asarray(main), np.asarray(bathy),
+                            np.asarray(sss))
+        valid = main.shape[0]
+        if nominal is None or valid > nominal:
+            nominal = valid
+        mask = np.ones((nominal,), np.float32)
+        if valid < nominal:
+            pad = nominal - valid
+            mask[valid:] = 0.0
+            main = np.concatenate([main, np.repeat(main[-1:], pad, 0)])
+            bathy = np.concatenate([bathy, np.repeat(bathy[-1:], pad, 0)])
+            sss = np.concatenate([sss, np.repeat(sss[-1:], pad, 0)])
+        key, sub = jax.random.split(key)
+        out = step(post, batch_stats,
+                   (place(main), place(bathy), place(sss)), sub, place(mask))
+        if pending is not None:
+            drain(pending)
+        pending = (out, names, valid)
+    if pending is not None:
+        drain(pending)
+
+
 def _mc_outputs(logits):
     """The predict steps' shared output schema (variance-family predictive
     uncertainty = predictors.py:73, aleatoric = mean entropy :77-79)."""
@@ -173,59 +245,13 @@ def multimodal_predict_and_save_packed(
         step = make_packed_predict_step(bundle, num_mc_samples,
                                         mc_chunk=mc_chunk, impl=impl)
 
-    # sharded copies stay LOCAL: mutating bundle.post in place would leak
-    # mesh placements to a caller reusing the bundle elsewhere (round-2
-    # verdict, What's weak #3)
-    post, batch_stats = bundle.post, bundle.batch_stats
-    place = jnp.asarray
-    if mesh is not None:
-        from multimodal_auv_tpu.parallel import mesh as M
-
-        post = M.shard_state(mesh, post)
-        batch_stats = jax.device_put(batch_stats, M.replicated(mesh))
-
-        def place(a):  # noqa: F811
-            a = np.asarray(a)
-            return jax.device_put(a, M.batch_sharding(mesh, a.ndim))
+    post, batch_stats, place = _mesh_placement(bundle, mesh)
 
     with open(csv_path, mode="w", newline="") as csvfile:
         writer = csv.writer(csvfile)
-        writer.writerow(["Image Name", "Predicted Class",
-                         "Predictive Uncertainty", "Aleatoric Uncertainty"])
-        pending = None
-
-        def drain(p):
-            out, names, valid = p
-            cols = np.asarray(out["csv_cols"])  # one D2H fetch for all rows
-            pred, pu, au = cols[0].astype(np.int64), cols[1], cols[2]
-            for i in range(valid):
-                writer.writerow([names[i], int(pred[i]), float(pu[i]),
-                                 float(au[i])])
-
-        # NOTE on loop shape: dispatch batch k, then drain batch k-1 — the
-        # one-batch lag hides the D2H round trip behind compute. An explicit
-        # jax.device_put prefetch of batch k+1 was tried and measured 1.5x
-        # SLOWER end-to-end on the axon tunnel (device_put blocks on the
-        # transfer there); passing host numpy straight into the jitted step
-        # is the fast path (BENCH_NOTES.md).
-        for main, bathy, sss, names in batches:
-            valid = main.shape[0]
-            mask = np.ones((batch_size,), np.float32)
-            if valid < batch_size:
-                pad = batch_size - valid
-                mask[valid:] = 0.0
-                main = np.concatenate([main, np.repeat(main[-1:], pad, 0)])
-                bathy = np.concatenate([bathy, np.repeat(bathy[-1:], pad, 0)])
-                sss = np.concatenate([sss, np.repeat(sss[-1:], pad, 0)])
-            key, sub = jax.random.split(key)
-            out = step(post, batch_stats,
-                       (place(main), place(bathy), place(sss)), sub,
-                       place(mask))
-            if pending is not None:
-                drain(pending)
-            pending = (out, names, valid)
-        if pending is not None:
-            drain(pending)
+        writer.writerow(CSV_HEADER)
+        _serve_batches(step, post, batch_stats, place, batches, writer, key,
+                       nominal=batch_size)
 
 
 def multimodal_predict_and_save(
@@ -257,72 +283,13 @@ def multimodal_predict_and_save(
         step = make_predict_step(bundle, num_mc_samples, mc_chunk=mc_chunk,
                                  impl=impl)
 
-    # sharded copies stay LOCAL: mutating bundle.post in place would leak
-    # mesh placements to a caller reusing the bundle elsewhere (round-2
-    # verdict, What's weak #3)
-    post, batch_stats = bundle.post, bundle.batch_stats
-    place = jnp.asarray
-    if mesh is not None:
-        from multimodal_auv_tpu.parallel import mesh as M
-
-        post = M.shard_state(mesh, post)
-        batch_stats = jax.device_put(batch_stats, M.replicated(mesh))
-
-        def place(a):  # noqa: F811
-            a = np.asarray(a)
-            return jax.device_put(a, M.batch_sharding(mesh, a.ndim))
+    post, batch_stats, place = _mesh_placement(bundle, mesh)
     logger.info("CSV will be saved to: %s", csv_path)
 
-    nominal = None
     with open(csv_path, mode="w", newline="") as csvfile:
         writer = csv.writer(csvfile)
-        header = ["Image Name", "Predicted Class", "Predictive Uncertainty",
-                  "Aleatoric Uncertainty"]
-        writer.writerow(header)
-
-        # One-batch-lagged result fetch: dispatch batch k, then drain batch
-        # k-1's (device-resident) outputs — the host<->device round trip
-        # overlaps the next batch's compute instead of serialising with it.
-        pending = None
-
-        def drain(p):
-            out, names, valid = p
-            cols = np.asarray(out["csv_cols"])  # one D2H fetch for all rows
-            pred, pu, au = cols[0].astype(np.int64), cols[1], cols[2]
-            for i in range(valid):
-                name = (names[i] if isinstance(names, (list, tuple, np.ndarray))
-                        else names)
-                writer.writerow([name, int(pred[i]), float(pu[i]), float(au[i])])
-
-        for batch_idx, (main, bathy, sss, names) in enumerate(dataloader):
-            main = np.asarray(main)
-            bathy = np.asarray(bathy)
-            sss = np.asarray(sss)
-            valid = main.shape[0]
-            if nominal is None:
-                nominal = valid
-            elif valid > nominal:
-                # a later batch larger than the first (custom iterables /
-                # bucketed loaders): grow the compiled shape rather than
-                # crash on a mask/batch mismatch (one extra XLA
-                # specialization; the reference handled arbitrary sizes)
-                nominal = valid
-            mask = np.ones((nominal,), np.float32)
-            if valid < nominal:
-                pad = nominal - valid
-                mask[valid:] = 0.0
-                main = np.concatenate([main, np.repeat(main[-1:], pad, 0)])
-                bathy = np.concatenate([bathy, np.repeat(bathy[-1:], pad, 0)])
-                sss = np.concatenate([sss, np.repeat(sss[-1:], pad, 0)])
-
-            key, sub = jax.random.split(key)
-            out = step(post, batch_stats,
-                       (place(main), place(bathy), place(sss)), sub,
-                       place(mask))
-            if pending is not None:
-                drain(pending)
-            pending = (out, names, valid)
-        if pending is not None:
-            drain(pending)
+        writer.writerow(CSV_HEADER)
+        _serve_batches(step, post, batch_stats, place, dataloader, writer,
+                       key)
 
     logger.info("Completed: multimodal_predict_and_save")
