@@ -106,6 +106,16 @@ class DataLoader:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle epoch (torch DistributedSampler convention). The
+        epoch orchestrators call this with the ABSOLUTE epoch index before
+        each epoch: a freshly constructed loader in a resumed process then
+        replays the same shuffle order as an uninterrupted run, instead of
+        restarting its iteration counter at 0 (which would both diverge
+        from the uninterrupted trajectory and repeat epoch 0's sample
+        order). Standalone iteration keeps the auto-incrementing counter."""
+        self._epoch = int(epoch)
+
     def _index_batches(self) -> List[List[int]]:
         idx = np.arange(len(self.dataset))
         if self.shuffle:

@@ -280,6 +280,11 @@ class PackedTrainBatches:
     def __len__(self):
         return -(-len(self.indices) // self.batch_size)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle epoch to an absolute index (same contract as
+        DataLoader.set_epoch — resume-reproducible shuffles)."""
+        self._epoch = int(epoch)
+
     def __iter__(self):
         idx = self.indices
         if self.shuffle:

@@ -506,11 +506,15 @@ def train_and_evaluate_multimodal_model(
         for epoch in range(start_epoch, num_epochs):
             set_learning_rate(state.opt_state, scheduler.lr)
             # per-epoch keys are folded from the BASE key by epoch index —
-            # not threaded through iteration-count splits — so a run
-            # resumed at epoch e (checkpoint_resume_path) replays the
-            # exact per-epoch RNG of an uninterrupted run: with the
-            # restored state + scheduler the trajectories are bit-equal
+            # not threaded through iteration-count splits — and the
+            # loaders' shuffle epoch is pinned to the same absolute index,
+            # so a run resumed at epoch e (checkpoint_resume_path) replays
+            # the exact per-epoch RNG AND batch order of an uninterrupted
+            # run: with the restored state + scheduler the trajectories
+            # are bit-equal
             # (tests/test_engine.py::test_resume_matches_uninterrupted)
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
             k1 = jax.random.fold_in(key, 2 * epoch)
             k2 = jax.random.fold_in(key, 2 * epoch + 1)
             state, train_loss, train_acc = train_multimodal_model(
@@ -556,8 +560,10 @@ def train_and_evaluate_unimodal_model(
     try:  # see train_and_evaluate_multimodal_model: drain even on re-raise
         for epoch in range(start, num_epochs):
             set_learning_rate(state.opt_state, scheduler.lr)
-            # epoch-indexed keys (resume-reproducible, see the multimodal
-            # orchestrator above)
+            # epoch-indexed keys + pinned shuffle epoch (resume-
+            # reproducible, see the multimodal orchestrator above)
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
             k1 = jax.random.fold_in(key, 2 * epoch)
             k2 = jax.random.fold_in(key, 2 * epoch + 1)
             state, train_acc, train_loss = train_unimodal_model(

@@ -143,11 +143,12 @@ def mc_logits(
     # checkpointed chunk is mc_chunk x one forward's activations, so this
     # applies only for mc_chunk <= 4; larger chunks keep the per-draw
     # checkpoint (and pay the ws residuals).
-    # split_sampling is ignored (stacked layout) by the chained-BN path —
-    # neutralise the hint HERE too, or it would silently flip
-    # sample_in_remat off and make each chunk's weight stack a scan
-    # residual (num_mc x P floats — the OOM mode described above)
-    split_sampling = split_sampling and not return_batch_stats
+    # split_sampling is ignored (stacked layout) by the chained-BN and
+    # antithetic paths — neutralise the hint HERE for both, or it would
+    # silently flip sample_in_remat off and make each chunk's weight stack
+    # a scan residual (num_mc x P floats — the OOM mode described above)
+    split_sampling = (split_sampling and not return_batch_stats
+                      and not antithetic)
     sample_in_remat = (remat and ws_sharding is None and not split_sampling
                        and mc_chunk <= 4)
     if remat and not sample_in_remat:

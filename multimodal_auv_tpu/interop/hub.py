@@ -24,9 +24,12 @@ def fetch_pretrained_weights(
 ) -> Optional[str]:
     """Return a local path to the pretrained torch checkpoint.
 
-    Order: explicit ``local_path`` if it exists; a cached/hub download
-    otherwise. Returns None (with a warning) when offline and uncached —
-    callers decide whether random init is acceptable."""
+    An explicit ``local_path`` is authoritative: it is returned if it
+    exists and raises FileNotFoundError otherwise (no silent hub
+    fallback — see the inline comment). With no ``local_path``, a
+    cached/hub download is attempted; returns None (with a warning) when
+    offline and uncached — callers decide whether random init is
+    acceptable."""
     if local_path:
         if os.path.exists(local_path):
             return local_path

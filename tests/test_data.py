@@ -118,6 +118,51 @@ def test_split_and_loader(train_tree):
     assert b["label"].dtype == np.int32
 
 
+def test_set_epoch_pins_shuffle_order():
+    """DataLoader.set_epoch(e) makes a FRESH loader reproduce the shuffle
+    order a continuously-iterated loader had at epoch e — the contract the
+    epoch orchestrators rely on for resume bit-reproducibility (a resumed
+    process constructs new loaders; without the pin they would replay
+    epoch 0's order)."""
+
+    class Tiny:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return np.array([i])
+
+    def orders(loader, epochs):
+        return [np.concatenate([b.ravel() for b in loader])
+                for _ in range(epochs)]
+
+    cont = orders(DataLoader(Tiny(), batch_size=3, shuffle=True,
+                             num_workers=0), 3)
+    assert not np.array_equal(cont[0], cont[2])  # shuffles actually differ
+
+    fresh = DataLoader(Tiny(), batch_size=3, shuffle=True, num_workers=0)
+    fresh.set_epoch(2)
+    np.testing.assert_array_equal(np.concatenate(
+        [b.ravel() for b in fresh]), cont[2])
+
+
+def test_packed_batches_set_epoch_pins_shuffle_order():
+    from multimodal_auv_tpu.data.packing import PackedTrainBatches
+
+    packed = {"main": np.arange(8 * 2, dtype=np.uint8).reshape(8, 2),
+              "bathy": np.zeros((8, 1), np.uint8),
+              "sss": np.zeros((8, 1), np.uint8),
+              "labels": np.arange(8, dtype=np.int64)}
+    def labels(it):
+        return np.concatenate([b["label"] for b in it])
+
+    cont = PackedTrainBatches(packed, batch_size=3, shuffle=True)
+    seq = [labels(cont) for _ in range(3)]
+    fresh = PackedTrainBatches(packed, batch_size=3, shuffle=True)
+    fresh.set_epoch(2)
+    np.testing.assert_array_equal(labels(fresh), seq[2])
+
+
 def test_prepare_datasets_and_loaders(train_tree):
     out = prepare_datasets_and_loaders(train_tree, batch_size_unimodal=2,
                                        batch_size_multimodal=3, num_workers=0)

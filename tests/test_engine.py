@@ -657,8 +657,14 @@ def test_resume_matches_uninterrupted(tmp_path):
         estep = make_eval_step(bundle.module, bundle.meta, SPEC,
                                num_mc=2, impl="jnp")
         ds = SyntheticMultimodalDataset(n=8)
+        # shuffle=True is the production configuration AND the regression
+        # pin for the resume-shuffle fix: the orchestrator pins the
+        # loader's shuffle epoch to the absolute epoch index (set_epoch),
+        # so the resumed process replays the uninterrupted run's batch
+        # order — a fresh loader restarting its own counter at 0 would
+        # replay epoch 0's order at epoch 2 and diverge.
         return (state, tstep, estep,
-                DataLoader(ds, batch_size=4, num_workers=0),
+                DataLoader(ds, batch_size=4, num_workers=0, shuffle=True),
                 DataLoader(ds, batch_size=4, num_workers=0))
 
     pA = str(tmp_path / "ckA")
