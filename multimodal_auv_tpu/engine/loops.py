@@ -547,16 +547,26 @@ def train_and_evaluate_unimodal_model(
     key: jax.Array, model_type: str, class_names=None,
     skip_epoch_zero: bool = True, strict_errors: bool = False,
     async_checkpoints: bool = False,
+    checkpoint_resume_path: Optional[str] = None,
 ) -> BayesTrainState:
     """loop_utils.py:65-159. The reference's epoch loop is
     ``range(1, num_epochs)`` — it *skips epoch 0* (an off-by-one,
     SURVEY.md §2.3). Reproduced by default; pass skip_epoch_zero=False for
-    the fixed behavior."""
+    the fixed behavior. ``checkpoint_resume_path`` adds the same true
+    resume as the multimodal orchestrator (bit-reproducible: epoch-indexed
+    keys + pinned shuffle epochs)."""
     os.makedirs(csv_dir, exist_ok=True)
     train_csv = os.path.join(csv_dir, f"unimodal_{model_type}_train_results.csv")
     eval_csv = os.path.join(csv_dir, f"unimodal_{model_type}_eval_results.csv")
 
     start = 1 if skip_epoch_zero else 0
+    if checkpoint_resume_path and os.path.exists(checkpoint_resume_path):
+        state, resumed_epoch, sched = ckpt.restore_train_state(
+            checkpoint_resume_path, state)
+        scheduler.load_state_dict({"epoch_count": sched.get(model_type, 0)})
+        start = max(start, resumed_epoch)
+        logger.info("Resumed from %s at epoch %d", checkpoint_resume_path,
+                    resumed_epoch)
     try:  # see train_and_evaluate_multimodal_model: drain even on re-raise
         for epoch in range(start, num_epochs):
             set_learning_rate(state.opt_state, scheduler.lr)
@@ -579,6 +589,10 @@ def train_and_evaluate_unimodal_model(
                                   epoch)
             sum_writer.add_scalar(f"Accuracy/val_{model_type}", test_acc,
                                   epoch)
+            if checkpoint_resume_path:
+                ckpt.save_train_state(checkpoint_resume_path, state, epoch + 1,
+                                      {model_type: scheduler.epoch_count},
+                                      async_save=async_checkpoints)
     finally:
         if async_checkpoints:
             ckpt.wait_for_saves()

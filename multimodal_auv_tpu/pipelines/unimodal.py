@@ -133,9 +133,11 @@ def run_unimodal_training(
     mc_chunk: int = 1,
     seed: int = 0,
     skip_epoch_zero: bool = True,
+    resume_checkpoint: Optional[str] = None,
 ) -> BayesTrainState:
     """Train + evaluate one unimodal BNN (metrics CSVs + confusion
-    matrices), the configs[1] workload."""
+    matrices), the configs[1] workload. ``resume_checkpoint`` enables the
+    same preemption-reproducible true resume as the multimodal pipeline."""
     arch = arch or ArchConfig()
     spec = BNNPriorSpec()
     (tl, te, _, _, actual_classes, dataset) = prepare_datasets_and_loaders(
@@ -161,7 +163,8 @@ def run_unimodal_training(
         StepLR(lr, scheduler_step_size, scheduler_gamma), csv_dir, sw,
         jax.random.PRNGKey(seed + 1), model_type=model_type,
         class_names=list(dataset.label_encoder.classes_),
-        skip_epoch_zero=skip_epoch_zero)
+        skip_epoch_zero=skip_epoch_zero,
+        checkpoint_resume_path=resume_checkpoint)
     bundle.post = state.post
     bundle.batch_stats = state.batch_stats
     return state

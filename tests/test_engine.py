@@ -262,6 +262,74 @@ def test_unimodal_orchestration_skips_epoch_zero(tmp_path):
     assert len(rows.strip().split("\n")) == 2
 
 
+def test_unimodal_resume_matches_uninterrupted(tmp_path):
+    """checkpoint_resume_path on the UNIMODAL orchestrator (round-3
+    symmetry with the multimodal one): 4 epochs straight vs preempted
+    entering epoch 3 and resumed — final posterior and opt state
+    bit-equal. Both runs use num_epochs=4 (the KL anneal weight
+    2^(e+1)/2^E depends on the total, so resume must re-run with the
+    SAME num_epochs — a 2-epoch run then "continuing" to 4 is a
+    different loss schedule, not a resume). Shuffled train loader, so
+    this also pins the set_epoch contract for this loop."""
+
+    class PreemptAt:
+        def __init__(self, loader, at):
+            self.loader, self.at, self.count = loader, at, 0
+
+        def __len__(self):
+            return len(self.loader)
+
+        def __getattr__(self, name):  # delegate set_epoch, batch_size, ...
+            return getattr(self.loader, name)
+
+        def __iter__(self):
+            self.count += 1
+            if self.count == self.at:
+                raise KeyboardInterrupt("preempted")
+            return iter(self.loader)
+
+    def fresh():
+        bundle = make_unimodal_bundle(3, 3, SPEC, jax.random.PRNGKey(0), TINY)
+        tx = make_optimizer(1e-3)
+        state = BayesTrainState(post=bundle.post,
+                                opt_state=tx.init(bundle.post),
+                                batch_stats=bundle.batch_stats,
+                                step=jnp.zeros((), jnp.int32))
+        tstep = make_train_step(bundle.module, bundle.meta, SPEC, tx,
+                                num_mc=2, impl="jnp")
+        estep = make_eval_step(bundle.module, bundle.meta, SPEC, num_mc=2,
+                               impl="jnp")
+        ds = SyntheticMultimodalDataset(n=6)
+        return (state, tstep, estep,
+                DataLoader(ds, batch_size=3, num_workers=0, shuffle=True),
+                DataLoader(ds, batch_size=3, num_workers=0))
+
+    def run(ckpt_path, tag, train_loader_wrap=None):
+        state, tstep, estep, tl, el = fresh()
+        if train_loader_wrap:
+            tl = train_loader_wrap(tl)
+        return train_and_evaluate_unimodal_model(
+            tl, el, 4, tstep, estep, state, StepLR(1e-3, 1, 0.5),
+            str(tmp_path / f"csv{tag}"),
+            SummaryWriter(str(tmp_path / f"tb{tag}")),
+            jax.random.PRNGKey(3), model_type="image",
+            checkpoint_resume_path=ckpt_path)
+
+    sA = run(str(tmp_path / "ckA"), "A")  # uninterrupted: epochs 1,2,3
+    # preempted entering epoch 3 (train-loader iteration #3)...
+    with pytest.raises(KeyboardInterrupt):
+        run(str(tmp_path / "ckB"), "B1",
+            train_loader_wrap=lambda tl: PreemptAt(tl, 3))
+    # ... new process, same call: resumes at epoch 3
+    sB = run(str(tmp_path / "ckB"), "B2")
+    np.testing.assert_array_equal(np.asarray(sA.post.mu),
+                                  np.asarray(sB.post.mu))
+    np.testing.assert_array_equal(np.asarray(sA.post.rho),
+                                  np.asarray(sB.post.rho))
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), sA.opt_state, sB.opt_state)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from multimodal_auv_tpu.engine import checkpointing as ckpt
 
