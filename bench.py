@@ -721,7 +721,11 @@ def main():
 
     vs = (value / baseline) if baseline else None
     print(json.dumps({
-        "metric": "multimodal_bnn_inference_20mc_patches_per_sec",
+        # the DVP mode is approximate inference — never report it under
+        # the exact-MC headline metric name
+        "metric": ("multimodal_bnn_inference_dvp_patches_per_sec"
+                   if args.dvp else
+                   "multimodal_bnn_inference_20mc_patches_per_sec"),
         "value": round(value, 3),
         "unit": "patches/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
