@@ -1,5 +1,12 @@
 """Offline ETL: raw optical JPEGs + GeoTIFFs -> per-sample training folders
 — Example_data_preparation.py equivalent."""
+import os as _os
+import sys as _sys
+
+# runnable from a source checkout without pip install
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 import argparse
 
 from multimodal_auv_tpu.pipelines.preprocessing import run_auv_preprocessing

@@ -8,6 +8,13 @@ posterior state, so serving processes never trace or rebuild the model.
 any batch size; ``--dvp`` exports the single-pass moment-propagation
 program (same ABI, guardrailed at export time).
 """
+import os as _os
+import sys as _sys
+
+# runnable from a source checkout without pip install
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np
