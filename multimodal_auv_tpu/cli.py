@@ -280,12 +280,22 @@ def export_serving_cli(argv=None):
     return 0
 
 
+def selfcheck_cli(argv=None):
+    """Installed-package self-check on synthetic data (selfcheck.py) — the
+    working equivalent of the reference's run_installed_package_tests.py
+    (which needs hand-edited absolute paths and crashes at import)."""
+    from multimodal_auv_tpu.selfcheck import main as selfcheck_main
+
+    return selfcheck_main(argv)
+
+
 _COMMANDS = {
     "data-prep": data_preparation_cli,
     "inference": inference_cli,
     "retrain": retraining_cli,
     "train-scratch": training_from_scratch_cli,
     "export-serving": export_serving_cli,
+    "selfcheck": selfcheck_cli,
 }
 
 
