@@ -127,6 +127,11 @@ def retraining_cli(argv=None):
     parser.add_argument("--async_checkpoints", action="store_true",
                         help="commit epoch-cadence checkpoints in a "
                              "background thread (orbax async)")
+    parser.add_argument("--resume_checkpoint", type=str, default=None,
+                        help="path for true resume: posterior + optimizer "
+                             "+ epoch + scheduler state saved every epoch; "
+                             "a restarted run with the same arguments "
+                             "resumes bit-reproducibly (docs/TRAINING.md)")
     parser.add_argument("--packed_loader", action="store_true",
                         help="decode-once training: uint8 memmap batches, "
                              "normalize on-chip")
@@ -156,6 +161,7 @@ def retraining_cli(argv=None):
         use_packed_loader=args.packed_loader,
         strict_errors=args.strict_errors,
         async_checkpoints=args.async_checkpoints,
+        resume_checkpoint=args.resume_checkpoint,
         arch=_arch(args),
         mc_chunk=args.mc_chunk,
     )
@@ -184,6 +190,11 @@ def training_from_scratch_cli(argv=None):
     parser.add_argument("--async_checkpoints", action="store_true",
                         help="commit epoch-cadence checkpoints in a "
                              "background thread (orbax async)")
+    parser.add_argument("--resume_checkpoint", type=str, default=None,
+                        help="path for true resume: posterior + optimizer "
+                             "+ epoch + scheduler state saved every epoch; "
+                             "a restarted run with the same arguments "
+                             "resumes bit-reproducibly (docs/TRAINING.md)")
     parser.add_argument("--packed_loader", action="store_true",
                         help="decode-once training: uint8 memmap batches, "
                              "normalize on-chip")
@@ -214,6 +225,7 @@ def training_from_scratch_cli(argv=None):
         use_packed_loader=args.packed_loader,
         strict_errors=args.strict_errors,
         async_checkpoints=args.async_checkpoints,
+        resume_checkpoint=args.resume_checkpoint,
     )
     return 0 if ok else 1
 

@@ -135,6 +135,35 @@ def test_cli_inference_flag_parity():
     assert captured["num_mc_samples"] == 20
 
 
+def test_cli_training_resume_flag_reaches_pipelines():
+    """--resume_checkpoint must be plumbed to both training pipelines."""
+    from multimodal_auv_tpu import cli
+    import multimodal_auv_tpu.pipelines as P
+
+    captured = {}
+
+    def fake(**kw):
+        captured.update(kw)
+        return True
+
+    orig_r, orig_s = P.run_auv_retraining, P.run_AUV_training_from_scratch
+    P.run_auv_retraining = fake
+    P.run_AUV_training_from_scratch = fake
+    try:
+        assert cli.retraining_cli([
+            "--data_dir", "/d", "--resume_checkpoint", "/ck/r",
+            "--tiny"]) == 0
+        assert captured["resume_checkpoint"] == "/ck/r"
+        captured.clear()
+        assert cli.training_from_scratch_cli([
+            "--root_dir", "/d", "--resume_checkpoint", "/ck/s",
+            "--tiny"]) == 0
+        assert captured["resume_checkpoint"] == "/ck/s"
+    finally:
+        P.run_auv_retraining = orig_r
+        P.run_AUV_training_from_scratch = orig_s
+
+
 def test_config_yaml_roundtrip(tmp_path):
     from multimodal_auv_tpu.config import BNNPriorSpec, load_yaml
 
