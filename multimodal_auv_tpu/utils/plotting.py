@@ -25,7 +25,15 @@ def save_confusion_matrix(all_labels, all_predicted, csv_path: str,
         import matplotlib.pyplot as plt
         from sklearn.metrics import ConfusionMatrixDisplay, confusion_matrix
 
-        cm = confusion_matrix(all_labels, all_predicted)
+        # With class_names, pin the label set so the matrix is always
+        # n_classes x n_classes: confusion_matrix defaults to the OBSERVED
+        # classes only, and a small epoch missing a class made the
+        # display_labels length mismatch crash the plot (the reference
+        # passes no labels at all — its own comment says "Consider adding
+        # labels=list(range(num_classes))", multimodal.py:324).
+        labels = (list(range(len(class_names))) if class_names is not None
+                  else None)
+        cm = confusion_matrix(all_labels, all_predicted, labels=labels)
         disp = ConfusionMatrixDisplay(confusion_matrix=cm,
                                       display_labels=class_names)
         fig, ax = plt.subplots(figsize=(8, 8))

@@ -74,6 +74,24 @@ def test_append_fields_to_last_row(tmp_path):
     assert rows[0]["F1_Score"] == ""  # earlier rows empty for new field
 
 
+def test_confusion_matrix_with_unobserved_class(tmp_path):
+    """A small epoch whose labels+predictions miss a class must still
+    produce the PNG: with class_names the label set is pinned to
+    range(n_classes) so the matrix is always full-size (previously the
+    display_labels length mismatch crashed the plot into the non-fatal
+    warning path and no artifact was written)."""
+    import os
+
+    from multimodal_auv_tpu.utils.plotting import save_confusion_matrix
+
+    csv_path = str(tmp_path / "csvs" / "eval.csv")
+    os.makedirs(os.path.dirname(csv_path), exist_ok=True)
+    path = save_confusion_matrix([0, 1, 0], [1, 0, 0], csv_path,
+                                 "multimodal", 3,
+                                 class_names=["Sand", "Mud", "Rock"])
+    assert path is not None and os.path.exists(path)
+
+
 def test_noise_study_sweep_tiny(tmp_path):
     """Two turbidity steps, tiny arch, real fixture tree end-to-end."""
     from multimodal_auv_tpu.models.model_utils import ArchConfig
