@@ -1,11 +1,6 @@
 """Offline ETL: raw optical JPEGs + GeoTIFFs -> per-sample training folders
 — Example_data_preparation.py equivalent."""
-import os as _os
-import sys as _sys
-
-# runnable from a source checkout without pip install
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
-    _os.path.abspath(__file__))))
+import _bootstrap  # noqa: F401  (source-checkout sys.path setup)
 
 import argparse
 

@@ -6,12 +6,7 @@ by the reference's load_and_fix_state_dict / load_and_prepare_multimodal_
 model, Example_Inference_model.py:82-112) or the full HF repo layout
 (<out>/multimodal-bnn/pytorch_model.bin) ready for
 huggingface_hub.upload_folder."""
-import os as _os
-import sys as _sys
-
-# runnable from a source checkout without pip install
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
-    _os.path.abspath(__file__))))
+import _bootstrap  # noqa: F401  (source-checkout sys.path setup)
 
 import argparse
 

@@ -8,12 +8,7 @@ posterior state, so serving processes never trace or rebuild the model.
 any batch size; ``--dvp`` exports the single-pass moment-propagation
 program (same ABI, guardrailed at export time).
 """
-import os as _os
-import sys as _sys
-
-# runnable from a source checkout without pip install
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
-    _os.path.abspath(__file__))))
+import _bootstrap  # noqa: F401  (source-checkout sys.path setup)
 
 import argparse
 

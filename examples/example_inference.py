@@ -1,12 +1,7 @@
 """Multimodal BNN inference over a survey directory — the
 Example_Inference_model.py equivalent (reference canonical operating point:
 batch 4, 20 MC samples, 7 classes)."""
-import os as _os
-import sys as _sys
-
-# runnable from a source checkout without pip install
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
-    _os.path.abspath(__file__))))
+import _bootstrap  # noqa: F401  (source-checkout sys.path setup)
 
 import argparse
 

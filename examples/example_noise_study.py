@@ -1,12 +1,7 @@
 """UIFM robustness sweep — "Example training with image noise.py" (and with
 --depth-sweep, the `_safe` multi-depth variant): 6 turbidity centers
 linspace(0.05, 2.05), extended metrics (AUROC / F1 / ECE / Emax) per step."""
-import os as _os
-import sys as _sys
-
-# runnable from a source checkout without pip install
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
-    _os.path.abspath(__file__))))
+import _bootstrap  # noqa: F401  (source-checkout sys.path setup)
 
 import argparse
 

@@ -2,12 +2,7 @@
 Example_Retraining_model.py equivalent (frozen-geometry head swap when
 num_classes != 7; the reference's optimizer-on-wrong-model bug is fixed in
 the pipeline, see pipelines/training.py)."""
-import os as _os
-import sys as _sys
-
-# runnable from a source checkout without pip install
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
-    _os.path.abspath(__file__))))
+import _bootstrap  # noqa: F401  (source-checkout sys.path setup)
 
 import argparse
 

@@ -1,12 +1,7 @@
 """From-scratch multimodal training — Example_training_from_scratch.py
 equivalent with the reference's canonical hyperparameters
 (/root/reference/main.py:276-317)."""
-import os as _os
-import sys as _sys
-
-# runnable from a source checkout without pip install
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
-    _os.path.abspath(__file__))))
+import _bootstrap  # noqa: F401  (source-checkout sys.path setup)
 
 import argparse
 

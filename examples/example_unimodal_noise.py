@@ -1,12 +1,7 @@
 """Unimodal optical noise study — "Example unimodal training with image
 noise.py" equivalent: the UIFM turbidity sweep on the single-trunk optical
 BNN."""
-import os as _os
-import sys as _sys
-
-# runnable from a source checkout without pip install
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
-    _os.path.abspath(__file__))))
+import _bootstrap  # noqa: F401  (source-checkout sys.path setup)
 
 import argparse
 

@@ -2,12 +2,7 @@
 all three modalities, then the multimodal patch-size grid search
 ({2,5,10,30,50} m bathy x sss, main.py:94-184 — commented out there,
 runnable here)."""
-import os as _os
-import sys as _sys
-
-# runnable from a source checkout without pip install
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
-    _os.path.abspath(__file__))))
+import _bootstrap  # noqa: F401  (source-checkout sys.path setup)
 
 import argparse
 

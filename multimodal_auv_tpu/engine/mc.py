@@ -186,7 +186,10 @@ def mc_logits(
 
     # split_sampling is a hint (see docstring): antithetic / mc-sharded
     # consumption needs the stacked layout, so those flags win silently.
-    if split_sampling and ws_sharding is None and not antithetic:
+    # The antithetic case is enforced ONCE, at the neutralisation above
+    # (which also keeps sample_in_remat honest); here only ws_sharding
+    # still needs checking.
+    if split_sampling and ws_sharding is None:
         def chunk_step_split(_, k):
             ws_list = gaussian_shift_scale_split(
                 mu, sigma, k, num_draws=mc_chunk, impl=impl,

@@ -6,7 +6,7 @@ intent, but it requires hand-editing hard-coded absolute data paths and
 crashes at import (it imports the non-existent ``run_auv_training``,
 /root/reference/run_installed_package_tests.py:8-13). This version
 generates a tiny synthetic survey tree in a temp dir, runs inference and
-a 1-epoch from-scratch training through the real public API on a small
+a 2-epoch from-scratch training through the real public API on a small
 architecture, checks the output ledgers, and exits non-zero on failure:
 
     python -m multimodal_auv_tpu.selfcheck          # or: multimodal-auv-selfcheck
@@ -102,21 +102,29 @@ def main(argv=None) -> int:
     try:
         os.chdir(work)  # pipelines write logs/ and tensorboard_logs/ in cwd
 
-        # 1. inference: survey tree -> reference-schema CSV
+        # 1. inference: survey tree -> reference-schema CSV. Guarded so a
+        # crash (e.g. unreachable accelerator without --cpu) becomes a
+        # FAIL line and the training checks still run — the contract is
+        # PASS/FAIL per check + a summary, never a raw traceback.
         infer_root = _make_survey(os.path.join(work, "survey"), 4,
                                   labeled=False)
         out_csv = os.path.join(work, "inference_results.csv")
-        run_auv_inference(data_directory=infer_root, batch_size=2,
-                          output_csv=out_csv, num_mc_samples=2,
-                          num_classes=7, allow_random_init=True, arch=arch)
-        with open(out_csv) as f:
-            rows = f.read().strip().splitlines()
-        results.append(_check(
-            "inference CSV header",
-            rows[0] == "Image Name,Predicted Class,Predictive Uncertainty,"
-                       "Aleatoric Uncertainty"))
-        results.append(_check("inference CSV rows", len(rows) == 1 + 4,
-                              f"{len(rows) - 1}/4"))
+        try:
+            run_auv_inference(data_directory=infer_root, batch_size=2,
+                              output_csv=out_csv, num_mc_samples=2,
+                              num_classes=7, allow_random_init=True,
+                              arch=arch)
+            with open(out_csv) as f:
+                rows = f.read().strip().splitlines()
+            results.append(_check(
+                "inference CSV header",
+                rows[0] == "Image Name,Predicted Class,"
+                           "Predictive Uncertainty,Aleatoric Uncertainty"))
+            results.append(_check("inference CSV rows", len(rows) == 1 + 4,
+                                  f"{len(rows) - 1}/4"))
+        except Exception as e:
+            logger.error("inference pipeline crashed", exc_info=True)
+            results.append(_check("inference pipeline ran", False, repr(e)))
 
         # 2. from-scratch training: labeled tree -> ledgers + checkpoints
         train_root = _make_survey(os.path.join(work, "train"), 9,

@@ -330,6 +330,35 @@ def test_unimodal_resume_matches_uninterrupted(tmp_path):
         np.asarray(a), np.asarray(b)), sA.opt_state, sB.opt_state)
 
 
+def test_resume_refuses_wrong_model_type(tmp_path):
+    """image/bathy trunks share parameter shapes, so resuming modality B
+    from modality A's checkpoint would shape-match, skip every epoch, and
+    silently return A's weights — the orchestrator must refuse instead."""
+    bundle = make_unimodal_bundle(3, 3, SPEC, jax.random.PRNGKey(0), TINY)
+    tx = make_optimizer(1e-3)
+    state = BayesTrainState(post=bundle.post, opt_state=tx.init(bundle.post),
+                            batch_stats=bundle.batch_stats,
+                            step=jnp.zeros((), jnp.int32))
+    tstep = make_train_step(bundle.module, bundle.meta, SPEC, tx, num_mc=2,
+                            impl="jnp")
+    estep = make_eval_step(bundle.module, bundle.meta, SPEC, num_mc=2,
+                           impl="jnp")
+    ds = SyntheticMultimodalDataset(n=6)
+    tl = DataLoader(ds, batch_size=3, num_workers=0)
+    ck = str(tmp_path / "ck")
+    state = train_and_evaluate_unimodal_model(
+        tl, tl, 2, tstep, estep, state, StepLR(1e-3, 7, 0.5),
+        str(tmp_path / "csv"), SummaryWriter(str(tmp_path / "tb")),
+        jax.random.PRNGKey(0), model_type="image",
+        checkpoint_resume_path=ck)
+    with pytest.raises(ValueError, match="model_type"):
+        train_and_evaluate_unimodal_model(
+            tl, tl, 2, tstep, estep, state, StepLR(1e-3, 7, 0.5),
+            str(tmp_path / "csv2"), SummaryWriter(str(tmp_path / "tb2")),
+            jax.random.PRNGKey(0), model_type="bathy",
+            checkpoint_resume_path=ck)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from multimodal_auv_tpu.engine import checkpointing as ckpt
 
