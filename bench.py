@@ -708,7 +708,7 @@ def main():
             baseline = json.load(open(CACHE)).get(cache_key)
         except Exception:
             baseline = None
-    if baseline is None and not args.skip_baseline:
+    if baseline is None and not args.skip_baseline and not args.dvp:
         baseline = measure_torch_cpu(args.batch, args.num_mc)
         data = {}
         if os.path.exists(CACHE):
@@ -719,7 +719,9 @@ def main():
         data[cache_key] = baseline
         json.dump(data, open(CACHE, "w"), indent=1)
 
-    vs = (value / baseline) if baseline else None
+    # approximate DVP vs the exact-20-MC torch baseline would be an
+    # apples-to-oranges ratio — the artifact branch already reports None
+    vs = (value / baseline) if baseline and not args.dvp else None
     print(json.dumps({
         # the DVP mode is approximate inference — never report it under
         # the exact-MC headline metric name

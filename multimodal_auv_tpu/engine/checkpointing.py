@@ -16,6 +16,7 @@ resume. ``save_train_state`` / ``restore_train_state`` persist
 """
 from __future__ import annotations
 
+import json
 import logging
 import os
 from typing import Any, Dict, Optional
@@ -168,32 +169,74 @@ def load_and_fix_state_dict(post, path: str):
     return jax.tree_util.tree_unflatten(treedef, out), True
 
 
+# Dynamic-keyed host metadata (scheduler counts keyed by model_type) can't
+# be a pytree subtree directly — orbax template restores require static
+# structure — so it is serialised as JSON into a FIXED-capacity uint8
+# buffer saved inside the checkpoint pytree. That makes the metadata
+# commit atomically with the weights: a previous design wrote a
+# ``.meta.json`` sidecar synchronously next to an *async* orbax save,
+# leaving a crash window where epoch-N weights could pair with epoch-N+1
+# scheduler counts (and a copied checkpoint directory could lose the
+# sidecar entirely, silently bypassing the wrong-model-type resume guard).
+_META_CAPACITY = 4096
+
+
+def _encode_meta(meta: Dict[str, Any]) -> np.ndarray:
+    raw = json.dumps(meta).encode()
+    if len(raw) > _META_CAPACITY:
+        raise ValueError(f"checkpoint metadata {len(raw)}B exceeds the "
+                         f"{_META_CAPACITY}B buffer")
+    buf = np.zeros(_META_CAPACITY, np.uint8)
+    buf[:len(raw)] = np.frombuffer(raw, np.uint8)
+    return buf
+
+
+def _decode_meta(buf) -> Dict[str, Any]:
+    raw = np.asarray(buf, np.uint8).tobytes().rstrip(b"\x00")
+    return json.loads(raw) if raw else {}
+
+
 def save_train_state(path: str, state, epoch: int,
                      scheduler_counts: Optional[Dict[str, int]] = None,
                      async_save: bool = False) -> str:
-    import json
-
     path = os.path.abspath(path)
     # 0-d ndarray, not np scalar: orbax restore-args support
-    tree = {"state": state, "epoch": np.asarray(epoch, np.int64)}
-    out = save_pytree(path, tree, async_save=async_save)
-    # dynamic-keyed host metadata lives in a JSON sidecar (orbax template
-    # restores require static structure)
-    with open(path + ".meta.json", "w") as f:
-        json.dump({"scheduler_counts": scheduler_counts or {}}, f)
-    return out
+    tree = {"state": state, "epoch": np.asarray(epoch, np.int64),
+            "meta": _encode_meta(
+                {"scheduler_counts": scheduler_counts or {}})}
+    return save_pytree(path, tree, async_save=async_save)
 
 
 def restore_train_state(path: str, state_template):
-    import json
+    """Returns ``(state, epoch, scheduler_counts)``.
 
+    ``scheduler_counts`` is ``None`` — "no metadata available", distinct
+    from an empty dict — when the checkpoint predates the in-pytree meta
+    buffer AND its legacy ``.meta.json`` sidecar is missing (e.g. only the
+    orbax directory was copied). Resume callers must refuse to proceed in
+    that case: without the counts the wrong-model-type guard cannot run
+    and the LR schedule would silently restart.
+    """
     path = os.path.abspath(path)
-    tree = restore_pytree(path, {"state": state_template,
-                                "epoch": np.zeros((), np.int64)})
-    sched: Dict[str, int] = {}
-    meta_path = path + ".meta.json"
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            sched = {k: int(v)
-                     for k, v in json.load(f).get("scheduler_counts", {}).items()}
+    try:
+        tree = restore_pytree(path, {"state": state_template,
+                                     "epoch": np.zeros((), np.int64),
+                                     "meta": np.zeros(_META_CAPACITY,
+                                                      np.uint8)})
+        counts = _decode_meta(tree["meta"]).get("scheduler_counts", {})
+        sched: Optional[Dict[str, int]] = {k: int(v)
+                                           for k, v in counts.items()}
+    except Exception:
+        # legacy checkpoint without the in-pytree meta buffer: restore the
+        # old structure and fall back to the sidecar (a genuine
+        # state-template mismatch re-raises from this second restore)
+        tree = restore_pytree(path, {"state": state_template,
+                                     "epoch": np.zeros((), np.int64)})
+        meta_path = path + ".meta.json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                sched = {k: int(v) for k, v in
+                         json.load(f).get("scheduler_counts", {}).items()}
+        else:
+            sched = None
     return tree["state"], int(tree["epoch"]), sched

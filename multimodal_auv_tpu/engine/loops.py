@@ -494,14 +494,22 @@ def train_and_evaluate_multimodal_model(
     if checkpoint_resume_path and os.path.exists(checkpoint_resume_path):
         state, start_epoch, sched = ckpt.restore_train_state(
             checkpoint_resume_path, state)
-        if sched and model_type not in sched:
+        if sched is None:
+            # metadata lost (legacy checkpoint copied without its sidecar):
+            # without it the wrong-model guard below can't run and the LR
+            # schedule would silently restart from base_lr
+            raise ValueError(
+                f"checkpoint {checkpoint_resume_path!r} has no scheduler "
+                f"metadata — refusing a blind resume (re-save with this "
+                f"version, or copy the full checkpoint incl. .meta.json)")
+        if model_type not in sched:
             # see the unimodal orchestrator: a wrong-model checkpoint can
             # shape-match and silently skip all training
             raise ValueError(
                 f"checkpoint {checkpoint_resume_path!r} was saved for "
                 f"model_type(s) {sorted(sched)} — refusing to resume "
                 f"{model_type!r} from it (use one resume path per model)")
-        scheduler.load_state_dict({"epoch_count": sched.get(model_type, 0)})
+        scheduler.load_state_dict({"epoch_count": sched[model_type]})
         logger.info("Resumed from %s at epoch %d", checkpoint_resume_path,
                     start_epoch)
 
@@ -570,7 +578,15 @@ def train_and_evaluate_unimodal_model(
     if checkpoint_resume_path and os.path.exists(checkpoint_resume_path):
         state, resumed_epoch, sched = ckpt.restore_train_state(
             checkpoint_resume_path, state)
-        if sched and model_type not in sched:
+        if sched is None:
+            # metadata lost: the cross-modality guard below can't run and
+            # the LR schedule would silently restart (see the multimodal
+            # orchestrator)
+            raise ValueError(
+                f"checkpoint {checkpoint_resume_path!r} has no scheduler "
+                f"metadata — refusing a blind resume (re-save with this "
+                f"version, or copy the full checkpoint incl. .meta.json)")
+        if model_type not in sched:
             # the unimodal trunks share parameter shapes (image/bathy are
             # both 3-channel), so resuming modality B from modality A's
             # checkpoint would shape-match, see start >= num_epochs, skip
@@ -579,7 +595,7 @@ def train_and_evaluate_unimodal_model(
                 f"checkpoint {checkpoint_resume_path!r} was saved for "
                 f"model_type(s) {sorted(sched)} — refusing to resume "
                 f"{model_type!r} from it (use one resume path per model)")
-        scheduler.load_state_dict({"epoch_count": sched.get(model_type, 0)})
+        scheduler.load_state_dict({"epoch_count": sched[model_type]})
         start = max(start, resumed_epoch)
         logger.info("Resumed from %s at epoch %d", checkpoint_resume_path,
                     resumed_epoch)

@@ -82,6 +82,11 @@ def main(argv=None) -> int:
                    help="keep the temp work dir (prints its path)")
     args = p.parse_args(argv)
 
+    # the self-check is offline by contract: without this, a networked
+    # host would download the full flagship HF checkpoint only for
+    # import_posterior to drop every tensor against the tiny arch
+    os.environ.setdefault("HF_HUB_OFFLINE", "1")
+
     if args.cpu:
         import jax
 
@@ -126,25 +131,31 @@ def main(argv=None) -> int:
             logger.error("inference pipeline crashed", exc_info=True)
             results.append(_check("inference pipeline ran", False, repr(e)))
 
-        # 2. from-scratch training: labeled tree -> ledgers + checkpoints
+        # 2. from-scratch training: labeled tree -> ledgers + checkpoints.
+        # Guarded like the inference half — same contract (a crash is a
+        # FAIL line plus the summary, never an escaping traceback).
         train_root = _make_survey(os.path.join(work, "train"), 9,
                                   labeled=True)
-        ok = run_AUV_training_from_scratch(
-            const_bnn_prior_parameters=BNNPriorSpec().to_dict(),
-            lr_multimodal_model=1e-3, num_epochs_multimodal=2, num_mc=2,
-            bathy_patch_base_raw=30, sss_patch_base_raw=30,
-            batch_size_multimodal=3, root_dir=train_root, num_classes=3,
-            arch=arch)
-        results.append(_check("training pipeline returned ok", bool(ok)))
-        tcsv = os.path.join(train_root, "csvs",
-                            "multimodal_train_results.csv")
-        results.append(_check("training ledger written",
-                              os.path.exists(tcsv)))
-        if os.path.exists(tcsv):
-            with open(tcsv) as f:
-                n = len(f.read().strip().splitlines())
-            results.append(_check("training ledger rows", n == 1 + 2,
-                                  f"{n - 1}/2 epochs"))
+        try:
+            ok = run_AUV_training_from_scratch(
+                const_bnn_prior_parameters=BNNPriorSpec().to_dict(),
+                lr_multimodal_model=1e-3, num_epochs_multimodal=2, num_mc=2,
+                bathy_patch_base_raw=30, sss_patch_base_raw=30,
+                batch_size_multimodal=3, root_dir=train_root, num_classes=3,
+                arch=arch)
+            results.append(_check("training pipeline returned ok", bool(ok)))
+            tcsv = os.path.join(train_root, "csvs",
+                                "multimodal_train_results.csv")
+            results.append(_check("training ledger written",
+                                  os.path.exists(tcsv)))
+            if os.path.exists(tcsv):
+                with open(tcsv) as f:
+                    n = len(f.read().strip().splitlines())
+                results.append(_check("training ledger rows", n == 1 + 2,
+                                      f"{n - 1}/2 epochs"))
+        except Exception as e:
+            logger.error("training pipeline crashed", exc_info=True)
+            results.append(_check("training pipeline ran", False, repr(e)))
     finally:
         os.chdir(cwd)
         if args.keep:

@@ -14,6 +14,20 @@ from typing import Optional, Sequence
 logger = logging.getLogger(__name__)
 
 
+def _full_label_set(all_labels, all_predicted, class_names):
+    """(labels, display_names) covering every class AND every observed
+    index: a head wider than the class list (e.g. num_classes=7 on a
+    3-class survey) can predict indices >= len(class_names), and pinning
+    labels to range(len(class_names)) would make sklearn's
+    confusion_matrix silently DROP those samples."""
+    names = [str(c) for c in class_names]
+    hi = max([int(v) for v in list(all_labels)]
+             + [int(v) for v in list(all_predicted)]
+             + [len(names) - 1])
+    names += [f"class_{i}" for i in range(len(names), hi + 1)]
+    return list(range(len(names))), names
+
+
 def save_confusion_matrix(all_labels, all_predicted, csv_path: str,
                           model_type: str, epoch: int,
                           class_names: Optional[Sequence[str]] = None) -> Optional[str]:
@@ -31,11 +45,14 @@ def save_confusion_matrix(all_labels, all_predicted, csv_path: str,
         # display_labels length mismatch crash the plot (the reference
         # passes no labels at all — its own comment says "Consider adding
         # labels=list(range(num_classes))", multimodal.py:324).
-        labels = (list(range(len(class_names))) if class_names is not None
-                  else None)
+        display_labels = class_names
+        labels = None
+        if class_names is not None:
+            labels, display_labels = _full_label_set(
+                all_labels, all_predicted, class_names)
         cm = confusion_matrix(all_labels, all_predicted, labels=labels)
         disp = ConfusionMatrixDisplay(confusion_matrix=cm,
-                                      display_labels=class_names)
+                                      display_labels=display_labels)
         fig, ax = plt.subplots(figsize=(8, 8))
         disp.plot(cmap="Blues", ax=ax)
         plt.title(f"Confusion Matrix for Epoch {epoch}")

@@ -7,7 +7,9 @@ OUT=/tmp/tpu_watchdog
 mkdir -p "$OUT"
 cd /root/repo
 for i in $(seq 1 200); do
-  timeout 150 python -c "import jax; d=jax.devices(); print('TPU OK:', d)" \
+  # assert the platform: jax.devices() can fall back to CPU (plugin list
+  # 'axon,cpu'), which must NOT count as tunnel-up
+  timeout 150 python -c "import jax; d=jax.devices(); assert d[0].platform == 'tpu', d; print('TPU OK:', d)" \
     > "$OUT/probe.log" 2>&1
   if grep -q "TPU OK" "$OUT/probe.log"; then
     echo "$(date -u +%FT%TZ) tunnel up on probe $i" >> "$OUT/status.log"

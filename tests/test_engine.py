@@ -358,6 +358,60 @@ def test_resume_refuses_wrong_model_type(tmp_path):
             jax.random.PRNGKey(0), model_type="bathy",
             checkpoint_resume_path=ck)
 
+    # metadata-less checkpoint (legacy orbax dir copied without its
+    # sidecar): the guard above can't run, so the orchestrator must refuse
+    # a blind resume rather than silently restart the LR schedule
+    from multimodal_auv_tpu.engine import checkpointing as ckpt
+
+    ck2 = str(tmp_path / "ck_nometa")
+    ckpt.save_pytree(ck2, {"state": state,
+                           "epoch": np.asarray(1, np.int64)})
+    with pytest.raises(ValueError, match="no scheduler metadata"):
+        train_and_evaluate_unimodal_model(
+            tl, tl, 2, tstep, estep, state, StepLR(1e-3, 7, 0.5),
+            str(tmp_path / "csv3"), SummaryWriter(str(tmp_path / "tb3")),
+            jax.random.PRNGKey(0), model_type="image",
+            checkpoint_resume_path=ck2)
+
+
+def test_legacy_sidecar_checkpoint_still_restores(tmp_path):
+    """Pre-meta-buffer checkpoints (old pytree structure + .meta.json
+    sidecar) restore with their scheduler counts; without the sidecar the
+    restore reports sched=None ("metadata unavailable") instead of a
+    silent empty dict."""
+    import json
+
+    from multimodal_auv_tpu.engine import checkpointing as ckpt
+
+    bundle, tx, state = _mm_state()
+    path = str(tmp_path / "legacy" / "state")
+    ckpt.save_pytree(path, {"state": state,
+                            "epoch": np.asarray(4, np.int64)})
+    with open(path + ".meta.json", "w") as f:
+        json.dump({"scheduler_counts": {"bathy": 2}}, f)
+    _, epoch, sched = ckpt.restore_train_state(path, state)
+    assert epoch == 4 and sched == {"bathy": 2}
+
+    os.remove(path + ".meta.json")
+    _, epoch, sched = ckpt.restore_train_state(path, state)
+    assert epoch == 4 and sched is None
+
+
+def test_checkpoint_meta_commits_with_weights(tmp_path):
+    """The scheduler counts live INSIDE the orbax pytree (no sidecar), so
+    an async save commits weights and metadata atomically — no crash
+    window where epoch-N weights pair with epoch-N+1 counts."""
+    from multimodal_auv_tpu.engine import checkpointing as ckpt
+
+    bundle, tx, state = _mm_state()
+    path = str(tmp_path / "ck" / "state")
+    ckpt.save_train_state(path, state, epoch=2, scheduler_counts={"m": 9},
+                          async_save=True)
+    ckpt.wait_for_saves()
+    assert not os.path.exists(path + ".meta.json")
+    _, epoch, sched = ckpt.restore_train_state(path, state)
+    assert epoch == 2 and sched == {"m": 9}
+
 
 def test_checkpoint_roundtrip(tmp_path):
     from multimodal_auv_tpu.engine import checkpointing as ckpt

@@ -92,6 +92,33 @@ def test_confusion_matrix_with_unobserved_class(tmp_path):
     assert path is not None and os.path.exists(path)
 
 
+def test_confusion_matrix_with_out_of_range_prediction(tmp_path):
+    """A head wider than the class list (e.g. num_classes=7 on a 3-class
+    survey) can predict indices >= len(class_names); those samples must be
+    COUNTED (label set extended with placeholder names), not silently
+    dropped by pinning labels to range(len(class_names))."""
+    import os
+
+    import numpy as np
+    from sklearn.metrics import confusion_matrix
+
+    from multimodal_auv_tpu.utils.plotting import save_confusion_matrix
+
+    csv_path = str(tmp_path / "csvs" / "eval.csv")
+    os.makedirs(os.path.dirname(csv_path), exist_ok=True)
+    from multimodal_auv_tpu.utils.plotting import _full_label_set
+
+    labels, preds = [0, 1, 2, 0], [np.int64(5), 0, 2, 0]
+    lab, names = _full_label_set(labels, preds, ["Sand", "Mud", "Rock"])
+    assert lab == [0, 1, 2, 3, 4, 5]
+    assert names == ["Sand", "Mud", "Rock", "class_3", "class_4", "class_5"]
+    # the matrix built from that label set keeps every sample
+    assert confusion_matrix(labels, preds, labels=lab).sum() == len(labels)
+    path = save_confusion_matrix(labels, preds, csv_path, "multimodal", 1,
+                                 class_names=["Sand", "Mud", "Rock"])
+    assert path is not None and os.path.exists(path)
+
+
 def test_noise_study_sweep_tiny(tmp_path):
     """Two turbidity steps, tiny arch, real fixture tree end-to-end."""
     from multimodal_auv_tpu.models.model_utils import ArchConfig
