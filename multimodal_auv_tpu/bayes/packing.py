@@ -125,6 +125,9 @@ class PackMeta:
 # tree utilities (flax params are plain nested dicts)
 # ---------------------------------------------------------------------------
 
+_MISSING = object()
+
+
 def _clone_structure(tree):
     if isinstance(tree, dict):
         return {k: _clone_structure(v) for k, v in tree.items()}
@@ -138,9 +141,15 @@ def _set_path(tree: Dict, path: Tuple[str, ...], value):
     node[path[-1]] = value
 
 
-def _get_path(tree: Dict, path: Tuple[str, ...]):
+def _get_path(tree: Dict, path: Tuple[str, ...], *, default=_MISSING):
+    """Walk ``path`` through nested dicts. Raises KeyError on a missing
+    segment unless ``default`` is given (tolerant mode, used by the torch
+    importer where unknown keys are expected and dropped)."""
     node = tree
     for p in path:
+        if default is not _MISSING and (not isinstance(node, dict)
+                                        or p not in node):
+            return default
         node = node[p]
     return node
 

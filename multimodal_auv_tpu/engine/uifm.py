@@ -24,11 +24,17 @@ B_INF_RGB = (0.1, 0.3, 0.5)
 
 @jax.jit
 def simulate_underwater_degradation(
-    clean_image: jax.Array,       # (B, H, W, 3) in [0, 1]
+    clean_image: jax.Array,       # (B, H, W, 3); nominally in [0, 1]
     distance_map: jax.Array,      # (B, H, W, 1) or broadcastable; uniform=1.0
     turbidity_factor: jax.Array,  # scalar
     depth_value: jax.Array,       # scalar (normalized 0..1)
 ) -> jax.Array:
+    """PARITY QUIRK: the noise study (pipelines/noise_study.py) applies
+    this to mean/std-NORMALIZED images (range ~[-1.5, 4.6]), where the
+    [0, 1] clip saturates below-mean pixels to 0 — exactly what the
+    reference does (torch.clamp on normalized tensors, "Example training
+    with image noise.py":88-93), so the degradation severity matches the
+    reference's study, not a physically-calibrated UIFM on raw images."""
     beta = jnp.asarray(BETA_RGB, clean_image.dtype).reshape(1, 1, 1, 3)
     beta = beta * turbidity_factor
     b_inf = jnp.asarray(B_INF_RGB, clean_image.dtype).reshape(1, 1, 1, 3)
@@ -41,9 +47,9 @@ def simulate_underwater_degradation(
 
 def degrade_uniform(clean_image: jax.Array, turbidity: float,
                     depth_value: float = 1.0) -> jax.Array:
-    """Flat-seabed convenience wrapper (uniform unit distance map)."""
-    b, h, w, _ = clean_image.shape
-    dmap = jnp.ones((b, h, w, 1), clean_image.dtype)
+    """Flat-seabed convenience wrapper (uniform unit distance map —
+    broadcastable (1,1,1,1), not a full B*H*W map of ones)."""
+    dmap = jnp.ones((1, 1, 1, 1), clean_image.dtype)
     return simulate_underwater_degradation(
         clean_image, dmap, jnp.asarray(turbidity, clean_image.dtype),
         jnp.asarray(depth_value, clean_image.dtype))

@@ -69,12 +69,23 @@ def _env_offline() -> bool:
 
 
 def _hub_reachable(timeout: float = 3.0) -> bool:
-    """Cheap TCP connect probe to the Hub endpoint (no request issued)."""
+    """Cheap TCP connect probe to the Hub endpoint (no request issued).
+
+    Behind an HTTP(S) proxy the endpoint itself is not directly
+    connectable even though hf_hub_download (requests honors
+    *_PROXY env vars; a raw socket does not) would succeed — so probe
+    the PROXY address instead of the endpoint in that case."""
     import socket
     from urllib.parse import urlparse
 
-    parsed = urlparse(os.environ.get("HF_ENDPOINT",
-                                     "https://huggingface.co"))
+    endpoint = os.environ.get("HF_ENDPOINT", "https://huggingface.co")
+    parsed = urlparse(endpoint)
+    proxy = (os.environ.get("HTTPS_PROXY") or os.environ.get("https_proxy")
+             if parsed.scheme == "https" else None) or \
+        os.environ.get("HTTP_PROXY") or os.environ.get("http_proxy") or \
+        os.environ.get("ALL_PROXY") or os.environ.get("all_proxy")
+    if proxy:
+        parsed = urlparse(proxy if "//" in proxy else "http://" + proxy)
     port = parsed.port or (80 if parsed.scheme == "http" else 443)
     try:
         socket.create_connection((parsed.hostname, port), timeout=timeout).close()

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from multimodal_auv_tpu.bayes import PackedPosterior
+from multimodal_auv_tpu.bayes.packing import _get_path, _set_path as _set
 from multimodal_auv_tpu.config import BNNPriorSpec
 
 logger = logging.getLogger(__name__)
@@ -48,7 +49,16 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     remapping ``*_model_feat.model.`` -> ``*_model_feat.``."""
     import torch
 
-    raw = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        # safe path first: hub checkpoints are third-party pickles, and
+        # weights_only=False would execute arbitrary code from them
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        logger.warning(
+            "%s is not a plain-tensor checkpoint; falling back to full "
+            "unpickling (legacy whole-module save). Only do this for "
+            "checkpoints you trust.", path)
+        raw = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(raw, "state_dict"):
         raw = raw.state_dict()
     out = {}
@@ -121,19 +131,7 @@ def _to_flax_array(arr: np.ndarray) -> np.ndarray:
 
 
 def _get(tree: Dict, path: Tuple[str, ...]):
-    node = tree
-    for p in path:
-        if not isinstance(node, dict) or p not in node:
-            return None
-        node = node[p]
-    return node
-
-
-def _set(tree: Dict, path: Tuple[str, ...], value):
-    node = tree
-    for p in path[:-1]:
-        node = node.setdefault(p, {})
-    node[path[-1]] = value
+    return _get_path(tree, path, default=None)
 
 
 def import_posterior(

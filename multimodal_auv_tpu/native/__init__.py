@@ -96,7 +96,11 @@ class NativeLib:
             dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), expected)
         if n < 0:
             raise ValueError("corrupt LZW stream")
-        return dst.tobytes()[:expected]
+        # return the ACTUAL decoded length: a truncated strip that decodes
+        # to fewer than `expected` bytes must surface as a short read (the
+        # pure-Python fallback returns short bytes), not be silently
+        # zero-padded into black raster rows
+        return dst.tobytes()[:n]
 
 
 def _build() -> bool:
@@ -113,9 +117,14 @@ def _build() -> bool:
 
 def _load() -> Optional[NativeLib]:
     with _lock:
-        if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO) < os.path.getmtime(
-                    os.path.join(_DIR, "csrc", "auvnative.cpp"))):
+        cpp = os.path.join(_DIR, "csrc", "auvnative.cpp")
+        # a deployment may ship the built .so without csrc/ — a prebuilt
+        # lib with no sources is current by definition, and this loader
+        # must never crash the importing module (lib is optional)
+        stale = (os.path.exists(cpp)
+                 and os.path.exists(_SO)
+                 and os.path.getmtime(_SO) < os.path.getmtime(cpp))
+        if not os.path.exists(_SO) or stale:
             if not _build():
                 return None
         try:

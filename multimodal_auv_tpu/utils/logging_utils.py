@@ -14,6 +14,7 @@ def setup_pipeline_logging(log_root: str = "logs", name: str = "training") -> st
     root_logger.setLevel(logging.INFO)
     for handler in root_logger.handlers[:]:
         root_logger.removeHandler(handler)
+        handler.close()  # else each pipeline run leaks the prior log fd
 
     log_dir = os.path.join(log_root,
                            datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S"))

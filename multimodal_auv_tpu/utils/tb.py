@@ -109,23 +109,38 @@ class SummaryWriter:
         host = socket.gethostname() or "host"
         self._event_path = os.path.join(
             log_dir, f"events.out.tfevents.{int(now)}.{host}")
-        with open(self._event_path, "ab") as f:
-            f.write(_record(_version_event(now)))
         self._csv_path = os.path.join(log_dir, "scalars.csv")
-        if not os.path.exists(self._csv_path):
-            with open(self._csv_path, "w", newline="") as f:
-                csv.writer(f).writerow(["wall_time", "tag", "step", "value"])
+        # handles stay open (per-batch logging would otherwise pay two
+        # open/close syscall pairs per scalar — costly on networked
+        # filesystems); every write is flushed through, so a crash loses
+        # at most OS-buffered bytes, same as the torch writer
+        self._event_f = open(self._event_path, "ab")
+        self._event_f.write(_record(_version_event(now)))
+        self._event_f.flush()
+        new_csv = not os.path.exists(self._csv_path)
+        self._csv_f = open(self._csv_path, "a", newline="")
+        if new_csv:
+            csv.writer(self._csv_f).writerow(
+                ["wall_time", "tag", "step", "value"])
+            self._csv_f.flush()
 
     def add_scalar(self, tag: str, value, step: int):
+        if self._event_f.closed:  # reopened after close(): append
+            self._event_f = open(self._event_path, "ab")
+            self._csv_f = open(self._csv_path, "a", newline="")
         value = float(value)
         now = time.time()
-        with open(self._event_path, "ab") as f:
-            f.write(_record(_scalar_event(tag, value, int(step), now)))
-        with open(self._csv_path, "a", newline="") as f:
-            csv.writer(f).writerow([now, tag, step, value])
+        self._event_f.write(_record(_scalar_event(tag, value, int(step), now)))
+        self._event_f.flush()
+        csv.writer(self._csv_f).writerow([now, tag, step, value])
+        self._csv_f.flush()
 
     def flush(self):
-        pass  # every add_scalar writes through
+        if not self._event_f.closed:
+            self._event_f.flush()
+            self._csv_f.flush()
 
     def close(self):
-        pass
+        if not self._event_f.closed:
+            self._event_f.close()
+            self._csv_f.close()

@@ -130,9 +130,29 @@ def test_native_lzw_corrupt_streams_never_crash():
                             dtype=np.uint8).tobytes()
         try:
             out = lib.lzw_decode(junk, 1024)
-            assert len(out) == 1024  # zero-padded to expected
+            # short reads surface as short bytes (like the Python path),
+            # never silently zero-padded to `expected`
+            assert isinstance(out, bytes) and len(out) <= 1024
         except ValueError:
             pass  # detected corruption
+
+
+def test_native_lzw_short_read_matches_python():
+    """A valid stream decoded with an oversized `expected` must return the
+    ACTUAL decoded length from both the native and Python decoders — the
+    geotiff caller pads deliberately and must be able to see the shortfall
+    (a zero-padded return would hide truncated strips as black rows)."""
+    from tests.lzw_ref import lzw_encode
+
+    from multimodal_auv_tpu.native import lib
+
+    if lib is None:
+        pytest.skip("native library unavailable")
+    payload = bytes(range(256)) * 2
+    raw = lzw_encode(payload)
+    got_native = lib.lzw_decode(raw, 4096)  # expected >> actual
+    got_py = _lzw_decode(raw, 4096)
+    assert got_native == payload == got_py
 
 
 def test_extract_grid_patch_on_corrupt_raster_is_skippable(tmp_path):

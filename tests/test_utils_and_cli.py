@@ -71,6 +71,16 @@ def test_tb_writer_real_tensorboard_reads_our_events(tmp_path):
                        (1, "Accuracy/val", 0.75)]
     assert all(e.wall_time > 0 for e in events)
 
+    # handles stay open between scalars (no per-call open/close), and a
+    # writer used again after close() transparently reopens in append mode
+    w.close()
+    w.add_scalar("Loss/train", 1.0, 2)
+    w.close()
+    events = list(event_file_loader.LegacyEventFileLoader(files[0]).Load())
+    post = [(e.step, v.tag, v.simple_value)
+            for e in events[1:] for v in e.summary.value]
+    assert post[-1] == (2, "Loss/train", 1.0) and len(post) == 4
+
 
 def test_tb_writer_crc32c_golden():
     """CRC32C vectors (RFC 3720 B.4): the checksum the TFRecord framing
@@ -187,6 +197,9 @@ def test_hub_probe_honors_endpoint_port(monkeypatch):
 
     from multimodal_auv_tpu.interop import hub
 
+    for var in ("HTTP_PROXY", "http_proxy", "HTTPS_PROXY", "https_proxy",
+                "ALL_PROXY", "all_proxy"):
+        monkeypatch.delenv(var, raising=False)
     srv = socket.socket()
     srv.bind(("127.0.0.1", 0))
     srv.listen(1)
@@ -195,6 +208,38 @@ def test_hub_probe_honors_endpoint_port(monkeypatch):
         monkeypatch.setenv("HF_ENDPOINT", f"http://127.0.0.1:{port}")
         assert hub._hub_reachable(timeout=1.0) is True
         monkeypatch.setenv("HF_ENDPOINT", "http://127.0.0.1:1")
+        assert hub._hub_reachable(timeout=0.5) is False
+    finally:
+        srv.close()
+
+
+def test_hub_probe_uses_proxy_when_set(monkeypatch):
+    """Behind an HTTP(S) proxy the endpoint isn't directly connectable
+    even though hf_hub_download (which honors *_PROXY) would succeed —
+    the probe must test the PROXY address, not the endpoint."""
+    import socket
+
+    from multimodal_auv_tpu.interop import hub
+
+    for var in ("HTTP_PROXY", "http_proxy", "HTTPS_PROXY", "https_proxy",
+                "ALL_PROXY", "all_proxy"):
+        monkeypatch.delenv(var, raising=False)
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    proxy_port = srv.getsockname()[1]
+    try:
+        # endpoint unreachable, proxy reachable -> reachable
+        monkeypatch.setenv("HF_ENDPOINT", "http://127.0.0.1:1")
+        monkeypatch.setenv("HTTP_PROXY", f"http://127.0.0.1:{proxy_port}")
+        assert hub._hub_reachable(timeout=1.0) is True
+        # https endpoint consults HTTPS_PROXY, not HTTP_PROXY
+        monkeypatch.setenv("HF_ENDPOINT", "https://127.0.0.1:1")
+        monkeypatch.delenv("HTTP_PROXY")
+        monkeypatch.setenv("HTTPS_PROXY", f"http://127.0.0.1:{proxy_port}")
+        assert hub._hub_reachable(timeout=1.0) is True
+        # proxy also down -> unreachable
+        monkeypatch.setenv("HTTPS_PROXY", "http://127.0.0.1:1")
         assert hub._hub_reachable(timeout=0.5) is False
     finally:
         srv.close()
