@@ -12,7 +12,7 @@ import csv
 import logging
 import os
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -136,6 +136,7 @@ def train_multimodal_model(
     sss_patch_type: Optional[str] = None,
     strict_errors: bool = False,
     async_checkpoints: bool = False,
+    stop_check: Optional[Callable[[], bool]] = None,
 ) -> Tuple[BayesTrainState, float, float]:
     """One training epoch (multimodal.py:25-202). Returns
     (state, train_loss, train_accuracy).
@@ -148,7 +149,14 @@ def train_multimodal_model(
     mid-epoch crash-saves the posterior and returns zero metrics
     (multimodal.py:194-200's bare except). ``True`` still crash-saves but
     RE-RAISES, so a malformed batch cannot silently discard an epoch —
-    the same switchable-quirk treatment as ``double_scheduler_step``."""
+    the same switchable-quirk treatment as ``double_scheduler_step``.
+
+    ``stop_check`` (engine/preemption.py): polled each batch; when it
+    turns true the loop breaks at the batch boundary WITHOUT writing the
+    epoch CSV row or the 5-epoch-cadence weight dump (a partial-epoch
+    posterior must not overwrite a boundary one). The orchestrator then
+    skips its epoch-boundary save so the resume checkpoint stays at the
+    last completed epoch."""
     csv_path = str(Path(csv_path))
     file_exists = os.path.isfile(csv_path)
     sss_size = _patch_size_str(sss_patch_type, "sss")
@@ -199,7 +207,15 @@ def train_multimodal_model(
                 total += float(m["total"])
                 sum_writer.add_scalar("Loss/train", loss, j)
 
+            preempted = False
             for i, batch in enumerate(dataloader):
+                if stop_check is not None and stop_check():
+                    logger.warning(
+                        "Preemption requested — stopping train epoch %d at "
+                        "batch %d (partial-epoch updates are discarded by a "
+                        "checkpoint resume)", epoch, i)
+                    preempted = True
+                    break
                 inputs = [np.asarray(batch["main_image"]),
                           np.asarray(select_patch(batch, bathy_patch_type, "bathy")),
                           np.asarray(select_patch(batch, sss_patch_type, "sss"))]
@@ -215,13 +231,16 @@ def train_multimodal_model(
 
             train_accuracy = correct / max(total, 1.0)
             train_loss = total_loss / max(total, 1.0)
-            logger.info("Epoch %d complete. Loss: %.4f, Accuracy: %.4f, LR: %.6f",
-                        epoch + 1, train_loss, train_accuracy, lr)
-            writer.writerow([epoch, model_type, train_loss, train_accuracy,
-                             lr, last_kl, last_ce, sss_size, bathy_size])
+            if not preempted:
+                logger.info("Epoch %d complete. Loss: %.4f, Accuracy: %.4f, LR: %.6f",
+                            epoch + 1, train_loss, train_accuracy, lr)
+                writer.writerow([epoch, model_type, train_loss, train_accuracy,
+                                 lr, last_kl, last_ce, sss_size, bathy_size])
 
-        # checkpoint every 5 epochs (multimodal.py:189-190)
-        if epoch % 5 == 0:
+        # checkpoint every 5 epochs (multimodal.py:189-190); skipped on
+        # preemption so a partial-epoch posterior never overwrites a
+        # boundary dump
+        if epoch % 5 == 0 and not preempted:
             ckpt.save_model(state.post, csv_path,
                             f"{model_type}_bathy_patch{bathy_size}_sss_patch{sss_size}",
                             async_save=async_checkpoints)
@@ -330,9 +349,12 @@ def train_unimodal_model(
     total_num_epochs: int, csv_path: str, model_type: str, sum_writer,
     key: jax.Array, lr: float, strict_errors: bool = False,
     async_checkpoints: bool = False,
+    stop_check: Optional[Callable[[], bool]] = None,
 ) -> Tuple[BayesTrainState, float, float]:
     """One unimodal training epoch (unimodal.py:21-175); CSV columns
     ["Epoch","Model type","Loss","Accuracy","lr"], row logs epoch+1.
+    ``stop_check``: see train_multimodal_model — batch-boundary
+    preemption break, no row/dump for a partial epoch.
 
     Returns (state, ACCURACY, LOSS) — the REVERSE of
     train_multimodal_model's (state, loss, accuracy). The swap is the
@@ -366,7 +388,15 @@ def train_unimodal_model(
                 total += float(m["total"])
                 sum_writer.add_scalar("Loss/train", loss, j)
 
+            preempted = False
             for i, batch in enumerate(dataloader):
+                if stop_check is not None and stop_check():
+                    logger.warning(
+                        "Preemption requested — stopping train epoch %d at "
+                        "batch %d (partial-epoch updates are discarded by a "
+                        "checkpoint resume)", epoch, i)
+                    preempted = True
+                    break
                 inputs = [np.asarray(unimodal_input(batch, model_type))]
                 labels = np.asarray(batch["label"], np.int32)
                 inputs, labels, mask = _pad_batch(inputs, labels, nominal)
@@ -380,10 +410,11 @@ def train_unimodal_model(
 
             train_accuracy = correct / max(total, 1.0)
             train_loss = total_loss / max(total, 1.0)
-            writer.writerow([epoch + 1, model_type, train_loss,
-                             train_accuracy, lr])
+            if not preempted:
+                writer.writerow([epoch + 1, model_type, train_loss,
+                                 train_accuracy, lr])
 
-        if epoch % 5 == 0:
+        if epoch % 5 == 0 and not preempted:
             ckpt.save_model(state.post, csv_path, model_type,
                             async_save=async_checkpoints)
         return state, train_accuracy, train_loss
@@ -481,11 +512,20 @@ def train_and_evaluate_multimodal_model(
     checkpoint_resume_path: Optional[str] = None,
     strict_errors: bool = False,
     async_checkpoints: bool = False,
+    preemption_guard=None,
 ) -> BayesTrainState:
     """loop_utils.py:162-250: for each epoch train -> scheduler.step() ->
     eval -> scheduler.step() *again* (the reference double-steps its StepLR
     every epoch — reproduced by default, switchable via
-    ``double_scheduler_step=False``)."""
+    ``double_scheduler_step=False``).
+
+    ``preemption_guard`` (engine/preemption.PreemptionGuard, installed by
+    the caller): the train loop breaks at the next batch boundary; the
+    orchestrator then skips eval and the epoch-boundary save and returns.
+    The resume point stays at the last COMPLETED epoch — a signal landing
+    between the final batch and the boundary save also discards that
+    epoch (conservative: the partial/complete distinction is not
+    observable from the flag), which resume replays bit-identically."""
     os.makedirs(csv_dir, exist_ok=True)
     train_csv = os.path.join(csv_dir, "multimodal_train_results.csv")
     eval_csv = os.path.join(csv_dir, "multimodal_eval_results.csv")
@@ -536,7 +576,17 @@ def train_and_evaluate_multimodal_model(
                 train_step, state, train_loader, epoch, num_epochs, train_csv,
                 model_type, sum_writer, k1, scheduler.lr,
                 bathy_patch_type, sss_patch_type, strict_errors=strict_errors,
-                async_checkpoints=async_checkpoints)
+                async_checkpoints=async_checkpoints,
+                stop_check=(preemption_guard.check
+                            if preemption_guard is not None else None))
+            if preemption_guard is not None and preemption_guard.triggered:
+                logger.warning(
+                    "Preempted during epoch %d — stopping without its "
+                    "boundary save; resume%s replays it from the last "
+                    "completed epoch", epoch,
+                    f" ({checkpoint_resume_path})"
+                    if checkpoint_resume_path else "")
+                break
             scheduler.step()
             test_acc = evaluate_multimodal_model(
                 eval_step, state, test_loader, epoch, num_epochs, eval_csv,
@@ -550,6 +600,16 @@ def train_and_evaluate_multimodal_model(
                 ckpt.save_train_state(checkpoint_resume_path, state, epoch + 1,
                                       {model_type: scheduler.epoch_count},
                                       async_save=async_checkpoints)
+            if preemption_guard is not None and preemption_guard.triggered:
+                # signal arrived during eval/save: the train epoch DID
+                # complete and its boundary save just ran — resume
+                # continues at epoch+1
+                logger.warning(
+                    "Preempted after completed epoch %d — stopping cleanly"
+                    "%s", epoch,
+                    f"; resume continues from {checkpoint_resume_path}"
+                    if checkpoint_resume_path else "")
+                break
     finally:
         if async_checkpoints:
             ckpt.wait_for_saves()
@@ -563,13 +623,15 @@ def train_and_evaluate_unimodal_model(
     skip_epoch_zero: bool = True, strict_errors: bool = False,
     async_checkpoints: bool = False,
     checkpoint_resume_path: Optional[str] = None,
+    preemption_guard=None,
 ) -> BayesTrainState:
     """loop_utils.py:65-159. The reference's epoch loop is
     ``range(1, num_epochs)`` — it *skips epoch 0* (an off-by-one,
     SURVEY.md §2.3). Reproduced by default; pass skip_epoch_zero=False for
     the fixed behavior. ``checkpoint_resume_path`` adds the same true
     resume as the multimodal orchestrator (bit-reproducible: epoch-indexed
-    keys + pinned shuffle epochs)."""
+    keys + pinned shuffle epochs). ``preemption_guard``: cooperative
+    SIGTERM stop, same contract as the multimodal orchestrator."""
     os.makedirs(csv_dir, exist_ok=True)
     train_csv = os.path.join(csv_dir, f"unimodal_{model_type}_train_results.csv")
     eval_csv = os.path.join(csv_dir, f"unimodal_{model_type}_eval_results.csv")
@@ -612,7 +674,17 @@ def train_and_evaluate_unimodal_model(
                 train_step, state, train_loader, epoch, num_epochs, train_csv,
                 model_type, sum_writer, k1, scheduler.lr,
                 strict_errors=strict_errors,
-                async_checkpoints=async_checkpoints)
+                async_checkpoints=async_checkpoints,
+                stop_check=(preemption_guard.check
+                            if preemption_guard is not None else None))
+            if preemption_guard is not None and preemption_guard.triggered:
+                logger.warning(
+                    "Preempted during epoch %d — stopping without its "
+                    "boundary save; resume%s replays it from the last "
+                    "completed epoch", epoch,
+                    f" ({checkpoint_resume_path})"
+                    if checkpoint_resume_path else "")
+                break
             test_acc = evaluate_unimodal_model(
                 eval_step, state, test_loader, epoch, num_epochs, eval_csv,
                 model_type, k2, class_names, strict_errors=strict_errors)
@@ -625,6 +697,14 @@ def train_and_evaluate_unimodal_model(
                 ckpt.save_train_state(checkpoint_resume_path, state, epoch + 1,
                                       {model_type: scheduler.epoch_count},
                                       async_save=async_checkpoints)
+            if preemption_guard is not None and preemption_guard.triggered:
+                # see the multimodal orchestrator: epoch completed, save ran
+                logger.warning(
+                    "Preempted after completed epoch %d — stopping cleanly"
+                    "%s", epoch,
+                    f"; resume continues from {checkpoint_resume_path}"
+                    if checkpoint_resume_path else "")
+                break
     finally:
         if async_checkpoints:
             ckpt.wait_for_saves()

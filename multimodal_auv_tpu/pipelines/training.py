@@ -62,6 +62,7 @@ def _train_multimodal_common(
     image_size: Optional[int] = None,
     strict_errors: bool = False,
     async_checkpoints: bool = False,
+    handle_preemption: bool = True,
 ):
     log_dir = setup_pipeline_logging()
     sum_writer = SummaryWriter(os.path.join("tensorboard_logs",
@@ -114,18 +115,31 @@ def _train_multimodal_common(
     scheduler = StepLR(lr, scheduler_step_size, scheduler_gamma)
 
     class_names = list(dataset.label_encoder.classes_)
-    state = train_and_evaluate_multimodal_model(
-        train_loader, test_loader, num_epochs, train_step, eval_step, state,
-        scheduler, os.path.join(root_dir, "csvs"), sum_writer,
-        jax.random.PRNGKey(seed),
-        bathy_patch_type=_patch_type(bathy_patch_base, "bathy"),
-        sss_patch_type=_patch_type(sss_patch_base, "sss"),
-        class_names=class_names,
-        double_scheduler_step=double_scheduler_step,
-        checkpoint_resume_path=resume_checkpoint,
-        strict_errors=strict_errors,
-        async_checkpoints=async_checkpoints,
-    )
+    # preemptible-fleet realism (engine/preemption.py): SIGTERM stops at
+    # the next batch boundary, drains async saves, and leaves the resume
+    # checkpoint at the last completed epoch
+    from multimodal_auv_tpu.engine.preemption import maybe_guard
+
+    with maybe_guard(handle_preemption) as guard:
+        state = train_and_evaluate_multimodal_model(
+            train_loader, test_loader, num_epochs, train_step, eval_step,
+            state, scheduler, os.path.join(root_dir, "csvs"), sum_writer,
+            jax.random.PRNGKey(seed),
+            bathy_patch_type=_patch_type(bathy_patch_base, "bathy"),
+            sss_patch_type=_patch_type(sss_patch_base, "sss"),
+            class_names=class_names,
+            double_scheduler_step=double_scheduler_step,
+            checkpoint_resume_path=resume_checkpoint,
+            strict_errors=strict_errors,
+            async_checkpoints=async_checkpoints,
+            preemption_guard=guard,
+        )
+    if guard.triggered:
+        logger.warning(
+            "Training preempted (SIGTERM). %s",
+            f"Resume with resume_checkpoint={resume_checkpoint!r}."
+            if resume_checkpoint else
+            "Pass resume_checkpoint= to make preempted runs resumable.")
     sum_writer.close()
     bundle.post = state.post
     bundle.batch_stats = state.batch_stats
@@ -156,6 +170,7 @@ def run_AUV_training_from_scratch(
     use_packed_loader: bool = False,
     strict_errors: bool = False,
     async_checkpoints: bool = False,
+    handle_preemption: bool = True,
 ) -> bool:
     """Signature parity with functions.py:361-374 (``devices`` accepted for
     API compatibility; placement is mesh-driven on TPU).
@@ -202,6 +217,7 @@ def run_AUV_training_from_scratch(
             use_packed_loader=use_packed_loader,
             strict_errors=strict_errors,
             async_checkpoints=async_checkpoints,
+            handle_preemption=handle_preemption,
             image_size=arch.image_size,
         )
         logger.info("Full training pipeline finished.")
@@ -237,6 +253,7 @@ def run_auv_retraining(
     use_packed_loader: bool = False,
     strict_errors: bool = False,
     async_checkpoints: bool = False,
+    handle_preemption: bool = True,
 ) -> bool:
     """Foundation-model retraining (functions.py:84-258): pretrained HF
     weights, fc2 head swapped when num_classes != 7, then multimodal
@@ -282,6 +299,7 @@ def run_auv_retraining(
             use_packed_loader=use_packed_loader,
             strict_errors=strict_errors,
             async_checkpoints=async_checkpoints,
+            handle_preemption=handle_preemption,
             image_size=arch.image_size,
         )
         return True

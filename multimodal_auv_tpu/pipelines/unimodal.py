@@ -134,10 +134,13 @@ def run_unimodal_training(
     seed: int = 0,
     skip_epoch_zero: bool = True,
     resume_checkpoint: Optional[str] = None,
+    handle_preemption: bool = True,
 ) -> BayesTrainState:
     """Train + evaluate one unimodal BNN (metrics CSVs + confusion
     matrices), the configs[1] workload. ``resume_checkpoint`` enables the
-    same preemption-reproducible true resume as the multimodal pipeline."""
+    same preemption-reproducible true resume as the multimodal pipeline;
+    ``handle_preemption`` installs the cooperative SIGTERM stop
+    (engine/preemption.py)."""
     arch = arch or ArchConfig()
     spec = BNNPriorSpec()
     (tl, te, _, _, actual_classes, dataset) = prepare_datasets_and_loaders(
@@ -158,13 +161,23 @@ def run_unimodal_training(
                            mc_chunk=mc_chunk)
     csv_dir = csv_dir or os.path.join(root_dir, "csvs")
     sw = SummaryWriter(os.path.join(csv_dir, "tb"))
-    state = train_and_evaluate_unimodal_model(
-        tl, te, num_epochs, tstep, estep, state,
-        StepLR(lr, scheduler_step_size, scheduler_gamma), csv_dir, sw,
-        jax.random.PRNGKey(seed + 1), model_type=model_type,
-        class_names=list(dataset.label_encoder.classes_),
-        skip_epoch_zero=skip_epoch_zero,
-        checkpoint_resume_path=resume_checkpoint)
+    from multimodal_auv_tpu.engine.preemption import maybe_guard
+
+    with maybe_guard(handle_preemption) as guard:
+        state = train_and_evaluate_unimodal_model(
+            tl, te, num_epochs, tstep, estep, state,
+            StepLR(lr, scheduler_step_size, scheduler_gamma), csv_dir, sw,
+            jax.random.PRNGKey(seed + 1), model_type=model_type,
+            class_names=list(dataset.label_encoder.classes_),
+            skip_epoch_zero=skip_epoch_zero,
+            checkpoint_resume_path=resume_checkpoint,
+            preemption_guard=guard)
+    if guard.triggered:
+        logger.warning(
+            "Unimodal training preempted (SIGTERM). %s",
+            f"Resume with resume_checkpoint={resume_checkpoint!r}."
+            if resume_checkpoint else
+            "Pass resume_checkpoint= to make preempted runs resumable.")
     bundle.post = state.post
     bundle.batch_stats = state.batch_stats
     return state
