@@ -85,6 +85,9 @@ def inference_cli(argv=None):
     parser.add_argument("--tiny", action="store_true", help=argparse.SUPPRESS)
     args = parser.parse_args(argv)
 
+    from multimodal_auv_tpu.utils.devices import enable_compilation_cache
+
+    enable_compilation_cache()  # cold-start amortization (utils/devices.py)
     from multimodal_auv_tpu.pipelines import run_auv_inference
 
     run_auv_inference(
@@ -142,6 +145,9 @@ def retraining_cli(argv=None):
     parser.add_argument("--tiny", action="store_true", help=argparse.SUPPRESS)
     args = parser.parse_args(argv)
 
+    from multimodal_auv_tpu.utils.devices import enable_compilation_cache
+
+    enable_compilation_cache()  # cold-start amortization (utils/devices.py)
     from multimodal_auv_tpu.pipelines import run_auv_retraining
 
     ok = run_auv_retraining(
@@ -205,6 +211,9 @@ def training_from_scratch_cli(argv=None):
     parser.add_argument("--tiny", action="store_true", help=argparse.SUPPRESS)
     args = parser.parse_args(argv)
 
+    from multimodal_auv_tpu.utils.devices import enable_compilation_cache
+
+    enable_compilation_cache()  # cold-start amortization (utils/devices.py)
     from multimodal_auv_tpu.config import BNNPriorSpec
     from multimodal_auv_tpu.pipelines import run_AUV_training_from_scratch
 
@@ -273,7 +282,9 @@ def export_serving_cli(argv=None):
     args = parser.parse_args(argv)
 
     from multimodal_auv_tpu.pipelines import export_auv_serving_artifact
+    from multimodal_auv_tpu.utils.devices import enable_compilation_cache
 
+    enable_compilation_cache()  # cold-start amortization (utils/devices.py)
     export_auv_serving_artifact(
         output_dir=args.output_dir,
         batch_size=("poly" if args.batch_size == "poly"

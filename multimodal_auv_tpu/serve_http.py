@@ -223,6 +223,11 @@ def main(argv=None) -> int:
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+    # the exported StableHLO still XLA-compiles on load; cache the result
+    # across server restarts (utils/devices.py)
+    from multimodal_auv_tpu.utils.devices import enable_compilation_cache
+
+    enable_compilation_cache()
     server = make_server(args.artifact, args.host, args.port)
     svc: ArtifactService = server.service
     if args.warmup:

@@ -273,3 +273,36 @@ def test_hub_offline_env_parsing(monkeypatch):
         assert hub._env_offline() is want, v
     monkeypatch.delenv("HF_HUB_OFFLINE")
     assert hub._env_offline() is False
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    """Production entry points (cli.py, serve_http.py) enable JAX's
+    persistent compilation cache so restarted processes skip the 20-40 s
+    cold compile. Pin: env-var resolution, off-switch, and that a jitted
+    program actually populates the directory."""
+    from multimodal_auv_tpu.utils.devices import enable_compilation_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        # off-switch
+        monkeypatch.setenv("MULTIMODAL_AUV_COMPILE_CACHE", "off")
+        assert enable_compilation_cache() is None
+
+        # env-var dir wins over the default; cache fills on first compile
+        d = tmp_path / "cc"
+        monkeypatch.setenv("MULTIMODAL_AUV_COMPILE_CACHE", str(d))
+        got = enable_compilation_cache()
+        assert got == str(d) and os.path.isdir(got)
+        # unique shapes so this program can't be an in-memory cache hit
+        x = np.arange(173., dtype=np.float32)
+        jax.jit(lambda a: (a * 2 + 1).sum())(x).block_until_ready()
+        assert os.listdir(got), "compilation cache not written"
+
+        # explicit argument beats the env var
+        d2 = tmp_path / "cc2"
+        assert enable_compilation_cache(str(d2)) == str(d2)
+    finally:
+        from jax.experimental.compilation_cache import compilation_cache
+
+        jax.config.update("jax_compilation_cache_dir", prev)
+        compilation_cache.reset_cache()  # drop the tmp-dir-pinned backend
