@@ -10,7 +10,15 @@ but the standard library: a ``ThreadingHTTPServer`` exposing
 
     GET  /healthz    liveness + artifact summary (also warms the program)
     GET  /meta       the artifact's meta.json (batch size, mc, classes...)
+    GET  /metrics    Prometheus text: requests/rows/device-call counters,
+                     latency histogram, coalescing efficiency
     POST /predict    one batch -> JSON predictions + uncertainties
+
+With ``--batch_window_ms W`` the server micro-batches: concurrent
+seedless requests smaller than the program batch wait up to W ms and
+are packed into ONE device call (fan-in from many small clients at the
+cost of bounded latency); seeded requests always run alone so their
+reproducibility never depends on co-tenants.
 
 ``/predict`` accepts an ``.npz`` body (``numpy.savez`` of uint8 NHWC
 arrays ``main``, ``bathy``, ``sss`` — the exact arrays the packed loader
@@ -38,7 +46,9 @@ import argparse
 import io
 import json
 import logging
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -48,13 +58,128 @@ logger = logging.getLogger(__name__)
 _MODALITIES = (("main", 3), ("bathy", 3), ("sss", 1))
 
 
+class Metrics:
+    """Lock-protected serving counters with Prometheus text exposition
+    (``GET /metrics``). Everything a dashboard needs to see batching
+    efficiency: requests vs device calls (coalescing collapses the
+    former into the latter), rows served, request latency histogram."""
+
+    BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0,
+               10.0, 30.0)
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests: dict = {}  # (route, status) -> count
+        self.rows_total = 0
+        self.device_calls_total = 0
+        self.coalesced_requests_total = 0
+        self._hist = [0] * (len(self.BUCKETS) + 1)
+        self._hist_sum = 0.0
+        self._hist_count = 0
+
+    def observe_request(self, route: str, status: int, seconds: float):
+        with self._lock:
+            k = (route, int(status))
+            self.requests[k] = self.requests.get(k, 0) + 1
+            self._hist_sum += seconds
+            self._hist_count += 1
+            for i, le in enumerate(self.BUCKETS):
+                if seconds <= le:
+                    self._hist[i] += 1
+                    break
+            else:
+                self._hist[-1] += 1
+
+    def add_rows(self, n: int):
+        with self._lock:
+            self.rows_total += int(n)
+
+    def add_device_call(self):
+        with self._lock:
+            self.device_calls_total += 1
+
+    def add_coalesced(self, n_requests: int):
+        with self._lock:
+            self.coalesced_requests_total += int(n_requests)
+
+    def render(self) -> str:
+        with self._lock:
+            lines = [
+                "# HELP auv_requests_total HTTP requests by route and status",
+                "# TYPE auv_requests_total counter",
+            ]
+            for (route, status), c in sorted(self.requests.items()):
+                lines.append(f'auv_requests_total{{route="{route}",'
+                             f'status="{status}"}} {c}')
+            lines += [
+                "# HELP auv_rows_total prediction rows served",
+                "# TYPE auv_rows_total counter",
+                f"auv_rows_total {self.rows_total}",
+                "# HELP auv_device_calls_total compiled-program executions",
+                "# TYPE auv_device_calls_total counter",
+                f"auv_device_calls_total {self.device_calls_total}",
+                "# HELP auv_coalesced_requests_total requests served via "
+                "the micro-batcher",
+                "# TYPE auv_coalesced_requests_total counter",
+                f"auv_coalesced_requests_total {self.coalesced_requests_total}",
+                "# HELP auv_request_duration_seconds request latency",
+                "# TYPE auv_request_duration_seconds histogram",
+            ]
+            acc = 0
+            for le, c in zip(self.BUCKETS, self._hist):
+                acc += c
+                lines.append(
+                    f'auv_request_duration_seconds_bucket{{le="{le}"}} {acc}')
+            lines.append('auv_request_duration_seconds_bucket{le="+Inf"} '
+                         f"{self._hist_count}")
+            lines.append(f"auv_request_duration_seconds_sum {self._hist_sum}")
+            lines.append(
+                f"auv_request_duration_seconds_count {self._hist_count}")
+            return "\n".join(lines) + "\n"
+
+
+class _Pending:
+    """One coalescible request waiting for the micro-batcher."""
+
+    __slots__ = ("arrays", "n", "event", "result", "error")
+
+    def __init__(self, arrays, n):
+        self.arrays, self.n = arrays, n
+        self.event = threading.Event()
+        self.result = None
+        self.error: Exception | None = None
+
+
 class ArtifactService:
     """Request-shape handling around one loaded ``ServingArtifact``:
-    pad+mask short batches, chunk long ones, serialize device calls."""
+    pad+mask short batches, chunk long ones, serialize device calls.
 
-    def __init__(self, artifact):
+    ``batch_window_ms > 0`` additionally enables dynamic micro-batching
+    for artifacts with a static batch size: concurrent SEEDLESS requests
+    smaller than the program batch are held up to the window and packed
+    into ONE device call (they share that call's fresh draws — exactly
+    the packed serving loop's semantics for rows of one batch). Seeded
+    requests always bypass the batcher: reproducibility is per-request
+    (seed, chunk) and must not depend on who else is in flight."""
+
+    def __init__(self, artifact, batch_window_ms: float = 0.0):
         self.artifact = artifact
         self._lock = threading.Lock()
+        self.metrics = Metrics()
+        self.batch_window_s = max(0.0, float(batch_window_ms)) / 1e3
+        self._queue: "queue.Queue" = queue.Queue()
+        self._batcher = None
+        if self.batch_window_s > 0 and self.artifact.batch_size != "poly":
+            self._batcher = threading.Thread(
+                target=self._batch_loop, name="auv-micro-batcher",
+                daemon=True)
+            self._batcher.start()
+
+    def close(self):
+        if self._batcher is not None:
+            self._queue.put(None)
+            self._batcher.join(timeout=10)
+            self._batcher = None
 
     # -- helpers -----------------------------------------------------------
 
@@ -102,6 +227,12 @@ class ArtifactService:
                 key = jax.random.fold_in(key, chunk_index)
             return np.asarray(key, np.uint32)
 
+    def _device_predict(self, chunk, key, mask):
+        with self._lock:
+            out = self.artifact.predict(*chunk, key=key, mask=mask)
+        self.metrics.add_device_call()
+        return out
+
     def predict(self, arrays, n: int, seed=None) -> dict:
         """Run ``n`` rows through the artifact, chunking/padding to its
         batch size. Returns numpy results trimmed to the real rows."""
@@ -118,16 +249,84 @@ class ArtifactService:
                          for c in chunk]
                 mask = np.zeros((step,), np.float32)
                 mask[:valid] = 1.0
-            with self._lock:
-                out = self.artifact.predict(
-                    *chunk, key=self._key_for(seed, ci), mask=mask)
+            out = self._device_predict(chunk, self._key_for(seed, ci), mask)
             outs.append({k: v[:valid] for k, v in out.items()
                          if k != "csv_cols"})
         return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
 
+    # -- dynamic micro-batching ----------------------------------------------
+
+    def _batch_loop(self):
+        """Collect coalescible requests for up to the window (or until the
+        program batch is full), run ONE device call, split results."""
+        b = int(self.artifact.batch_size)
+        carry = None
+        while True:
+            item = carry if carry is not None else self._queue.get()
+            carry = None
+            if item is None:
+                return
+            group, rows = [item], item.n
+            deadline = time.monotonic() + self.batch_window_s
+            while rows < b:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._queue.put(None)  # re-post for the outer loop
+                    break
+                if rows + nxt.n > b:  # doesn't fit: lead the next group
+                    carry = nxt
+                    break
+                group.append(nxt)
+                rows += nxt.n
+            try:
+                cat = [np.concatenate([p.arrays[mi] for p in group])
+                       for mi in range(len(_MODALITIES))]
+                mask = None
+                if rows < b:
+                    pad = b - rows
+                    cat = [np.concatenate([c, np.repeat(c[-1:], pad, 0)])
+                           for c in cat]
+                    mask = np.zeros((b,), np.float32)
+                    mask[:rows] = 1.0
+                out = self._device_predict(cat, None, mask)
+                out = {k: v for k, v in out.items() if k != "csv_cols"}
+                lo = 0
+                for p in group:
+                    p.result = {k: v[lo:lo + p.n] for k, v in out.items()}
+                    lo += p.n
+            except Exception as e:  # pragma: no cover - device failure
+                for p in group:
+                    p.error = e
+            finally:
+                if len(group) > 1:
+                    self.metrics.add_coalesced(len(group))
+                for p in group:
+                    p.event.set()
+
+    def _coalesced_predict(self, arrays, n: int) -> dict:
+        p = _Pending([arrays[m] for m, _ in _MODALITIES], n)
+        self._queue.put(p)
+        # generous: a device call is seconds at most; never park a client
+        if not p.event.wait(timeout=300):
+            raise RuntimeError("micro-batcher timed out")
+        if p.error is not None:
+            raise p.error
+        return p.result
+
     def handle_predict(self, body: bytes) -> dict:
         arrays, n, seed = self._parse_npz(body)
-        out = self.predict(arrays, n, seed)
+        if (self._batcher is not None and seed is None
+                and n < int(self.artifact.batch_size)):
+            out = self._coalesced_predict(arrays, n)
+        else:
+            out = self.predict(arrays, n, seed)
+        self.metrics.add_rows(n)
         meta = self.artifact.meta
         names = meta.get("class_names")
         resp = {
@@ -161,50 +360,79 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _send(self, code: int, payload: dict):
         raw = json.dumps(payload).encode()
+        self._send_raw(code, raw, "application/json")
+
+    def _send_raw(self, code: int, raw: bytes, ctype: str):
         self.send_response(code)
-        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(raw)))
         self.end_headers()
         self.wfile.write(raw)
+        self._status = code
 
     def do_GET(self):
         svc: ArtifactService = self.server.service
-        if self.path.split("?")[0] == "/healthz":
+        t0 = time.monotonic()
+        route = self.path.split("?")[0]
+        if route == "/healthz":
             self._send(200, svc.summary())
-        elif self.path.split("?")[0] == "/meta":
+        elif route == "/meta":
             self._send(200, svc.artifact.meta)
+        elif route == "/metrics":
+            self._send_raw(200, svc.metrics.render().encode(),
+                           "text/plain; version=0.0.4")
         else:
             self._send(404, {"error": f"unknown path {self.path!r}"})
+        svc.metrics.observe_request(route, self._status,
+                                    time.monotonic() - t0)
 
     def do_POST(self):
         svc: ArtifactService = self.server.service
-        if self.path.split("?")[0] != "/predict":
+        t0 = time.monotonic()
+        route = self.path.split("?")[0]
+        if route != "/predict":
             self._send(404, {"error": f"unknown path {self.path!r}"})
-            return
-        try:
-            length = int(self.headers.get("Content-Length", "0"))
-            body = self.rfile.read(length)
-            self._send(200, svc.handle_predict(body))
-        except ValueError as e:  # malformed request
-            self._send(400, {"error": str(e)})
-        except Exception as e:  # pragma: no cover - server-side failure
-            logger.error("predict request failed", exc_info=True)
-            self._send(500, {"error": repr(e)})
+        else:
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                self._send(200, svc.handle_predict(body))
+            except ValueError as e:  # malformed request
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # pragma: no cover - server-side failure
+                logger.error("predict request failed", exc_info=True)
+                self._send(500, {"error": repr(e)})
+        svc.metrics.observe_request(route, self._status,
+                                    time.monotonic() - t0)
 
     def log_message(self, fmt, *args):  # route through logging, not stderr
         logger.info("%s - %s", self.address_string(), fmt % args)
 
 
+class _Server(ThreadingHTTPServer):
+    service: ArtifactService
+
+    def server_close(self):
+        # stop the micro-batcher before closing the socket
+        if getattr(self, "service", None) is not None:
+            self.service.close()
+        super().server_close()
+
+
 def make_server(artifact_dir: str, host: str = "127.0.0.1",
-                port: int = 0) -> ThreadingHTTPServer:
+                port: int = 0, *,
+                batch_window_ms: float = 0.0) -> ThreadingHTTPServer:
     """Load the artifact and bind the HTTP server (port 0 = ephemeral —
     the bound port is ``server.server_address[1]``). The caller runs
-    ``serve_forever()`` (or a thread does; see ``main``)."""
+    ``serve_forever()`` (or a thread does; see ``main``).
+    ``batch_window_ms``: see ArtifactService — dynamic micro-batching of
+    concurrent seedless requests into full program batches."""
     from multimodal_auv_tpu.serving import load_predict_artifact
 
     artifact = load_predict_artifact(artifact_dir)
-    server = ThreadingHTTPServer((host, port), _Handler)
-    server.service = ArtifactService(artifact)
+    server = _Server((host, port), _Handler)
+    server.service = ArtifactService(artifact,
+                                     batch_window_ms=batch_window_ms)
     return server
 
 
@@ -218,6 +446,10 @@ def main(argv=None) -> int:
     p.add_argument("--warmup", action="store_true",
                    help="run one dummy batch before accepting requests "
                         "(first-request latency -> startup latency)")
+    p.add_argument("--batch_window_ms", type=float, default=0.0,
+                   help="dynamic micro-batching: hold concurrent seedless "
+                        "sub-batch requests up to this window and pack "
+                        "them into one device call (0 = off)")
     args = p.parse_args(argv)
 
     logging.basicConfig(
@@ -228,7 +460,8 @@ def main(argv=None) -> int:
     from multimodal_auv_tpu.utils.devices import enable_compilation_cache
 
     enable_compilation_cache()
-    server = make_server(args.artifact, args.host, args.port)
+    server = make_server(args.artifact, args.host, args.port,
+                         batch_window_ms=args.batch_window_ms)
     svc: ArtifactService = server.service
     if args.warmup:
         b = svc.artifact.batch_size

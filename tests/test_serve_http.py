@@ -196,3 +196,121 @@ def test_concurrent_requests(server_url):
         want = svc.predict(_arrays(B, seed=n), B, seed=n)
         np.testing.assert_allclose(results[n]["mean_prob"],
                                    want["mean_prob"], atol=1e-6)
+
+
+def test_metrics_endpoint(server_url):
+    """GET /metrics: Prometheus text exposition whose counters move with
+    traffic (requests by route/status, rows, device calls, latency
+    histogram sum==count consistency)."""
+    import re
+
+    url, _ = server_url
+
+    def scrape():
+        req = urllib.request.Request(url + "/metrics")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            return r.read().decode()
+
+    def value(text, name):
+        m = re.search(rf"^{re.escape(name)} (\S+)$", text, re.M)
+        return float(m.group(1)) if m else 0.0
+
+    before = scrape()
+    _post(url, _npz_bytes(seed=np.uint32(1), **_arrays(B, seed=1)))
+    with pytest.raises(urllib.error.HTTPError):
+        _post(url, b"garbage")
+    after = scrape()
+
+    ok = 'auv_requests_total{route="/predict",status="200"}'
+    bad = 'auv_requests_total{route="/predict",status="400"}'
+    assert value(after, ok) == value(before, ok) + 1
+    assert value(after, bad) == value(before, bad) + 1
+    assert value(after, "auv_rows_total") == value(before, "auv_rows_total") + B
+    assert (value(after, "auv_device_calls_total")
+            == value(before, "auv_device_calls_total") + 1)
+    assert (value(after, "auv_request_duration_seconds_count")
+            > value(before, "auv_request_duration_seconds_count"))
+    # histogram +Inf bucket equals the count
+    inf = re.search(r'_bucket\{le="\+Inf"\} (\d+)', after).group(1)
+    assert float(inf) == value(after, "auv_request_duration_seconds_count")
+
+
+class TestMicroBatching:
+    @pytest.fixture(scope="class")
+    def batched_server(self, tmp_path_factory):
+        bundle = make_multimodal_bundle(len(CLASSES), BNNPriorSpec(),
+                                        jax.random.PRNGKey(1), ARCH)
+        d = str(tmp_path_factory.mktemp("artifact_mb"))
+        export_predict_artifact(bundle, d, batch_size=B, num_mc_samples=MC,
+                                image_size=S, class_names=CLASSES)
+        server = make_server(d, "127.0.0.1", 0, batch_window_ms=300.0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        host, port = server.server_address[:2]
+        # warm the program so the coalescing window isn't eaten by compile
+        _post(f"http://{host}:{port}",
+              _npz_bytes(seed=np.uint32(0), **_arrays(B)))
+        yield f"http://{host}:{port}", server.service
+        server.shutdown()
+        server.server_close()
+        thread.join(timeout=10)
+
+    def test_concurrent_small_requests_share_one_device_call(
+            self, batched_server):
+        """B concurrent 1-row seedless requests within the window must be
+        packed into ONE program execution, and each client still gets its
+        own correct row count back."""
+        url, svc = batched_server
+        calls_before = svc.metrics.device_calls_total
+        results = {}
+
+        def hit(i):
+            results[i] = _post(url, _npz_bytes(**_arrays(1, seed=100 + i)))[1]
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(B)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+
+        assert len(results) == B
+        for i, out in results.items():
+            assert out["n"] == 1 and len(out["predicted"]) == 1
+            assert len(out["mean_prob"][0]) == len(CLASSES)
+        calls = svc.metrics.device_calls_total - calls_before
+        assert calls < B, f"no coalescing happened ({calls} device calls)"
+        assert svc.metrics.coalesced_requests_total >= 2
+
+    def test_seeded_requests_bypass_batcher_and_stay_reproducible(
+            self, batched_server):
+        """A seeded request must not be co-batched: its draws are a pure
+        function of (seed, chunk) regardless of concurrent traffic."""
+        url, svc = batched_server
+        arrays = _arrays(2, seed=42)
+        body = _npz_bytes(seed=np.uint32(5), **arrays)
+        _, a = _post(url, body)
+
+        # same request under heavy seedless concurrency
+        noise = [threading.Thread(
+            target=lambda j=j: _post(url, _npz_bytes(**_arrays(1, seed=j))))
+            for j in range(3)]
+        for t in noise:
+            t.start()
+        _, b_out = _post(url, body)
+        for t in noise:
+            t.join(timeout=120)
+        assert a["mean_prob"] == b_out["mean_prob"]
+
+        # and it matches the direct (unbatched) service path
+        want = svc.predict(arrays, 2, seed=5)
+        np.testing.assert_allclose(a["mean_prob"], want["mean_prob"],
+                                   atol=1e-6)
+
+    def test_full_batch_requests_skip_coalescing(self, batched_server):
+        """n == B requests go straight through (nothing to coalesce)."""
+        url, svc = batched_server
+        coalesced_before = svc.metrics.coalesced_requests_total
+        _, out = _post(url, _npz_bytes(**_arrays(B, seed=7)))
+        assert out["n"] == B
+        assert svc.metrics.coalesced_requests_total == coalesced_before
