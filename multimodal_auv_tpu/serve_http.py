@@ -474,6 +474,18 @@ def main(argv=None) -> int:
     logger.info("serving %s on http://%s:%d (mode=%s, batch=%s)",
                 args.artifact, host, port, svc.artifact.mode,
                 svc.artifact.batch_size)
+
+    # graceful drain on platform preemption (same story as training's
+    # engine/preemption.py): finish in-flight requests, stop the
+    # micro-batcher, close the socket. shutdown() must come from another
+    # thread — calling it from the handler would deadlock serve_forever.
+    import signal
+
+    def _term(signum, frame):
+        logger.info("SIGTERM: draining and shutting down")
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
