@@ -265,7 +265,16 @@ class ArtifactService:
             item = carry if carry is not None else self._queue.get()
             carry = None
             if item is None:
-                return
+                # shutdown: fail any stragglers instead of leaving their
+                # client threads parked on the wait timeout
+                while True:
+                    try:
+                        p = self._queue.get_nowait()
+                    except queue.Empty:
+                        return
+                    if p is not None:
+                        p.error = RuntimeError("server shutting down")
+                        p.event.set()
             group, rows = [item], item.n
             deadline = time.monotonic() + self.batch_window_s
             while rows < b:
@@ -357,6 +366,7 @@ class ArtifactService:
 class _Handler(BaseHTTPRequestHandler):
     # the service is attached to the server object by make_server()
     protocol_version = "HTTP/1.1"
+    _status = 500  # overwritten by _send_raw; default covers a dead pipe
 
     def _send(self, code: int, payload: dict):
         raw = json.dumps(payload).encode()

@@ -220,10 +220,17 @@ def test_metrics_endpoint(server_url):
     _post(url, _npz_bytes(seed=np.uint32(1), **_arrays(B, seed=1)))
     with pytest.raises(urllib.error.HTTPError):
         _post(url, b"garbage")
-    after = scrape()
+    # counters are recorded after the response is flushed — poll briefly
+    import time as _t
 
     ok = 'auv_requests_total{route="/predict",status="200"}'
     bad = 'auv_requests_total{route="/predict",status="400"}'
+    deadline = _t.monotonic() + 10
+    after = scrape()
+    while (value(after, bad) != value(before, bad) + 1
+           and _t.monotonic() < deadline):
+        _t.sleep(0.05)
+        after = scrape()
     assert value(after, ok) == value(before, ok) + 1
     assert value(after, bad) == value(before, bad) + 1
     assert value(after, "auv_rows_total") == value(before, "auv_rows_total") + B
@@ -314,3 +321,45 @@ class TestMicroBatching:
         _, out = _post(url, _npz_bytes(**_arrays(B, seed=7)))
         assert out["n"] == B
         assert svc.metrics.coalesced_requests_total == coalesced_before
+
+
+def test_batcher_shutdown_fails_stragglers():
+    """A request enqueued behind the shutdown sentinel must be failed
+    immediately (error set, event set) — not left parked on the client's
+    wait timeout."""
+    import multimodal_auv_tpu.serve_http as sh
+
+    release = threading.Event()
+
+    class BlockingArtifact:
+        batch_size, image_size, mode, meta = 2, S, "mc", {}
+
+        def predict(self, *chunk, key=None, mask=None):
+            release.wait(timeout=30)
+            n = chunk[0].shape[0]
+            return {"predicted": np.zeros(n, np.int32),
+                    "predictive_uncertainty": np.zeros(n, np.float32),
+                    "aleatoric_uncertainty": np.zeros(n, np.float32),
+                    "mean_prob": np.full((n, 3), 1 / 3, np.float32)}
+
+    svc = sh.ArtifactService(BlockingArtifact(), batch_window_ms=1.0)
+    a1 = [np.zeros((1, S, S, c), np.uint8) for _, c in
+          (("main", 3), ("bathy", 3), ("sss", 1))]
+    p1 = sh._Pending(a1, 1)  # occupies the batcher (predict blocks)
+    p2 = sh._Pending(a1, 1)  # straggler arriving during shutdown
+    svc._queue.put(p1)
+    # wait until the batcher is inside predict for p1's group
+    import time as _t
+
+    deadline = _t.monotonic() + 10
+    while svc.metrics.device_calls_total == 0 and not release.is_set() \
+            and _t.monotonic() < deadline and svc._queue.qsize() > 0:
+        _t.sleep(0.005)
+    svc._queue.put(None)  # shutdown sentinel
+    svc._queue.put(p2)    # behind the sentinel
+    release.set()
+    assert p2.event.wait(timeout=10), "straggler never released"
+    assert isinstance(p2.error, RuntimeError)
+    assert p1.event.wait(timeout=10) and p1.error is None
+    svc._batcher.join(timeout=10)
+    assert not svc._batcher.is_alive()
