@@ -576,6 +576,75 @@ def measure_artifact_tpu(batch: int, num_mc: int, iters: int,
     return n / dt, art.mode
 
 
+def measure_http_tpu(batch: int, num_mc: int, iters: int,
+                     clients: int = 4):
+    """Throughput through the full HTTP host (serve_http.py): export an
+    AOT artifact, bind a loopback server, pump full-batch npz requests
+    from ``clients`` concurrent threads. On top of the artifact path this
+    measures npz decode, JSON encode, and HTTP framing — the number a
+    deployment actually sees at the wire."""
+    import io
+    import json as _json
+    import tempfile
+    import threading
+    import urllib.request
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    import numpy as np
+
+    from multimodal_auv_tpu.config import BNNPriorSpec
+    from multimodal_auv_tpu.models.model_utils import ArchConfig, make_multimodal_bundle
+    from multimodal_auv_tpu.serve_http import make_server
+    from multimodal_auv_tpu.serving import export_predict_artifact
+
+    bundle = make_multimodal_bundle(7, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                    ArchConfig())
+    d = tempfile.mkdtemp(prefix="auv_http_artifact_")
+    export_predict_artifact(bundle, d, batch_size=batch,
+                            num_mc_samples=num_mc)
+    server = make_server(d, "127.0.0.1", 0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    host, port = server.server_address[:2]
+    url = f"http://{host}:{port}/predict"
+
+    s_img = server.service.artifact.image_size
+    rng = np.random.default_rng(0)
+    buf = io.BytesIO()
+    np.savez(buf,
+             main=rng.integers(0, 255, (batch, s_img, s_img, 3), np.uint8),
+             bathy=rng.integers(0, 255, (batch, s_img, s_img, 3), np.uint8),
+             sss=rng.integers(0, 255, (batch, s_img, s_img, 1), np.uint8))
+    body = buf.getvalue()
+
+    def post():
+        with urllib.request.urlopen(url, data=body, timeout=600) as r:
+            return _json.loads(r.read())
+
+    post()  # compile + warmup
+    post()
+    t0 = time.perf_counter()
+
+    def worker(k):
+        for _ in range(iters):
+            out = post()
+            assert out["n"] == batch
+
+    ts = [threading.Thread(target=worker, args=(k,)) for k in range(clients)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    dt = time.perf_counter() - t0
+    server.shutdown()
+    server.server_close()
+    print(f"# http: {clients} clients x {iters} reqs x b{batch}, "
+          f"{len(body)/1e6:.1f} MB/request", file=sys.stderr)
+    return clients * iters * batch / dt
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=4)
@@ -607,10 +676,26 @@ def main():
                    help="grouped-conv trunk fusion (models/fused.py)")
     p.add_argument("--antithetic", action="store_true",
                    help="pair MC draws antithetically (variance reduction)")
+    p.add_argument("--serve-http", action="store_true",
+                   help="throughput through the HTTP host (serve_http.py) "
+                        "over loopback: artifact + npz/JSON/HTTP overhead")
+    p.add_argument("--http-clients", type=int, default=4)
     p.add_argument("--artifact", action="store_true",
                    help="serve through an exported AOT artifact "
                         "(serving.py) instead of the in-process step")
     args = p.parse_args()
+
+    if args.serve_http:
+        value = measure_http_tpu(args.batch, args.num_mc,
+                                 max(args.iters, 10),
+                                 clients=args.http_clients)
+        print(json.dumps({
+            "metric": "multimodal_bnn_http_serving_patches_per_sec",
+            "value": round(value, 3),
+            "unit": "patches/sec/chip",
+            "vs_baseline": None,
+        }))
+        return
 
     if args.artifact:
         value, exported_mode = measure_artifact_tpu(
