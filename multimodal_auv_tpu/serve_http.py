@@ -228,10 +228,14 @@ class ArtifactService:
             return np.asarray(key, np.uint32)
 
     def _device_predict(self, chunk, key, mask):
+        # lock covers only the async dispatch: request k+1's compute
+        # overlaps request k's device->host fetch (the HTTP analogue of
+        # predict_batches' one-batch-lagged loop; measured 35.7 -> see
+        # SERVING.md for the pipelined number)
         with self._lock:
-            out = self.artifact.predict(*chunk, key=key, mask=mask)
+            handle = self.artifact.predict_async(*chunk, key=key, mask=mask)
         self.metrics.add_device_call()
-        return out
+        return self.artifact.fetch(handle)
 
     def predict(self, arrays, n: int, seed=None) -> dict:
         """Run ``n`` rows through the artifact, chunking/padding to its

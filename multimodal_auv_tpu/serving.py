@@ -334,6 +334,21 @@ class ServingArtifact:
         return self._unpack(self._dispatch(main_u8, bathy_u8, sss_u8,
                                            key, mask))
 
+    def predict_async(self, main_u8, bathy_u8, sss_u8, *, key=None,
+                      mask=None):
+        """Dispatch one batch WITHOUT blocking on the result: returns an
+        opaque handle of device arrays; pass it to ``fetch``. Lets a
+        multi-threaded host (serve_http.py) hold its device-serialization
+        lock only for the enqueue, so request k+1's compute overlaps
+        request k's device->host copy — the same pipelining
+        ``predict_batches`` does for a single stream."""
+        return self._dispatch(main_u8, bathy_u8, sss_u8, key, mask)
+
+    def fetch(self, handle):
+        """Block on a ``predict_async`` handle; one fused device->host
+        transfer, same dict as ``predict``."""
+        return self._unpack(handle)
+
     def predict_batches(self, batches, *, key=None):
         """Serve a stream: iterate ``(main_u8, bathy_u8, sss_u8)`` or
         ``(main_u8, bathy_u8, sss_u8, mask)`` tuples, yielding one output

@@ -334,9 +334,11 @@ def test_batcher_shutdown_fails_stragglers():
     class BlockingArtifact:
         batch_size, image_size, mode, meta = 2, S, "mc", {}
 
-        def predict(self, *chunk, key=None, mask=None):
+        def predict_async(self, *chunk, key=None, mask=None):
             release.wait(timeout=30)
-            n = chunk[0].shape[0]
+            return chunk[0].shape[0]
+
+        def fetch(self, n):
             return {"predicted": np.zeros(n, np.int32),
                     "predictive_uncertainty": np.zeros(n, np.float32),
                     "aleatoric_uncertainty": np.zeros(n, np.float32),
