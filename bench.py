@@ -577,7 +577,8 @@ def measure_artifact_tpu(batch: int, num_mc: int, iters: int,
 
 
 def measure_http_tpu(batch: int, num_mc: int, iters: int,
-                     clients: int = 4):
+                     clients: int = 4, rows: int = 0,
+                     window_ms: float = 0.0):
     """Throughput through the full HTTP host (serve_http.py): export an
     AOT artifact, bind a loopback server, pump full-batch npz requests
     from ``clients`` concurrent threads. On top of the artifact path this
@@ -605,18 +606,19 @@ def measure_http_tpu(batch: int, num_mc: int, iters: int,
     d = tempfile.mkdtemp(prefix="auv_http_artifact_")
     export_predict_artifact(bundle, d, batch_size=batch,
                             num_mc_samples=num_mc)
-    server = make_server(d, "127.0.0.1", 0)
+    server = make_server(d, "127.0.0.1", 0, batch_window_ms=window_ms)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     host, port = server.server_address[:2]
     url = f"http://{host}:{port}/predict"
 
     s_img = server.service.artifact.image_size
     rng = np.random.default_rng(0)
+    req_rows = rows or batch  # rows < batch exercises the micro-batcher
     buf = io.BytesIO()
     np.savez(buf,
-             main=rng.integers(0, 255, (batch, s_img, s_img, 3), np.uint8),
-             bathy=rng.integers(0, 255, (batch, s_img, s_img, 3), np.uint8),
-             sss=rng.integers(0, 255, (batch, s_img, s_img, 1), np.uint8))
+             main=rng.integers(0, 255, (req_rows, s_img, s_img, 3), np.uint8),
+             bathy=rng.integers(0, 255, (req_rows, s_img, s_img, 3), np.uint8),
+             sss=rng.integers(0, 255, (req_rows, s_img, s_img, 1), np.uint8))
     body = buf.getvalue()
 
     def post():
@@ -630,7 +632,7 @@ def measure_http_tpu(batch: int, num_mc: int, iters: int,
     def worker(k):
         for _ in range(iters):
             out = post()
-            assert out["n"] == batch
+            assert out["n"] == req_rows
 
     ts = [threading.Thread(target=worker, args=(k,)) for k in range(clients)]
     for t in ts:
@@ -638,11 +640,15 @@ def measure_http_tpu(batch: int, num_mc: int, iters: int,
     for t in ts:
         t.join()
     dt = time.perf_counter() - t0
+    m = server.service.metrics
+    print(f"# http: {clients} clients x {iters} reqs x {req_rows} rows "
+          f"(program b{batch}, window {window_ms} ms), "
+          f"{len(body)/1e6:.1f} MB/request; device calls "
+          f"{m.device_calls_total}, coalesced reqs "
+          f"{m.coalesced_requests_total}", file=sys.stderr)
     server.shutdown()
     server.server_close()
-    print(f"# http: {clients} clients x {iters} reqs x b{batch}, "
-          f"{len(body)/1e6:.1f} MB/request", file=sys.stderr)
-    return clients * iters * batch / dt
+    return clients * iters * req_rows / dt
 
 
 def main():
@@ -680,6 +686,11 @@ def main():
                    help="throughput through the HTTP host (serve_http.py) "
                         "over loopback: artifact + npz/JSON/HTTP overhead")
     p.add_argument("--http-clients", type=int, default=4)
+    p.add_argument("--http-rows", type=int, default=0,
+                   help="rows per HTTP request (default: the program "
+                        "batch); < batch exercises the micro-batcher")
+    p.add_argument("--batch-window-ms", type=float, default=0.0,
+                   help="serve-http: dynamic micro-batching window")
     p.add_argument("--artifact", action="store_true",
                    help="serve through an exported AOT artifact "
                         "(serving.py) instead of the in-process step")
@@ -688,7 +699,9 @@ def main():
     if args.serve_http:
         value = measure_http_tpu(args.batch, args.num_mc,
                                  max(args.iters, 10),
-                                 clients=args.http_clients)
+                                 clients=args.http_clients,
+                                 rows=args.http_rows,
+                                 window_ms=args.batch_window_ms)
         print(json.dumps({
             "metric": "multimodal_bnn_http_serving_patches_per_sec",
             "value": round(value, 3),

@@ -260,15 +260,54 @@ class ArtifactService:
 
     # -- dynamic micro-batching ----------------------------------------------
 
+    def _finish_group(self, inflight):
+        """Fetch a dispatched group's results and release its clients."""
+        if inflight is None:
+            return
+        group, handle, err = inflight
+        try:
+            if err is None:
+                out = self.artifact.fetch(handle)
+                out = {k: v for k, v in out.items() if k != "csv_cols"}
+                lo = 0
+                for p in group:
+                    p.result = {k: v[lo:lo + p.n] for k, v in out.items()}
+                    lo += p.n
+            else:
+                raise err
+        except Exception as e:  # pragma: no cover - device failure
+            for p in group:
+                p.error = e
+        finally:
+            if len(group) > 1:
+                self.metrics.add_coalesced(len(group))
+            for p in group:
+                p.event.set()
+
     def _batch_loop(self):
         """Collect coalescible requests for up to the window (or until the
-        program batch is full), run ONE device call, split results."""
+        program batch is full), dispatch ONE device call per group, split
+        results. One group's fetch is LAGGED behind the next group's
+        dispatch (the serving-loop rule): under sustained load the
+        device→host copy of group k overlaps group k+1's compute."""
         b = int(self.artifact.batch_size)
         carry = None
+        inflight = None  # (group, dispatch handle, dispatch error)
         while True:
-            item = carry if carry is not None else self._queue.get()
-            carry = None
+            if carry is not None:
+                item, carry = carry, None
+            elif inflight is not None:
+                # a group is on the device: poll briefly, then drain it
+                try:
+                    item = self._queue.get(timeout=0.001)
+                except queue.Empty:
+                    self._finish_group(inflight)
+                    inflight = None
+                    continue
+            else:
+                item = self._queue.get()
             if item is None:
+                self._finish_group(inflight)
                 # shutdown: fail any stragglers instead of leaving their
                 # client threads parked on the wait timeout
                 while True:
@@ -297,6 +336,7 @@ class ArtifactService:
                     break
                 group.append(nxt)
                 rows += nxt.n
+            handle, err = None, None
             try:
                 cat = [np.concatenate([p.arrays[mi] for p in group])
                        for mi in range(len(_MODALITIES))]
@@ -307,20 +347,14 @@ class ArtifactService:
                            for c in cat]
                     mask = np.zeros((b,), np.float32)
                     mask[:rows] = 1.0
-                out = self._device_predict(cat, None, mask)
-                out = {k: v for k, v in out.items() if k != "csv_cols"}
-                lo = 0
-                for p in group:
-                    p.result = {k: v[lo:lo + p.n] for k, v in out.items()}
-                    lo += p.n
-            except Exception as e:  # pragma: no cover - device failure
-                for p in group:
-                    p.error = e
-            finally:
-                if len(group) > 1:
-                    self.metrics.add_coalesced(len(group))
-                for p in group:
-                    p.event.set()
+                with self._lock:
+                    handle = self.artifact.predict_async(*cat, key=None,
+                                                         mask=mask)
+                self.metrics.add_device_call()
+            except Exception as e:  # pragma: no cover - dispatch failure
+                err = e
+            self._finish_group(inflight)  # lagged: after the new dispatch
+            inflight = (group, handle, err)
 
     def _coalesced_predict(self, arrays, n: int) -> dict:
         p = _Pending([arrays[m] for m, _ in _MODALITIES], n)

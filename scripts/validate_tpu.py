@@ -225,6 +225,36 @@ def main():
         "DVP artifact == in-process DVP step (on-chip)",
         art_dvp.mode == "dvp" and e_dvp == 0.0, f"maxerr={e_dvp:.2e}"))
 
+    # HTTP host over the real chip: a seeded loopback POST (serve_http +
+    # serve_client) must be bit-identical to artifact.predict with the
+    # same key — pins the network path end-to-end on hardware
+    import threading
+
+    from multimodal_auv_tpu.serve_client import ServeClient
+    from multimodal_auv_tpu.serve_http import make_server
+
+    server = make_server(d, "127.0.0.1", 0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        host, port = server.server_address[:2]
+        c = ServeClient(f"http://{host}:{port}")
+        got_http = c.predict(*u8, seed=123)
+        with jax.default_device(jax.devices("cpu")[0]):
+            k123 = np.asarray(jax.random.PRNGKey(123), np.uint32)
+        ref_http = art.predict(*u8, key=k123)
+        e_http = max(
+            np.abs(got_http["predicted"]
+                   - np.asarray(ref_http["predicted"])).max(),
+            np.abs(got_http["mean_prob"]
+                   - np.round(np.asarray(ref_http["mean_prob"], np.float64),
+                              6)).max())
+        results.append(check("HTTP host == artifact.predict (on-chip)",
+                             e_http == 0.0 and c.healthz()["status"] == "ok",
+                             f"maxerr={e_http:.2e}"))
+    finally:
+        server.shutdown()
+        server.server_close()
+
     print(f"\n{sum(results)}/{len(results)} checks passed")
     return 0 if all(results) else 1
 

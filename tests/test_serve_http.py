@@ -365,3 +365,38 @@ def test_batcher_shutdown_fails_stragglers():
     assert p1.event.wait(timeout=10) and p1.error is None
     svc._batcher.join(timeout=10)
     assert not svc._batcher.is_alive()
+
+
+def test_serve_client(server_url):
+    """ServeClient (serve_client.py): the reference protocol client must
+    round-trip predictions identically to raw posts, surface server errors
+    as ServeError, and emit reference-schema CSV rows."""
+    from multimodal_auv_tpu.serve_client import (CSV_COLUMNS, ServeClient,
+                                                 ServeError)
+
+    url, d = server_url
+    c = ServeClient(url)
+    assert c.healthz()["status"] == "ok"
+    assert c.meta()["class_names"] == CLASSES
+    assert "auv_requests_total" in c.metrics_text()
+
+    arrays = _arrays(3, seed=21)
+    out = c.predict(arrays["main"], arrays["bathy"], arrays["sss"], seed=13)
+    svc = ArtifactService(load_predict_artifact(d))
+    want = svc.predict(arrays, 3, seed=13)
+    np.testing.assert_array_equal(out["predicted"], want["predicted"])
+    np.testing.assert_allclose(out["mean_prob"], want["mean_prob"],
+                               atol=1e-6)
+
+    rows = list(c.predict_rows(["a.jpg", "b.jpg", "c.jpg"],
+                               arrays["main"], arrays["bathy"],
+                               arrays["sss"], seed=13))
+    assert [tuple(r.keys()) for r in rows] == [CSV_COLUMNS] * 3
+    assert [r["Predicted Class"] for r in rows] == out["predicted"].tolist()
+
+    with pytest.raises(ValueError, match="uint8"):
+        c.predict(arrays["main"].astype(np.float32), arrays["bathy"],
+                  arrays["sss"])
+    with pytest.raises(ServeError) as ei:
+        c.predict(arrays["main"][:2], arrays["bathy"], arrays["sss"])
+    assert ei.value.status == 400 and "row counts" in ei.value.detail
