@@ -443,6 +443,16 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if length > self.server.max_body_bytes:
+                    # bound memory: a buggy/hostile client must not be able
+                    # to make the host buffer an arbitrary body
+                    self._send(413, {
+                        "error": f"body {length} bytes exceeds limit "
+                                 f"{self.server.max_body_bytes} (raise "
+                                 f"--max_body_mb if intentional)"})
+                    svc.metrics.observe_request(route, self._status,
+                                                time.monotonic() - t0)
+                    return
                 body = self.rfile.read(length)
                 self._send(200, svc.handle_predict(body))
             except ValueError as e:  # malformed request
@@ -459,6 +469,7 @@ class _Handler(BaseHTTPRequestHandler):
 
 class _Server(ThreadingHTTPServer):
     service: ArtifactService
+    max_body_bytes: int = 256 * 1024 * 1024
 
     def server_close(self):
         # stop the micro-batcher before closing the socket
@@ -469,7 +480,8 @@ class _Server(ThreadingHTTPServer):
 
 def make_server(artifact_dir: str, host: str = "127.0.0.1",
                 port: int = 0, *,
-                batch_window_ms: float = 0.0) -> ThreadingHTTPServer:
+                batch_window_ms: float = 0.0,
+                max_body_mb: float = 256.0) -> ThreadingHTTPServer:
     """Load the artifact and bind the HTTP server (port 0 = ephemeral —
     the bound port is ``server.server_address[1]``). The caller runs
     ``serve_forever()`` (or a thread does; see ``main``).
@@ -479,6 +491,7 @@ def make_server(artifact_dir: str, host: str = "127.0.0.1",
 
     artifact = load_predict_artifact(artifact_dir)
     server = _Server((host, port), _Handler)
+    server.max_body_bytes = int(max_body_mb * 1024 * 1024)
     server.service = ArtifactService(artifact,
                                      batch_window_ms=batch_window_ms)
     return server
@@ -494,6 +507,8 @@ def main(argv=None) -> int:
     p.add_argument("--warmup", action="store_true",
                    help="run one dummy batch before accepting requests "
                         "(first-request latency -> startup latency)")
+    p.add_argument("--max_body_mb", type=float, default=256.0,
+                   help="reject request bodies larger than this (413)")
     p.add_argument("--batch_window_ms", type=float, default=0.0,
                    help="dynamic micro-batching: hold concurrent seedless "
                         "sub-batch requests up to this window and pack "
@@ -509,7 +524,8 @@ def main(argv=None) -> int:
 
     enable_compilation_cache()
     server = make_server(args.artifact, args.host, args.port,
-                         batch_window_ms=args.batch_window_ms)
+                         batch_window_ms=args.batch_window_ms,
+                         max_body_mb=args.max_body_mb)
     svc: ArtifactService = server.service
     if args.warmup:
         b = svc.artifact.batch_size

@@ -400,3 +400,26 @@ def test_serve_client(server_url):
     with pytest.raises(ServeError) as ei:
         c.predict(arrays["main"][:2], arrays["bathy"], arrays["sss"])
     assert ei.value.status == 400 and "row counts" in ei.value.detail
+
+
+def test_oversized_body_rejected_with_413(tmp_path_factory, server_url):
+    """A Content-Length beyond the server limit must be refused BEFORE
+    buffering (413), bounding host memory against buggy/hostile clients."""
+    url, d = server_url
+    small = make_server(d, "127.0.0.1", 0, max_body_mb=0.001)  # ~1 KB
+    t = threading.Thread(target=small.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = small.server_address[:2]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"http://{host}:{port}", b"x" * 4096)
+        assert ei.value.code == 413
+        assert "exceeds limit" in json.loads(ei.value.read())["error"]
+        # under the limit still parses (400: not an npz, but it was READ)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"http://{host}:{port}", b"x" * 100)
+        assert ei.value.code == 400
+    finally:
+        small.shutdown()
+        small.server_close()
+        t.join(timeout=10)
