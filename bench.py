@@ -628,11 +628,15 @@ def measure_http_tpu(batch: int, num_mc: int, iters: int,
     post()  # compile + warmup
     post()
     t0 = time.perf_counter()
+    errors = []
 
     def worker(k):
-        for _ in range(iters):
-            out = post()
-            assert out["n"] == req_rows
+        try:
+            for _ in range(iters):
+                out = post()
+                assert out["n"] == req_rows, out
+        except Exception as e:  # a lost request would silently inflate p/s
+            errors.append(e)
 
     ts = [threading.Thread(target=worker, args=(k,)) for k in range(clients)]
     for t in ts:
@@ -640,6 +644,9 @@ def measure_http_tpu(batch: int, num_mc: int, iters: int,
     for t in ts:
         t.join()
     dt = time.perf_counter() - t0
+    if errors:
+        raise RuntimeError(f"{len(errors)}/{clients} HTTP bench workers "
+                           f"failed; throughput would be wrong: {errors[0]}")
     m = server.service.metrics
     print(f"# http: {clients} clients x {iters} reqs x {req_rows} rows "
           f"(program b{batch}, window {window_ms} ms), "

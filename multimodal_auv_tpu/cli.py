@@ -148,9 +148,13 @@ def retraining_cli(argv=None):
     from multimodal_auv_tpu.utils.devices import enable_compilation_cache
 
     enable_compilation_cache()  # cold-start amortization (utils/devices.py)
+    from multimodal_auv_tpu.engine.preemption import (PREEMPTED_EXIT_CODE,
+                                                      PreemptionGuard)
     from multimodal_auv_tpu.pipelines import run_auv_retraining
 
-    ok = run_auv_retraining(
+    guard = PreemptionGuard()
+    with guard:
+        ok = run_auv_retraining(
         root_dir=args.data_dir,
         num_classes=args.num_classes,
         lr_multimodal=args.learning_rate_multimodal,
@@ -167,10 +171,15 @@ def retraining_cli(argv=None):
         use_packed_loader=args.packed_loader,
         strict_errors=args.strict_errors,
         async_checkpoints=args.async_checkpoints,
-        resume_checkpoint=args.resume_checkpoint,
-        arch=_arch(args),
-        mc_chunk=args.mc_chunk,
-    )
+            resume_checkpoint=args.resume_checkpoint,
+            arch=_arch(args),
+            mc_chunk=args.mc_chunk,
+            preemption_guard=guard,
+        )
+    if guard.triggered:
+        # EX_TEMPFAIL: schedulers re-run the job; resume picks up the
+        # checkpoint (docs/TRAINING.md)
+        return PREEMPTED_EXIT_CODE
     return 0 if ok else 1
 
 
@@ -215,9 +224,13 @@ def training_from_scratch_cli(argv=None):
 
     enable_compilation_cache()  # cold-start amortization (utils/devices.py)
     from multimodal_auv_tpu.config import BNNPriorSpec
+    from multimodal_auv_tpu.engine.preemption import (PREEMPTED_EXIT_CODE,
+                                                      PreemptionGuard)
     from multimodal_auv_tpu.pipelines import run_AUV_training_from_scratch
 
-    ok = run_AUV_training_from_scratch(
+    guard = PreemptionGuard()
+    with guard:
+        ok = run_AUV_training_from_scratch(
         const_bnn_prior_parameters=BNNPriorSpec().to_dict(),
         lr_multimodal_model=args.lr_multimodal,
         num_epochs_multimodal=args.epochs_multimodal,
@@ -232,10 +245,13 @@ def training_from_scratch_cli(argv=None):
         pretrained_trunks=args.pretrained_trunks,
         bf16_weights=args.bf16_weights,
         use_packed_loader=args.packed_loader,
-        strict_errors=args.strict_errors,
-        async_checkpoints=args.async_checkpoints,
-        resume_checkpoint=args.resume_checkpoint,
-    )
+            strict_errors=args.strict_errors,
+            async_checkpoints=args.async_checkpoints,
+            resume_checkpoint=args.resume_checkpoint,
+            preemption_guard=guard,
+        )
+    if guard.triggered:
+        return PREEMPTED_EXIT_CODE
     return 0 if ok else 1
 
 

@@ -63,6 +63,7 @@ def _train_multimodal_common(
     strict_errors: bool = False,
     async_checkpoints: bool = False,
     handle_preemption: bool = True,
+    preemption_guard=None,
 ):
     log_dir = setup_pipeline_logging()
     sum_writer = SummaryWriter(os.path.join("tensorboard_logs",
@@ -118,9 +119,13 @@ def _train_multimodal_common(
     # preemptible-fleet realism (engine/preemption.py): SIGTERM stops at
     # the next batch boundary, drains async saves, and leaves the resume
     # checkpoint at the last completed epoch
-    from multimodal_auv_tpu.engine.preemption import maybe_guard
+    from multimodal_auv_tpu.engine.preemption import maybe_guard, null_guard
 
-    with maybe_guard(handle_preemption) as guard:
+    # an externally-entered guard (e.g. the CLI's, which turns it into
+    # exit code 75) takes precedence over installing our own
+    own = null_guard() if preemption_guard is not None else None
+    with (own if own is not None else maybe_guard(handle_preemption)) as g:
+        guard = preemption_guard if preemption_guard is not None else g
         state = train_and_evaluate_multimodal_model(
             train_loader, test_loader, num_epochs, train_step, eval_step,
             state, scheduler, os.path.join(root_dir, "csvs"), sum_writer,
@@ -171,6 +176,7 @@ def run_AUV_training_from_scratch(
     strict_errors: bool = False,
     async_checkpoints: bool = False,
     handle_preemption: bool = True,
+    preemption_guard=None,
 ) -> bool:
     """Signature parity with functions.py:361-374 (``devices`` accepted for
     API compatibility; placement is mesh-driven on TPU).
@@ -218,6 +224,7 @@ def run_AUV_training_from_scratch(
             strict_errors=strict_errors,
             async_checkpoints=async_checkpoints,
             handle_preemption=handle_preemption,
+            preemption_guard=preemption_guard,
             image_size=arch.image_size,
         )
         logger.info("Full training pipeline finished.")
@@ -254,6 +261,7 @@ def run_auv_retraining(
     strict_errors: bool = False,
     async_checkpoints: bool = False,
     handle_preemption: bool = True,
+    preemption_guard=None,
 ) -> bool:
     """Foundation-model retraining (functions.py:84-258): pretrained HF
     weights, fc2 head swapped when num_classes != 7, then multimodal
@@ -300,6 +308,7 @@ def run_auv_retraining(
             strict_errors=strict_errors,
             async_checkpoints=async_checkpoints,
             handle_preemption=handle_preemption,
+            preemption_guard=preemption_guard,
             image_size=arch.image_size,
         )
         return True

@@ -135,6 +135,7 @@ def run_unimodal_training(
     skip_epoch_zero: bool = True,
     resume_checkpoint: Optional[str] = None,
     handle_preemption: bool = True,
+    preemption_guard=None,
 ) -> BayesTrainState:
     """Train + evaluate one unimodal BNN (metrics CSVs + confusion
     matrices), the configs[1] workload. ``resume_checkpoint`` enables the
@@ -161,9 +162,11 @@ def run_unimodal_training(
                            mc_chunk=mc_chunk)
     csv_dir = csv_dir or os.path.join(root_dir, "csvs")
     sw = SummaryWriter(os.path.join(csv_dir, "tb"))
-    from multimodal_auv_tpu.engine.preemption import maybe_guard
+    from multimodal_auv_tpu.engine.preemption import maybe_guard, null_guard
 
-    with maybe_guard(handle_preemption) as guard:
+    own = null_guard() if preemption_guard is not None else None
+    with (own if own is not None else maybe_guard(handle_preemption)) as g:
+        guard = preemption_guard if preemption_guard is not None else g
         state = train_and_evaluate_unimodal_model(
             tl, te, num_epochs, tstep, estep, state,
             StepLR(lr, scheduler_step_size, scheduler_gamma), csv_dir, sw,

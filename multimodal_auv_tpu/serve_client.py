@@ -75,9 +75,12 @@ class ServeClient:
 
     def metrics_text(self) -> str:
         """Raw Prometheus exposition (text, not JSON)."""
-        with urllib.request.urlopen(self.base_url + "/metrics",
-                                    timeout=self.timeout) as r:
-            return r.read().decode()
+        try:
+            with urllib.request.urlopen(self.base_url + "/metrics",
+                                        timeout=self.timeout) as r:
+                return r.read().decode()
+        except urllib.error.HTTPError as e:
+            raise ServeError(e.code, _error_detail(e)) from e
 
     def predict(self, main_u8, bathy_u8, sss_u8, *,
                 seed: Optional[int] = None) -> dict:

@@ -8,7 +8,8 @@ module turns a serving artifact (serving.py: the jax.export'ed StableHLO
 predict program + state) into a long-lived network service with nothing
 but the standard library: a ``ThreadingHTTPServer`` exposing
 
-    GET  /healthz    liveness + artifact summary (also warms the program)
+    GET  /healthz    liveness + artifact summary (metadata only — use
+                     --warmup to pay the first-dispatch cost at startup)
     GET  /meta       the artifact's meta.json (batch size, mc, classes...)
     GET  /metrics    Prometheus text: requests/rows/device-call counters,
                      latency histogram, coalescing efficiency
@@ -431,6 +432,7 @@ class _Handler(BaseHTTPRequestHandler):
                            "text/plain; version=0.0.4")
         else:
             self._send(404, {"error": f"unknown path {self.path!r}"})
+            route = "other"  # bound metrics label cardinality vs scanners
         svc.metrics.observe_request(route, self._status,
                                     time.monotonic() - t0)
 
@@ -440,12 +442,15 @@ class _Handler(BaseHTTPRequestHandler):
         route = self.path.split("?")[0]
         if route != "/predict":
             self._send(404, {"error": f"unknown path {self.path!r}"})
+            route = "other"  # bound metrics label cardinality
         else:
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 if length > self.server.max_body_bytes:
                     # bound memory: a buggy/hostile client must not be able
-                    # to make the host buffer an arbitrary body
+                    # to make the host buffer an arbitrary body. The unread
+                    # body would desync a keep-alive socket — close it.
+                    self.close_connection = True
                     self._send(413, {
                         "error": f"body {length} bytes exceeds limit "
                                  f"{self.server.max_body_bytes} (raise "
@@ -470,12 +475,19 @@ class _Handler(BaseHTTPRequestHandler):
 class _Server(ThreadingHTTPServer):
     service: ArtifactService
     max_body_bytes: int = 256 * 1024 * 1024
+    # non-daemon handler threads: server_close() JOINS in-flight requests,
+    # so the graceful drain actually finishes accepted work (a daemon
+    # default would close the batcher under handlers still waiting on it)
+    daemon_threads = False
 
     def server_close(self):
-        # stop the micro-batcher before closing the socket
+        # order matters: join handler threads FIRST (they may be waiting
+        # on micro-batcher results), then stop the batcher. This also
+        # closes the check-then-enqueue race in handle_predict — no
+        # handler can be mid-enqueue once all handlers have been joined.
+        super().server_close()
         if getattr(self, "service", None) is not None:
             self.service.close()
-        super().server_close()
 
 
 def make_server(artifact_dir: str, host: str = "127.0.0.1",

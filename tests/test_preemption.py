@@ -216,3 +216,77 @@ def test_sigterm_preempted_run_resumes_bitexact(tmp_path):
     np.testing.assert_array_equal(np.asarray(sA.post.rho), np.asarray(sB.post.rho))
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), sA.opt_state, sB.opt_state)
+
+
+def test_cli_returns_75_on_preempted_training(monkeypatch):
+    """The train/retrain CLIs must exit PREEMPTED_EXIT_CODE (75,
+    EX_TEMPFAIL) when the run was preempted, so schedulers re-run the job
+    instead of marking it complete."""
+    import multimodal_auv_tpu.pipelines as pipelines
+    from multimodal_auv_tpu.cli import retraining_cli, training_from_scratch_cli
+    from multimodal_auv_tpu.engine.preemption import PREEMPTED_EXIT_CODE
+
+    def fake_scratch(*a, preemption_guard=None, **k):
+        preemption_guard.trigger()  # simulate SIGTERM mid-run
+        return True
+
+    monkeypatch.setattr(pipelines, "run_AUV_training_from_scratch",
+                        fake_scratch)
+    rc = training_from_scratch_cli(["--root_dir", "/tmp/x", "--tiny"])
+    assert rc == PREEMPTED_EXIT_CODE
+
+    def fake_retrain(*a, preemption_guard=None, **k):
+        preemption_guard.trigger()
+        return True
+
+    monkeypatch.setattr(pipelines, "run_auv_retraining", fake_retrain)
+    rc = retraining_cli(["--data_dir", "/tmp/x", "--tiny",
+                         "--allow_random_init"])
+    assert rc == PREEMPTED_EXIT_CODE
+
+    # not preempted -> plain success/failure codes
+    monkeypatch.setattr(pipelines, "run_AUV_training_from_scratch",
+                        lambda *a, **k: True)
+    assert training_from_scratch_cli(["--root_dir", "/tmp/x"]) == 0
+    monkeypatch.setattr(pipelines, "run_AUV_training_from_scratch",
+                        lambda *a, **k: False)
+    assert training_from_scratch_cli(["--root_dir", "/tmp/x"]) == 1
+
+
+def test_pipeline_uses_external_guard(monkeypatch, tmp_path):
+    """A caller-provided (already-entered) guard must be used directly —
+    the pipeline must not install its own handlers over it."""
+    import signal
+
+    from multimodal_auv_tpu.engine import loops
+
+    seen = {}
+
+    def fake_orchestrator(*a, preemption_guard=None, **k):
+        seen["guard"] = preemption_guard
+        seen["handler"] = signal.getsignal(signal.SIGTERM)
+        return a[5]  # state passthrough
+
+    monkeypatch.setattr(loops, "train_and_evaluate_unimodal_model",
+                        fake_orchestrator)
+    import multimodal_auv_tpu.pipelines.unimodal as uni
+
+    monkeypatch.setattr(uni, "train_and_evaluate_unimodal_model",
+                        fake_orchestrator)
+
+    # tiny tree for the loader
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from fixtures.make_tree import make_training_tree
+
+    root = make_training_tree(str(tmp_path / "dives"), n_samples=4)
+    outer_prev = signal.getsignal(signal.SIGTERM)
+    with PreemptionGuard() as mine:
+        uni.run_unimodal_training(root, num_epochs=1, num_mc=1, batch_size=2,
+                                  arch=TINY, preemption_guard=mine)
+    assert seen["guard"] is mine
+    # the pipeline did not stack a second handler over the caller's:
+    # during the call the installed handler was the OUTER guard's
+    assert seen["handler"].__self__ is mine
+    assert signal.getsignal(signal.SIGTERM) is outer_prev
