@@ -40,9 +40,24 @@ def load_image_u8(path: str, mode: str = "RGB",
     This is the SINGLE decode/resize dispatch shared by the unpacked
     loader (``load_image`` wraps it with /255) and the packed caches
     (data/packing.py stores its output verbatim) — one code path, so the
-    two loaders can never feed different pixels. Resize runs through the
-    C++ native runtime when built (threaded bilinear, cv2-parity —
-    native/csrc/auvnative.cpp); PIL otherwise."""
+    two loaders can never feed different pixels. When the C++ native
+    runtime is built, the WHOLE chain (libjpeg/libpng decode -> PIL-L24
+    convert -> bilinear resize) runs in one GIL-free C call, pixel-exact
+    with the PIL fallback (tests/test_native.py pins equality); exotic
+    formats fall through to PIL transparently."""
+    lib = _native_lib()
+    if lib is not None and getattr(lib, "has_decode", False) \
+            and mode in ("RGB", "L"):
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+            out = lib.decode_image(data, mode, size[0], size[1])
+            if out is not None:
+                return out
+        except OSError:
+            raise  # unreadable file: same error contract as Image.open
+        except Exception:
+            pass  # any native surprise -> PIL fallback below
     with Image.open(path) as img:
         img = img.convert(mode)
         if img.size != (size[1], size[0]):

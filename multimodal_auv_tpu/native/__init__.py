@@ -38,6 +38,14 @@ class NativeLib:
         c.window_copy.argtypes = [u8p, i, i, i, u8p, i, i, i, i]
         c.lzw_decode.argtypes = [u8p, i64, u8p, i64]
         c.lzw_decode.restype = i64
+        # decode_image_u8 exists only in .so builds linked against
+        # libjpeg/libpng (round 3); older prebuilt libs stay usable
+        try:
+            c.decode_image_u8.argtypes = [u8p, i64, u8p, i, i, i]
+            c.decode_image_u8.restype = i
+            self.has_decode = True
+        except AttributeError:
+            self.has_decode = False
 
     # -- numpy-facing wrappers ---------------------------------------------
 
@@ -87,6 +95,23 @@ class NativeLib:
             src.shape[0], src.shape[1], src.dtype.itemsize,
             dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             dst.shape[0], dst.shape[1], row_off, col_off)
+
+    def decode_image(self, data: bytes, mode: str, dh: int,
+                     dw: int) -> Optional[np.ndarray]:
+        """Decode a JPEG/PNG byte buffer straight to (dh, dw, C) uint8,
+        converting to ``mode`` ("RGB" or "L") and resizing — PIL-pixel-
+        exact (same libjpeg decode, PIL's L24 luma, convert-then-resize
+        order; csrc comments). Returns None for anything the C path does
+        not handle (caller falls back to PIL)."""
+        if not self.has_decode or mode not in ("RGB", "L"):
+            return None
+        ch = 1 if mode == "L" else 3
+        src = np.frombuffer(data, np.uint8)
+        out = np.empty((dh, dw, ch), np.uint8)
+        rc = self._c.decode_image_u8(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), dh, dw, ch)
+        return out if rc == 0 else None
 
     def lzw_decode(self, data: bytes, expected: int) -> bytes:
         src = np.frombuffer(data, np.uint8)

@@ -216,3 +216,133 @@ int64_t lzw_decode(const uint8_t* src, int64_t srclen, uint8_t* dst,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Image decode: JPEG (libjpeg) / PNG (libpng) from memory + convert + resize,
+// PIL-pixel-exact. PIL itself wraps libjpeg, decodes to RGB, converts "L"
+// with the fixed-point ITU-R 601-2 luma of ImagingConvert.c (L24:
+// (r*19595 + g*38470 + b*7471) >> 16) and only then resizes — we reproduce
+// that exact order so the native fast path feeds bit-identical pixels to
+// data/transforms.load_image_u8's PIL fallback. RGBA alpha is DROPPED (not
+// composited), matching PIL convert("RGB"). Exotic inputs (CMYK JPEG,
+// 16-bit PNG) return nonzero and the caller falls back to PIL.
+// ---------------------------------------------------------------------------
+#include <csetjmp>
+
+#include <jpeglib.h>
+#include <png.h>
+
+namespace {
+
+struct JpegErr {
+  jpeg_error_mgr pub;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jb, 1);
+}
+
+inline uint8_t l24(const uint8_t* p) {
+  // PIL ImagingConvert.c L24: fixed-point 601-2 luma WITH the 0x8000
+  // rounding term (omitting it is off by one on ~half of all pixels)
+  return static_cast<uint8_t>(
+      (p[0] * 19595u + p[1] * 38470u + p[2] * 7471u + 0x8000u) >> 16);
+}
+
+// rgb: (sh, sw, 3) decoded pixels -> dst: (dh, dw, ch) with ch in {1, 3};
+// convert BEFORE resize (PIL's img.convert(mode) then img.resize order).
+int finish_to_dst(const uint8_t* rgb, int sh, int sw,
+                  uint8_t* dst, int dh, int dw, int ch) {
+  const uint8_t* src = rgb;
+  std::vector<uint8_t> gray;
+  if (ch == 1) {
+    gray.resize(static_cast<size_t>(sh) * sw);
+    for (int64_t i = 0; i < static_cast<int64_t>(sh) * sw; ++i)
+      gray[i] = l24(rgb + i * 3);
+    src = gray.data();
+  } else if (ch != 3) {
+    return -4;
+  }
+  if (sh == dh && sw == dw) {
+    std::memcpy(dst, src, static_cast<size_t>(dh) * dw * ch);
+  } else {
+    resize_bilinear_u8(src, sh, sw, ch, dst, dh, dw);
+  }
+  return 0;
+}
+
+int decode_jpeg_impl(const uint8_t* buf, int64_t len,
+                     uint8_t* dst, int dh, int dw, int ch) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_err_exit;
+  std::vector<uint8_t> rgb;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;  // PIL decodes to RGB, converts after
+  jpeg_start_decompress(&cinfo);
+  const int sw = cinfo.output_width, sh = cinfo.output_height;
+  if (cinfo.output_components != 3 || sh <= 0 || sw <= 0) {
+    jpeg_destroy_decompress(&cinfo);
+    return -5;
+  }
+  rgb.resize(static_cast<size_t>(sh) * sw * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = rgb.data() +
+        static_cast<size_t>(cinfo.output_scanline) * sw * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return finish_to_dst(rgb.data(), sh, sw, dst, dh, dw, ch);
+}
+
+int decode_png_impl(const uint8_t* buf, int64_t len,
+                    uint8_t* dst, int dh, int dw, int ch) {
+  png_image image;
+  std::memset(&image, 0, sizeof image);
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&image, buf,
+                                        static_cast<size_t>(len)))
+    return -2;
+  // read RGBA and strip alpha ourselves: the simplified API COMPOSITES
+  // alpha onto a background for alpha-less output formats, but PIL's
+  // convert("RGB") just drops the channel
+  image.format = PNG_FORMAT_RGBA;
+  std::vector<uint8_t> rgba(PNG_IMAGE_SIZE(image));
+  if (!png_image_finish_read(&image, nullptr, rgba.data(), 0, nullptr)) {
+    png_image_free(&image);
+    return -3;
+  }
+  const int sh = image.height, sw = image.width;
+  std::vector<uint8_t> rgb(static_cast<size_t>(sh) * sw * 3);
+  for (int64_t i = 0; i < static_cast<int64_t>(sh) * sw; ++i) {
+    rgb[i * 3 + 0] = rgba[i * 4 + 0];
+    rgb[i * 3 + 1] = rgba[i * 4 + 1];
+    rgb[i * 3 + 2] = rgba[i * 4 + 2];
+  }
+  return finish_to_dst(rgb.data(), sh, sw, dst, dh, dw, ch);
+}
+
+}  // namespace
+
+extern "C" {
+
+// 0 on success; nonzero -> caller falls back to PIL.
+int decode_image_u8(const uint8_t* buf, int64_t len,
+                    uint8_t* dst, int dh, int dw, int ch) {
+  if (len >= 3 && buf[0] == 0xFF && buf[1] == 0xD8 && buf[2] == 0xFF)
+    return decode_jpeg_impl(buf, len, dst, dh, dw, ch);
+  if (len >= 8 && !png_sig_cmp(buf, 0, 8))
+    return decode_png_impl(buf, len, dst, dh, dw, ch);
+  return -10;  // unknown container
+}
+
+}  // extern "C"
