@@ -423,3 +423,40 @@ def test_oversized_body_rejected_with_413(tmp_path_factory, server_url):
         small.shutdown()
         small.server_close()
         t.join(timeout=10)
+
+
+def test_fuzz_bodies_never_kill_the_server(server_url):
+    """Adversarial/corrupt bodies (random bytes, truncated npz, npz with
+    hostile member names/dtypes/shapes) must always produce an orderly
+    4xx and leave the server serving."""
+    url, _ = server_url
+    rng = np.random.default_rng(0)
+
+    bodies = [bytes(rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+              for n in (0, 1, 7, 512, 9000)]
+    good = _npz_bytes(**_arrays(2, seed=1))
+    bodies += [good[:k] for k in (10, len(good) // 2, len(good) - 3)]
+    # hostile npz contents
+    buf = io.BytesIO()
+    np.savez(buf, main=np.zeros((2, S, S, 3), np.int64),  # wrong dtype
+             bathy=np.zeros((2, S, S, 3), np.uint8),
+             sss=np.zeros((2, S, S, 1), np.uint8))
+    bodies.append(buf.getvalue())
+    buf = io.BytesIO()
+    np.savez(buf, **{"../../etc/passwd": np.zeros(3, np.uint8)})
+    bodies.append(buf.getvalue())
+    buf = io.BytesIO()
+    np.savez(buf, main=np.zeros((0, S, S, 3), np.uint8),
+             bathy=np.zeros((0, S, S, 3), np.uint8),
+             sss=np.zeros((0, S, S, 1), np.uint8))
+    bodies.append(buf.getvalue())
+
+    for body in bodies:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(url, body)
+        assert 400 <= ei.value.code < 500, len(body)
+        json.loads(ei.value.read())  # error payload is valid JSON
+
+    # still alive and correct afterward
+    status, out = _post(url, _npz_bytes(seed=np.uint32(2), **_arrays(B)))
+    assert status == 200 and out["n"] == B
