@@ -279,6 +279,12 @@ def export_serving_cli(argv=None):
                         help="Export the single-pass moment-propagation "
                              "program (~1.7x serving rate; guardrailed at "
                              "export time, see docs).")
+    parser.add_argument("--mc_shards", type=int, default=1,
+                        help="Spread the MC ensemble over an M-device "
+                             "('mc',) mesh axis (BNN ensemble parallelism "
+                             "— low-latency multi-chip serving for small "
+                             "batches). Composes with --data_shards; "
+                             "exact-MC mode only.")
     parser.add_argument("--data_shards", type=int, default=1,
                         help="Export a multi-device program: batch sharded "
                              "over an N-device ('data',) mesh, state "
@@ -315,6 +321,7 @@ def export_serving_cli(argv=None):
         use_dvp=args.dvp,
         dvp_on_excess=args.dvp_on_excess,
         data_shards=args.data_shards,
+        mc_shards=args.mc_shards,
     )
     return 0
 

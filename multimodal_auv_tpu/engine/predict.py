@@ -183,11 +183,16 @@ def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
 def make_packed_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
                              mc_chunk: Optional[int] = None, impl: str = "auto",
                              sample_dtype=jnp.bfloat16,
-                             fused_trunks: bool = False):
+                             fused_trunks: bool = False,
+                             ws_sharding=None):
     """Predict step over *uint8* device batches: the host ships 1 byte/px
     (4x less transfer than the reference's float32 tensors) and the
     /255 + optical normalization runs on-chip, fused by XLA into the first
-    convolutions (ops/preprocess.py)."""
+    convolutions (ops/preprocess.py).
+
+    ``ws_sharding``: optional NamedSharding for the (mc_chunk, P) sampled
+    weight stack — parallel.mesh.mc_sharding(mesh) spreads the MC
+    ensemble over the mesh's 'mc' axis (see make_predict_step)."""
     from multimodal_auv_tpu.ops.preprocess import normalize_multimodal
 
     if mc_chunk is None:
@@ -206,6 +211,7 @@ def make_packed_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
                            num_mc_samples, mc_chunk=mc_chunk, impl=impl,
                            train=True, remat=False,
                            sample_dtype=sample_dtype, batch_mask=mask,
+                           ws_sharding=ws_sharding,
                            split_sampling=True)
         return _mc_outputs(logits)
 

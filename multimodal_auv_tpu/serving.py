@@ -40,21 +40,27 @@ _STATE = "state.npz"
 _META = "meta.json"
 
 
-def _mesh_shardings(data_shards: int):
-    """(replicated, batch-sharded, fused-output) NamedShardings over an
-    N-device ('data',) mesh built from the first N local devices."""
+def _mesh_shardings(data_shards: int, mc_shards: int = 1):
+    """(replicated, batch-sharded, fused-output, mc-weight-stack)
+    NamedShardings over a (data_shards, mc_shards)-device ('data', 'mc')
+    mesh built from the first data*mc local devices."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
     devs = jax.devices()
-    if len(devs) < data_shards:
-        raise ValueError(f"data_shards={data_shards} but only {len(devs)} "
+    n = data_shards * mc_shards
+    if len(devs) < n:
+        raise ValueError(f"data_shards={data_shards} x mc_shards="
+                         f"{mc_shards} = {n} but only {len(devs)} "
                          "devices are visible")
-    mesh = Mesh(np.array(devs[:data_shards]), ("data",))
+    mesh = Mesh(np.array(devs[:n]).reshape(data_shards, mc_shards),
+                ("data", "mc"))
     repl = NamedSharding(mesh, PartitionSpec())
     batch = NamedSharding(mesh, PartitionSpec("data"))
     # fused output is (3 + C, batch): shard the batch (minor) axis
     out = NamedSharding(mesh, PartitionSpec(None, "data"))
-    return repl, batch, out
+    # the (mc_chunk, P) sampled-weight stack: draws over 'mc'
+    ws = NamedSharding(mesh, PartitionSpec("mc", None))
+    return repl, batch, out, ws
 
 
 def export_predict_artifact(bundle, out_dir: str, *, batch_size,
@@ -64,6 +70,7 @@ def export_predict_artifact(bundle, out_dir: str, *, batch_size,
                             mode: str = "mc",
                             dvp_on_excess: str = "mc",
                             data_shards: int = 1,
+                            mc_shards: int = 1,
                             platforms: Optional[Sequence[str]] = None,
                             class_names: Optional[Sequence[str]] = None,
                             seed: int = 0) -> str:
@@ -94,9 +101,31 @@ def export_predict_artifact(bundle, out_dir: str, *, batch_size,
     Requires a static ``batch_size`` divisible by N. Numerics match the
     single-device program to f32 collective-reduction roundoff (~1e-7
     relative), not bitwise.
+
+    ``mc_shards=M`` spreads the MC ENSEMBLE over an ('mc',) mesh axis —
+    the BNN-specific parallelism (SURVEY §2.8): M chips each run
+    num_mc/M weight draws of the SAME batch, collectives reduce the
+    estimators. The low-latency multi-chip shape for small batches
+    (where data-sharding has nothing to split). Composes with
+    ``data_shards`` on a (data, mc) mesh; exact-MC mode only (DVP's
+    trunk pass has no draw axis to shard); forces ``mc_chunk`` to a
+    multiple of M (default: all draws in one sharded stack).
     """
     from multimodal_auv_tpu.engine.predict import make_packed_predict_step
 
+    if mc_shards > 1 and mode != "mc":
+        raise ValueError("mc_shards > 1 requires mode='mc' (DVP's trunk "
+                         "pass has no MC-draw axis to shard)")
+    if mc_shards > 1 and num_mc_samples % mc_shards:
+        raise ValueError(f"num_mc_samples {num_mc_samples} must be "
+                         f"divisible by mc_shards {mc_shards}")
+    ws_sh = None
+    if mc_shards > 1:
+        if mc_chunk is None:
+            mc_chunk = num_mc_samples  # one sharded stack of all draws
+        if mc_chunk % mc_shards:
+            raise ValueError(f"mc_chunk {mc_chunk} must be divisible by "
+                             f"mc_shards {mc_shards}")
     exported_mode = mode
     spread = None
     if mode == "dvp":
@@ -111,8 +140,11 @@ def export_predict_artifact(bundle, out_dir: str, *, batch_size,
             packed_inputs=True, mc_chunk=mc_chunk, impl=impl,
             return_mode=True, spread=spread)
     elif mode == "mc":
+        if mc_shards > 1:
+            ws_sh = _mesh_shardings(data_shards, mc_shards)[3]
         step = make_packed_predict_step(bundle, num_mc_samples,
-                                        mc_chunk=mc_chunk, impl=impl)
+                                        mc_chunk=mc_chunk, impl=impl,
+                                        ws_sharding=ws_sh)
     else:
         raise ValueError(f"mode must be 'mc' or 'dvp', got {mode!r}")
     leaves, treedef = jax.tree.flatten((bundle.post, bundle.batch_stats))
@@ -133,19 +165,20 @@ def export_predict_artifact(bundle, out_dir: str, *, batch_size,
 
     s = int(image_size)
     if batch_size == "poly":
-        if data_shards > 1:
-            raise ValueError("data_shards > 1 requires a static batch_size "
+        if data_shards > 1 or mc_shards > 1:
+            raise ValueError("sharded export requires a static batch_size "
                              "(the per-device shard shape must be static)")
         b, = jax.export.symbolic_shape("b")
     else:
         b = int(batch_size)
 
     state_sh = batch_sh = out_sh = None
-    if data_shards > 1:
+    if data_shards > 1 or mc_shards > 1:
         if b % data_shards:
             raise ValueError(f"batch_size {b} must be divisible by "
                              f"data_shards {data_shards}")
-        state_sh, batch_sh, out_sh = _mesh_shardings(data_shards)
+        state_sh, batch_sh, out_sh, _ = _mesh_shardings(data_shards,
+                                                        mc_shards)
 
     def spec(shape, dtype, sharding):
         return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
@@ -158,7 +191,7 @@ def export_predict_artifact(bundle, out_dir: str, *, batch_size,
     mask_spec = spec((b,), np.float32, batch_sh)
 
     jit_kwargs = {}
-    if data_shards > 1:
+    if data_shards > 1 or mc_shards > 1:
         jit_kwargs = dict(
             in_shardings=([state_sh] * len(leaves), (batch_sh,) * 3,
                           state_sh, batch_sh),
@@ -188,6 +221,7 @@ def export_predict_artifact(bundle, out_dir: str, *, batch_size,
         "posterior_spread": (None if spread is None
                              else round(float(spread), 6)),
         "data_shards": int(data_shards),
+        "mc_shards": int(mc_shards),
     }
     with open(os.path.join(out_dir, _META), "w") as f:
         json.dump(meta, f, indent=1)
@@ -213,17 +247,19 @@ class ServingArtifact:
         self.image_size = int(meta["image_size"])
         self.mode = meta.get("mode", "mc")
         self.data_shards = int(meta.get("data_shards", 1))
+        self.mc_shards = int(meta.get("mc_shards", 1))
         self._num_calls = 0  # fresh-draw counter for key=None predict()
         self._base_key_np = None  # lazy cache, see _base_key()
-        if self.data_shards > 1:
+        if self.data_shards > 1 or self.mc_shards > 1:
             # multi-device program: the ('data',) mesh is rebuilt ONCE (in
             # load(), or here for a direct construction) and the call's
             # input shardings pinned to the export-time layout (state
             # replicated, batch/mask sharded) so host numpy inputs are
             # scattered correctly — the same mesh object that placed the
             # state leaves, so no re-layout on first call
-            state_sh, batch_sh, _ = (shardings if shardings is not None
-                                     else _mesh_shardings(self.data_shards))
+            state_sh, batch_sh = (shardings if shardings is not None
+                                  else _mesh_shardings(self.data_shards,
+                                                       self.mc_shards))[:2]
             self._call = jax.jit(
                 exported.call,
                 in_shardings=([state_sh] * len(state_leaves),
@@ -245,8 +281,10 @@ class ServingArtifact:
         leaves = [npz[f"leaf_{i:05d}"]
                   for i in range(int(meta["num_state_leaves"]))]
         shardings = None
-        if int(meta.get("data_shards", 1)) > 1:
-            shardings = _mesh_shardings(int(meta["data_shards"]))
+        if (int(meta.get("data_shards", 1)) > 1
+                or int(meta.get("mc_shards", 1)) > 1):
+            shardings = _mesh_shardings(int(meta.get("data_shards", 1)),
+                                        int(meta.get("mc_shards", 1)))
             leaves = [jax.device_put(l, shardings[0]) for l in leaves]
         elif device is not None:
             leaves = [jax.device_put(l, device) for l in leaves]

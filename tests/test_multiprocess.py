@@ -89,7 +89,7 @@ def test_two_process_global_batch_and_collective(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=480)
             outs.append(out)
     finally:
         for p in procs:
@@ -129,7 +129,7 @@ from multimodal_auv_tpu.parallel.distributed import (
 
 pid = int(sys.argv[1])
 initialize_distributed(os.environ["AUV_COORD"], 2, pid,
-                       initialization_timeout=240)
+                       initialization_timeout=480)
 assert jax.process_count() == 2 and jax.device_count() == 8
 
 spec = BNNPriorSpec()
@@ -207,7 +207,7 @@ def test_two_process_pjit_train_step(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=540)
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     finally:
         for p in procs:

@@ -364,3 +364,72 @@ def test_keyless_predict_draws_fresh_samples(artifact_dir):
     streamed = list(art2.predict_batches(iter([(m, b, s), (m, b, s)])))
     np.testing.assert_array_equal(o0["csv_cols"], streamed[0]["csv_cols"])
     np.testing.assert_array_equal(o1["csv_cols"], streamed[1]["csv_cols"])
+
+
+def test_mc_sharded_artifact(tmp_path):
+    """mc_shards: the exported program spreads the MC ensemble over the
+    'mc' mesh axis (the BNN-specific parallelism) — same draws, same
+    estimators as the single-device step up to collective-reduction
+    roundoff; composes with data_shards on a (data, mc) mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    bundle = make_multimodal_bundle(3, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                    ARCH)
+    rng = np.random.default_rng(13)
+    m = rng.integers(0, 255, (B, S, S, 3), dtype=np.uint8)
+    b = rng.integers(0, 255, (B, S, S, 3), dtype=np.uint8)
+    ss = rng.integers(0, 255, (B, S, S, 1), dtype=np.uint8)
+    key = jax.random.PRNGKey(6)
+    # reference: single-device, same chunking as the sharded export
+    step = make_packed_predict_step(bundle, MC, mc_chunk=MC)
+    ref = step(bundle.post, bundle.batch_stats, (m, b, ss), key,
+               jnp.ones((B,), jnp.float32))
+
+    def check(out):
+        # SPMD is mathematically (not bitwise) equivalent: train-mode BN
+        # mean-subtraction amplifies cross-device reduction-order noise
+        # through the depth, and an UNTRAINED model's probs sit ~5e-3 from
+        # uniform — so bound the estimators and gate argmax on a
+        # confidence margin (the dryrun's rule, __graft_entry__.py). Real
+        # sharding bugs (wrong collective, permuted shards) produce gross
+        # divergence and still fail these bounds.
+        mp_ref = np.asarray(ref["mean_prob"])
+        np.testing.assert_allclose(out["mean_prob"], mp_ref, atol=2e-2)
+        top2 = np.sort(mp_ref, axis=-1)
+        confident = (top2[:, -1] - top2[:, -2]) > 5e-2
+        np.testing.assert_array_equal(
+            out["predicted"][confident],
+            np.asarray(ref["predicted"])[confident])
+        for k in ("predictive_uncertainty", "aleatoric_uncertainty"):
+            np.testing.assert_allclose(out[k], np.asarray(ref[k]),
+                                       rtol=1e-2, atol=1e-3)
+
+    d = str(tmp_path / "mc_sharded")
+    export_predict_artifact(bundle, d, batch_size=B, num_mc_samples=MC,
+                            image_size=S, mc_shards=4)
+    art = load_predict_artifact(d)
+    assert art.mc_shards == 4 and art.data_shards == 1
+    check(art.predict(m, b, ss, key=key))
+
+    # composed (data=2, mc=2) mesh
+    d2 = str(tmp_path / "dxm")
+    export_predict_artifact(bundle, d2, batch_size=B, num_mc_samples=MC,
+                            image_size=S, data_shards=2, mc_shards=2)
+    art2 = load_predict_artifact(d2)
+    assert art2.data_shards == 2 and art2.mc_shards == 2
+    check(art2.predict(m, b, ss, key=key))
+
+
+def test_mc_sharded_artifact_validation():
+    bundle = make_multimodal_bundle(3, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                    ARCH)
+    with pytest.raises(ValueError, match="mode='mc'"):
+        export_predict_artifact(bundle, "/tmp/x", batch_size=B,
+                                num_mc_samples=MC, image_size=S,
+                                mode="dvp", mc_shards=2)
+    with pytest.raises(ValueError, match="divisible by mc_shards"):
+        export_predict_artifact(bundle, "/tmp/x", batch_size=B,
+                                num_mc_samples=5, image_size=S, mc_shards=2)
+    with pytest.raises(ValueError, match="static batch_size"):
+        export_predict_artifact(bundle, "/tmp/x", batch_size="poly",
+                                num_mc_samples=MC, image_size=S, mc_shards=2)
