@@ -116,6 +116,24 @@ def _train_multimodal_common(
     scheduler = StepLR(lr, scheduler_step_size, scheduler_gamma)
 
     class_names = list(dataset.label_encoder.classes_)
+    from multimodal_auv_tpu.utils.manifest import write_run_manifest
+
+    write_run_manifest(os.path.join(root_dir, "csvs"), "multimodal_training", {
+        "root_dir": root_dir, "num_classes": num_classes, "lr": lr,
+        "weight_decay": weight_decay, "num_epochs": num_epochs,
+        "num_mc": num_mc, "batch_size": batch_size_multimodal,
+        "scheduler_step_size": scheduler_step_size,
+        "scheduler_gamma": scheduler_gamma,
+        "bathy_patch_base": bathy_patch_base,
+        "sss_patch_base": sss_patch_base, "seed": seed,
+        "mc_chunk": mc_chunk, "double_scheduler_step": double_scheduler_step,
+        "resume_checkpoint": resume_checkpoint,
+        "freeze_backbone": freeze_backbone, "bf16_weights": bf16_weights,
+        "use_packed_loader": use_packed_loader, "image_size": image_size,
+        "strict_errors": strict_errors,
+        "async_checkpoints": async_checkpoints,
+        "class_names": class_names,
+    })
     # preemptible-fleet realism (engine/preemption.py): SIGTERM stops at
     # the next batch boundary, drains async saves, and leaves the resume
     # checkpoint at the last completed epoch

@@ -161,6 +161,18 @@ def run_unimodal_training(
     estep = make_eval_step(bundle.module, bundle.meta, spec, num_mc=num_mc,
                            mc_chunk=mc_chunk)
     csv_dir = csv_dir or os.path.join(root_dir, "csvs")
+    from multimodal_auv_tpu.utils.manifest import write_run_manifest
+
+    write_run_manifest(csv_dir, "unimodal_training", {
+        "root_dir": root_dir, "model_type": model_type,
+        "num_epochs": num_epochs, "num_mc": num_mc,
+        "batch_size": batch_size, "lr": lr, "weight_decay": weight_decay,
+        "scheduler_step_size": scheduler_step_size,
+        "scheduler_gamma": scheduler_gamma, "num_classes": num_classes,
+        "seed": seed, "mc_chunk": mc_chunk,
+        "skip_epoch_zero": skip_epoch_zero,
+        "resume_checkpoint": resume_checkpoint,
+    })
     sw = SummaryWriter(os.path.join(csv_dir, "tb"))
     from multimodal_auv_tpu.engine.preemption import maybe_guard, null_guard
 

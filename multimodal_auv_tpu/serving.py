@@ -23,6 +23,7 @@ pytree structure (it feeds the npz arrays back in index order).
 """
 from __future__ import annotations
 
+import hashlib
 import json
 import logging
 import os
@@ -38,6 +39,14 @@ ARTIFACT_VERSION = 1
 _PROGRAM = "program.jaxexport"
 _STATE = "state.npz"
 _META = "meta.json"
+
+
+def _sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for block in iter(lambda: f.read(1 << 20), b""):
+            h.update(block)
+    return h.hexdigest()
 
 
 def _mesh_shardings(data_shards: int, mc_shards: int = 1):
@@ -206,6 +215,8 @@ def export_predict_artifact(bundle, out_dir: str, *, batch_size,
         f.write(exported.serialize())
     np.savez(os.path.join(out_dir, _STATE),
              **{f"leaf_{i:05d}": np.asarray(l) for i, l in enumerate(leaves)})
+    digests = {name: _sha256(os.path.join(out_dir, name))
+               for name in (_PROGRAM, _STATE)}
     num_classes = getattr(bundle.module, "num_classes", None)
     meta = {
         "version": ARTIFACT_VERSION,
@@ -222,6 +233,7 @@ def export_predict_artifact(bundle, out_dir: str, *, batch_size,
                              else round(float(spread), 6)),
         "data_shards": int(data_shards),
         "mc_shards": int(mc_shards),
+        "sha256": digests,
     }
     with open(os.path.join(out_dir, _META), "w") as f:
         json.dump(meta, f, indent=1)
@@ -268,13 +280,27 @@ class ServingArtifact:
             self._call = jax.jit(exported.call)
 
     @classmethod
-    def load(cls, artifact_dir: str, *, device=None) -> "ServingArtifact":
+    def load(cls, artifact_dir: str, *, device=None,
+             verify_integrity: bool = True) -> "ServingArtifact":
         with open(os.path.join(artifact_dir, _META)) as f:
             meta = json.load(f)
         if meta.get("version") != ARTIFACT_VERSION:
             raise ValueError(
                 f"serving artifact version {meta.get('version')} != "
                 f"supported {ARTIFACT_VERSION}")
+        if verify_integrity and meta.get("sha256"):
+            # deployment integrity: a truncated rsync / bit-rotted state
+            # file would otherwise serve silently-wrong predictions (the
+            # program would still run — npz is forgiving about trailing
+            # corruption within a member)
+            for name, want in meta["sha256"].items():
+                got = _sha256(os.path.join(artifact_dir, name))
+                if got != want:
+                    raise ValueError(
+                        f"artifact integrity check failed for {name}: "
+                        f"sha256 {got[:16]}... != recorded {want[:16]}... "
+                        f"(re-export, or load with verify_integrity=False "
+                        f"to debug)")
         with open(os.path.join(artifact_dir, _PROGRAM), "rb") as f:
             exported = jax.export.deserialize(f.read())
         npz = np.load(os.path.join(artifact_dir, _STATE))

@@ -211,3 +211,24 @@ def test_packed_inference_cache_staleness_gate(tmp_path, monkeypatch):
                       allow_random_init=True, arch=arch,
                       use_packed_loader=True)
     assert len(open(outAB).read().strip().splitlines()) == 1 + 5
+
+
+def test_run_manifest_written(tmp_path):
+    """Every training pipeline drops run_manifest.json next to its CSVs:
+    full config (JSON-safe), versions, devices — provenance the
+    reference's timestamped log files don't give you."""
+    import json
+
+    from multimodal_auv_tpu.utils.manifest import write_run_manifest
+
+    p = write_run_manifest(str(tmp_path), "unit", {
+        "seed": 3, "arch": object(), "nested": {"lr": 1e-3, "t": (1, 2)}})
+    m = json.load(open(p))
+    assert m["kind"] == "unit" and m["config"]["seed"] == 3
+    assert m["config"]["nested"]["t"] == [1, 2]
+    assert isinstance(m["config"]["arch"], str)  # repr'd, not crashed
+    assert m["versions"]["multimodal_auv_tpu"] == "0.1.0"
+    assert m["devices"]["count"] >= 1 and m["devices"]["process_count"] >= 1
+
+    # unwritable dir: logged, returns None, never raises
+    assert write_run_manifest("/proc/definitely/not/writable", "x", {}) is None

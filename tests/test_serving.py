@@ -433,3 +433,29 @@ def test_mc_sharded_artifact_validation():
     with pytest.raises(ValueError, match="static batch_size"):
         export_predict_artifact(bundle, "/tmp/x", batch_size="poly",
                                 num_mc_samples=MC, image_size=S, mc_shards=2)
+
+
+def test_artifact_integrity_check(tmp_path):
+    """meta.json records sha256 of program+state; a corrupted state file
+    must be refused at load (a truncated copy would otherwise serve
+    silently-wrong predictions)."""
+    bundle = make_multimodal_bundle(3, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                    ARCH)
+    d = str(tmp_path / "a")
+    export_predict_artifact(bundle, d, batch_size=2, num_mc_samples=2,
+                            image_size=S)
+    load_predict_artifact(d)  # intact: loads fine
+
+    state = os.path.join(d, "state.npz")
+    raw = bytearray(open(state, "rb").read())
+    raw[len(raw) // 2] ^= 0xFF  # flip one byte mid-file
+    open(state, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="integrity check failed"):
+        load_predict_artifact(d)
+    # explicit opt-out for debugging still loads (npz may still parse)
+    from multimodal_auv_tpu.serving import ServingArtifact
+
+    try:
+        ServingArtifact.load(d, verify_integrity=False)
+    except Exception as e:  # corruption may also break npz parsing itself
+        assert "integrity" not in str(e)
