@@ -21,6 +21,30 @@ def _arch(args):
     return ArchConfig.tiny(image_size=64) if getattr(args, "tiny", False) else ArchConfig()
 
 
+def _add_mesh_flags(parser):
+    parser.add_argument("--mesh_data", type=int, default=0,
+                        help="Train data-parallel over an N-device ('data',) "
+                             "mesh axis (batch must be divisible by N). "
+                             "0 = single device.")
+    parser.add_argument("--mesh_mc", type=int, default=1,
+                        help="Shard the MC ensemble over an M-device ('mc',) "
+                             "mesh axis (num_mc divisible by M). Needs "
+                             "mesh_data*mesh_mc devices.")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="Shard the packed posterior + Adam moments over "
+                             "the whole mesh (FSDP); otherwise parameters "
+                             "are replicated.")
+
+
+def _mesh_spec(args):
+    if args.mesh_data <= 0 and args.mesh_mc <= 1 and not args.fsdp:
+        return None
+    from multimodal_auv_tpu.config import MeshSpec
+
+    return MeshSpec(data=max(args.mesh_data, 1), mc=max(args.mesh_mc, 1),
+                    fsdp=args.fsdp)
+
+
 def data_preparation_cli(argv=None):
     parser = argparse.ArgumentParser(
         description="Prepare AUV survey data: optical preprocessing, "
@@ -142,6 +166,7 @@ def retraining_cli(argv=None):
                         help="Train only the fusion head (foundation-model "
                              "fine-tuning with frozen ResNet trunks).")
     parser.add_argument("--mc_chunk", type=int, default=1)
+    _add_mesh_flags(parser)
     parser.add_argument("--tiny", action="store_true", help=argparse.SUPPRESS)
     args = parser.parse_args(argv)
 
@@ -174,6 +199,7 @@ def retraining_cli(argv=None):
             resume_checkpoint=args.resume_checkpoint,
             arch=_arch(args),
             mc_chunk=args.mc_chunk,
+            mesh_spec=_mesh_spec(args),
             preemption_guard=guard,
         )
     if guard.triggered:
@@ -217,6 +243,7 @@ def training_from_scratch_cli(argv=None):
                         help="torchvision-named ResNet-50 state dict (.pth): "
                              "MOPED-initialise all three feature trunks "
                              "(offline stand-in for IMAGENET1K_V1)")
+    _add_mesh_flags(parser)
     parser.add_argument("--tiny", action="store_true", help=argparse.SUPPRESS)
     args = parser.parse_args(argv)
 
@@ -248,6 +275,7 @@ def training_from_scratch_cli(argv=None):
             strict_errors=args.strict_errors,
             async_checkpoints=args.async_checkpoints,
             resume_checkpoint=args.resume_checkpoint,
+            mesh_spec=_mesh_spec(args),
             preemption_guard=guard,
         )
     if guard.triggered:

@@ -97,3 +97,44 @@ def shard_state(mesh: Mesh, state: Any, fsdp: bool = False) -> Any:
         return jax.device_put(leaf, repl)
 
     return jax.tree_util.tree_map_with_path(place, state)
+
+
+# ---------------------------------------------------------------------------
+# Step wrappers: mesh-enable the production epoch loops
+# ---------------------------------------------------------------------------
+#
+# engine/loops.py feeds its jitted steps host/single-device arrays. These
+# wrappers pin the batch arguments to the 'data' sharding per call so the
+# SAME epoch loops (CSV ledgers, KL annealing, checkpoint cadence, lagged
+# fetch) run data-parallel over the mesh with zero loop changes — the
+# pipeline swaps the step callable, nothing else. The reference gets the
+# analogous effect from nn.DataParallel wrapping the module
+# (/root/reference/src/Multimodal_AUV/utils/device.py:17-19).
+
+def wrap_train_step(mesh: Mesh, step):
+    """(state, inputs, labels, mask, key, kl_weight, n) with batch args
+    device_put onto the 'data' axis. ``state`` must already be placed via
+    shard_state; jit then preserves its shardings across steps."""
+
+    def wrapped(state, inputs, labels, mask, key, kl_weight, n):
+        with jax.set_mesh(mesh):
+            return step(state,
+                        tuple(shard_batch(mesh, a) for a in inputs),
+                        shard_batch(mesh, labels), shard_batch(mesh, mask),
+                        key, kl_weight, n)
+
+    return wrapped
+
+
+def wrap_eval_step(mesh: Mesh, step):
+    """Mesh twin of wrap_train_step for the eval-step signature
+    (post, batch_stats, inputs, labels, mask, key, kl_scale)."""
+
+    def wrapped(post, batch_stats, inputs, labels, mask, key, kl_scale):
+        with jax.set_mesh(mesh):
+            return step(post, batch_stats,
+                        tuple(shard_batch(mesh, a) for a in inputs),
+                        shard_batch(mesh, labels), shard_batch(mesh, mask),
+                        key, kl_scale)
+
+    return wrapped

@@ -64,6 +64,7 @@ def _train_multimodal_common(
     async_checkpoints: bool = False,
     handle_preemption: bool = True,
     preemption_guard=None,
+    mesh_spec=None,
 ):
     log_dir = setup_pipeline_logging()
     sum_writer = SummaryWriter(os.path.join("tensorboard_logs",
@@ -102,6 +103,38 @@ def _train_multimodal_common(
         tx = make_optimizer_with_freeze(lr, weight_decay, mask)
     else:
         tx = make_optimizer(lr, weight_decay)
+
+    # Multi-device training (SURVEY §2.8 — the production replacement for
+    # the reference's nn.DataParallel wrap, utils/device.py:17-19): batch
+    # DP over the 'data' axis, optional FSDP posterior/Adam-moment sharding,
+    # optional MC-ensemble parallelism over 'mc'. The epoch loops are
+    # untouched — the steps are wrapped so every batch is pinned to the
+    # mesh, and the state is placed once up front.
+    mesh = None
+    ws_sharding = None
+    if mesh_spec is not None:
+        from multimodal_auv_tpu.parallel import mesh as M
+
+        mesh = M.make_mesh(mesh_spec)
+        dp = mesh.shape["data"]
+        mc_ax = mesh.shape["mc"]
+        if batch_size_multimodal % dp:
+            raise ValueError(
+                f"batch_size ({batch_size_multimodal}) must be divisible by "
+                f"the mesh 'data' axis ({dp}) — every (padded) batch is "
+                f"split evenly across data shards")
+        if mc_ax > 1:
+            if mc_chunk % mc_ax:
+                logger.info("mesh mc=%d: raising mc_chunk %d -> %d so each "
+                            "sampled chunk spans the ensemble axis",
+                            mc_ax, mc_chunk, mc_ax)
+                mc_chunk = mc_ax
+            if num_mc % mc_chunk:
+                raise ValueError(
+                    f"num_mc ({num_mc}) must be divisible by the mc chunk "
+                    f"({mc_chunk}) under an mc={mc_ax} mesh")
+            ws_sharding = M.mc_sharding(mesh)
+
     state = BayesTrainState(post=bundle.post, opt_state=tx.init(bundle.post),
                             batch_stats=bundle.batch_stats,
                             step=jnp.zeros((), jnp.int32))
@@ -109,10 +142,20 @@ def _train_multimodal_common(
         bundle.module, bundle.meta, spec, tx, num_mc=num_mc,
         mc_chunk=mc_chunk,
         sample_dtype=jnp.bfloat16 if bf16_weights else None,
-        packed_inputs=use_packed_loader)
+        packed_inputs=use_packed_loader, ws_sharding=ws_sharding)
     eval_step = make_eval_step(bundle.module, bundle.meta, spec,
                                num_mc=num_mc, mc_chunk=mc_chunk,
-                               packed_inputs=use_packed_loader)
+                               packed_inputs=use_packed_loader,
+                               ws_sharding=ws_sharding)
+    if mesh is not None:
+        from multimodal_auv_tpu.parallel import mesh as M
+
+        state = M.shard_state(mesh, state,
+                              fsdp=bool(getattr(mesh_spec, "fsdp", False)))
+        train_step = M.wrap_train_step(mesh, train_step)
+        eval_step = M.wrap_eval_step(mesh, eval_step)
+        logger.info("Training on mesh %s (fsdp=%s)", dict(mesh.shape),
+                    getattr(mesh_spec, "fsdp", False))
     scheduler = StepLR(lr, scheduler_step_size, scheduler_gamma)
 
     class_names = list(dataset.label_encoder.classes_)
@@ -133,6 +176,8 @@ def _train_multimodal_common(
         "strict_errors": strict_errors,
         "async_checkpoints": async_checkpoints,
         "class_names": class_names,
+        "mesh": (dict(data=mesh_spec.data, mc=mesh_spec.mc,
+                      fsdp=mesh_spec.fsdp) if mesh_spec is not None else None),
     })
     # preemptible-fleet realism (engine/preemption.py): SIGTERM stops at
     # the next batch boundary, drains async saves, and leaves the resume
@@ -195,6 +240,7 @@ def run_AUV_training_from_scratch(
     async_checkpoints: bool = False,
     handle_preemption: bool = True,
     preemption_guard=None,
+    mesh_spec=None,
 ) -> bool:
     """Signature parity with functions.py:361-374 (``devices`` accepted for
     API compatibility; placement is mesh-driven on TPU).
@@ -243,6 +289,7 @@ def run_AUV_training_from_scratch(
             async_checkpoints=async_checkpoints,
             handle_preemption=handle_preemption,
             preemption_guard=preemption_guard,
+            mesh_spec=mesh_spec,
             image_size=arch.image_size,
         )
         logger.info("Full training pipeline finished.")
@@ -280,6 +327,7 @@ def run_auv_retraining(
     async_checkpoints: bool = False,
     handle_preemption: bool = True,
     preemption_guard=None,
+    mesh_spec=None,
 ) -> bool:
     """Foundation-model retraining (functions.py:84-258): pretrained HF
     weights, fc2 head swapped when num_classes != 7, then multimodal
@@ -327,6 +375,7 @@ def run_auv_retraining(
             async_checkpoints=async_checkpoints,
             handle_preemption=handle_preemption,
             preemption_guard=preemption_guard,
+            mesh_spec=mesh_spec,
             image_size=arch.image_size,
         )
         return True

@@ -136,12 +136,16 @@ def run_unimodal_training(
     resume_checkpoint: Optional[str] = None,
     handle_preemption: bool = True,
     preemption_guard=None,
+    mesh_spec=None,
 ) -> BayesTrainState:
     """Train + evaluate one unimodal BNN (metrics CSVs + confusion
     matrices), the configs[1] workload. ``resume_checkpoint`` enables the
     same preemption-reproducible true resume as the multimodal pipeline;
     ``handle_preemption`` installs the cooperative SIGTERM stop
-    (engine/preemption.py)."""
+    (engine/preemption.py). ``mesh_spec`` (config.MeshSpec) trains
+    data-parallel over a device mesh with optional FSDP posterior sharding
+    and 'mc' ensemble parallelism — same contract as the multimodal
+    pipeline (pipelines/training.py)."""
     arch = arch or ArchConfig()
     spec = BNNPriorSpec()
     (tl, te, _, _, actual_classes, dataset) = prepare_datasets_and_loaders(
@@ -153,13 +157,43 @@ def run_unimodal_training(
     bundle = make_unimodal_bundle(_CHANNELS[model_type], num_classes, spec,
                                   jax.random.PRNGKey(seed), arch)
     tx = make_optimizer(lr, weight_decay)
+
+    mesh = None
+    ws_sharding = None
+    if mesh_spec is not None:  # see pipelines/training.py — same contract
+        from multimodal_auv_tpu.parallel import mesh as M
+
+        mesh = M.make_mesh(mesh_spec)
+        if batch_size % mesh.shape["data"]:
+            raise ValueError(
+                f"batch_size ({batch_size}) must be divisible by the mesh "
+                f"'data' axis ({mesh.shape['data']})")
+        if mesh.shape["mc"] > 1:
+            if mc_chunk % mesh.shape["mc"]:
+                mc_chunk = mesh.shape["mc"]
+            if num_mc % mc_chunk:
+                raise ValueError(
+                    f"num_mc ({num_mc}) must be divisible by the mc chunk "
+                    f"({mc_chunk}) under an mc={mesh.shape['mc']} mesh")
+            ws_sharding = M.mc_sharding(mesh)
+
     state = BayesTrainState(post=bundle.post, opt_state=tx.init(bundle.post),
                             batch_stats=bundle.batch_stats,
                             step=jnp.zeros((), jnp.int32))
     tstep = make_train_step(bundle.module, bundle.meta, spec, tx,
-                            num_mc=num_mc, mc_chunk=mc_chunk)
+                            num_mc=num_mc, mc_chunk=mc_chunk,
+                            ws_sharding=ws_sharding)
     estep = make_eval_step(bundle.module, bundle.meta, spec, num_mc=num_mc,
-                           mc_chunk=mc_chunk)
+                           mc_chunk=mc_chunk, ws_sharding=ws_sharding)
+    if mesh is not None:
+        from multimodal_auv_tpu.parallel import mesh as M
+
+        state = M.shard_state(mesh, state,
+                              fsdp=bool(getattr(mesh_spec, "fsdp", False)))
+        tstep = M.wrap_train_step(mesh, tstep)
+        estep = M.wrap_eval_step(mesh, estep)
+        logger.info("Unimodal training on mesh %s (fsdp=%s)",
+                    dict(mesh.shape), getattr(mesh_spec, "fsdp", False))
     csv_dir = csv_dir or os.path.join(root_dir, "csvs")
     from multimodal_auv_tpu.utils.manifest import write_run_manifest
 
