@@ -423,3 +423,39 @@ def test_pipeline_mesh_batch_divisibility_guard(tmp_path, monkeypatch):
                               batch_size=3, arch=ArchConfig.micro(image_size=64),
                               mesh_spec=MeshSpec(data=2), csv_dir=str(tmp_path / "c"),
                               handle_preemption=False)
+
+
+def test_mesh_resume_matches_uninterrupted(tmp_path, monkeypatch):
+    """True resume THROUGH the mesh path: the every-epoch train-state
+    checkpoint of an FSDP-sharded run restores into the sharded template
+    and the resumed run is bit-identical to an uninterrupted one — the
+    pipeline-level integration of the dryrun's sharded save/restore
+    round-trip (__graft_entry__.py)."""
+    from tests.fixtures.make_tree import make_training_tree
+
+    from multimodal_auv_tpu.config import MeshSpec
+    from multimodal_auv_tpu.models.model_utils import ArchConfig
+    from multimodal_auv_tpu.pipelines.unimodal import run_unimodal_training
+
+    monkeypatch.chdir(tmp_path)
+    root = make_training_tree(str(tmp_path / "data"), n_samples=6)
+    kw = dict(model_type="sss", num_mc=2, batch_size=2, lr=1e-3,
+              arch=ArchConfig.micro(image_size=64), seed=0,
+              handle_preemption=False,
+              mesh_spec=MeshSpec(data=2, mc=1, fsdp=True))
+
+    s_full = run_unimodal_training(
+        root, num_epochs=3, csv_dir=str(tmp_path / "full"),
+        resume_checkpoint=str(tmp_path / "ck_full"), **kw)
+
+    run_unimodal_training(root, num_epochs=2, csv_dir=str(tmp_path / "part"),
+                          resume_checkpoint=str(tmp_path / "ck_part"), **kw)
+    s_resumed = run_unimodal_training(
+        root, num_epochs=3, csv_dir=str(tmp_path / "part"),
+        resume_checkpoint=str(tmp_path / "ck_part"), **kw)
+
+    assert len(s_resumed.post.mu.sharding.device_set) == 2
+    assert np.array_equal(np.asarray(s_full.post.mu),
+                          np.asarray(s_resumed.post.mu))
+    assert np.array_equal(np.asarray(s_full.post.rho),
+                          np.asarray(s_resumed.post.rho))
