@@ -430,28 +430,53 @@ def test_mesh_resume_matches_uninterrupted(tmp_path, monkeypatch):
     checkpoint of an FSDP-sharded run restores into the sharded template
     and the resumed run is bit-identical to an uninterrupted one — the
     pipeline-level integration of the dryrun's sharded save/restore
-    round-trip (__graft_entry__.py)."""
+    round-trip (__graft_entry__.py).
+
+    Both runs use num_epochs=3: the KL anneal weight 2^(e+1)/2^E depends
+    on the TOTAL epoch count (engine/loops.py), so the interrupted run is
+    preempted mid-epoch via a counting preemption_guard at constant
+    num_epochs — a 2-epoch run then "continuing" to 3 would be a
+    different loss schedule, not a resume (same trap pinned by
+    tests/test_engine.py::test_unimodal_resume_matches_uninterrupted)."""
     from tests.fixtures.make_tree import make_training_tree
 
     from multimodal_auv_tpu.config import MeshSpec
+    from multimodal_auv_tpu.engine.preemption import PreemptionGuard
     from multimodal_auv_tpu.models.model_utils import ArchConfig
     from multimodal_auv_tpu.pipelines.unimodal import run_unimodal_training
 
     monkeypatch.chdir(tmp_path)
     root = make_training_tree(str(tmp_path / "data"), n_samples=6)
-    kw = dict(model_type="sss", num_mc=2, batch_size=2, lr=1e-3,
-              arch=ArchConfig.micro(image_size=64), seed=0,
+    kw = dict(model_type="sss", num_epochs=3, num_mc=2, batch_size=2,
+              lr=1e-3, arch=ArchConfig.micro(image_size=64), seed=0,
               handle_preemption=False,
               mesh_spec=MeshSpec(data=2, mc=1, fsdp=True))
 
     s_full = run_unimodal_training(
-        root, num_epochs=3, csv_dir=str(tmp_path / "full"),
+        root, csv_dir=str(tmp_path / "full"),
         resume_checkpoint=str(tmp_path / "ck_full"), **kw)
 
-    run_unimodal_training(root, num_epochs=2, csv_dir=str(tmp_path / "part"),
-                          resume_checkpoint=str(tmp_path / "ck_part"), **kw)
+    class TriggerAtPoll(PreemptionGuard):
+        """Fires the cooperative stop flag at the Nth batch-boundary
+        poll — a deterministic in-process stand-in for SIGTERM."""
+
+        def __init__(self, at):
+            super().__init__(signals=())
+            self.at, self.polls = at, 0
+
+        def check(self):
+            self.polls += 1
+            if self.polls >= self.at:
+                self.triggered = True
+            return self.triggered
+
+    # 6 samples / batch 2 = 3 train batches per epoch; poll 5 lands in
+    # the middle of epoch 1, after epoch 0's boundary checkpoint exists.
+    run_unimodal_training(root, csv_dir=str(tmp_path / "part"),
+                          resume_checkpoint=str(tmp_path / "ck_part"),
+                          preemption_guard=TriggerAtPoll(5), **kw)
     s_resumed = run_unimodal_training(
-        root, num_epochs=3, csv_dir=str(tmp_path / "part"),
+        root, csv_dir=str(tmp_path / "part"),
         resume_checkpoint=str(tmp_path / "ck_part"), **kw)
 
     assert len(s_resumed.post.mu.sharding.device_set) == 2
