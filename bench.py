@@ -98,7 +98,8 @@ def _mfu(samples_per_sec, num_mc, *, train=False) -> float:
 
 def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
                 impl: str = "auto", dvp: bool = False,
-                antithetic: bool = False, fused_trunks: bool = False) -> float:
+                antithetic: bool = False, fused_trunks: bool = False,
+                pipelined: bool = False) -> float:
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -119,7 +120,8 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
         step = make_predict_step(bundle, num_mc,
                                  mc_chunk=(mc_chunk or None), impl=impl,
                                  antithetic=antithetic,
-                                 fused_trunks=fused_trunks)
+                                 fused_trunks=fused_trunks,
+                                 pipelined=pipelined)
 
     s = 256
     key = jax.random.PRNGKey(1)
@@ -339,7 +341,8 @@ def measure_train_e2e_tpu(batch: int, num_mc: int,
 
 
 def measure_train_tpu(batch: int, num_mc: int, iters: int,
-                      mc_chunk: int = 1, bf16_weights: bool = False) -> float:
+                      mc_chunk: int = 1, bf16_weights: bool = False,
+                      remat: str = "on") -> float:
     """Training-step throughput (samples/sec/chip): full MC-ELBO forward +
     backward + Adam on the 3x-ResNet-50 multimodal BNN."""
     import jax
@@ -365,7 +368,7 @@ def measure_train_tpu(batch: int, num_mc: int, iters: int,
                             step=jnp.zeros((), jnp.int32))
     step = make_train_step(bundle.module, bundle.meta, spec, tx,
                            num_mc=num_mc, mc_chunk=(mc_chunk or 1),
-                           donate=True,
+                           donate=True, remat=remat,
                            sample_dtype=jnp.bfloat16 if bf16_weights else None)
     s = 256
     key = jax.random.PRNGKey(1)
@@ -685,6 +688,18 @@ def main():
                         "loader -> epoch loop -> ledgers")
     p.add_argument("--packed", action="store_true",
                    help="train-e2e: use the decode-once packed loader")
+    p.add_argument("--remat", type=str, default="on",
+                   choices=["on", "off", "auto"],
+                   help="train-step remat policy (engine/steps.py): 'off' "
+                        "stores the MC scan residuals (faster when they "
+                        "fit), 'auto' decides from the compiled memory "
+                        "analysis with an OOM fallback")
+    p.add_argument("--pipelined", action="store_true",
+                   help="two-stage software pipeline over the MC chunk "
+                        "axis: forward chunk k while sampling chunk k+1 "
+                        "(engine/mc.py); measures whether the backend "
+                        "overlaps the VPU/HBM sampling kernel with the "
+                        "MXU convs")
     p.add_argument("--fused-trunks", action="store_true",
                    help="grouped-conv trunk fusion (models/fused.py)")
     p.add_argument("--antithetic", action="store_true",
@@ -761,11 +776,12 @@ def main():
                 value, mfu = measure_train_tpu(args.batch, args.num_mc,
                                                max(args.iters, 2),
                                                args.mc_chunk,
-                                               args.bf16_weights)
+                                               args.bf16_weights,
+                                               args.remat)
         else:
             value, mfu = measure_train_tpu(args.batch, args.num_mc,
                                            args.iters, args.mc_chunk,
-                                           args.bf16_weights)
+                                           args.bf16_weights, args.remat)
         cache_key = f"torch_cpu_train_b{args.batch}_mc{args.num_mc}"
         baseline = None
         if os.path.exists(CACHE):
@@ -800,11 +816,13 @@ def main():
             value, mfu = measure_tpu(args.batch, args.num_mc,
                                      max(args.iters, 2),
                                      args.mc_chunk, args.impl, args.dvp,
-                                     args.antithetic, args.fused_trunks)
+                                     args.antithetic, args.fused_trunks,
+                                     args.pipelined)
     else:
         value, mfu = measure_tpu(args.batch, args.num_mc, args.iters,
                                  args.mc_chunk, args.impl, args.dvp,
-                                 args.antithetic, args.fused_trunks)
+                                 args.antithetic, args.fused_trunks,
+                                 args.pipelined)
 
     cache_key = f"torch_cpu_b{args.batch}_mc{args.num_mc}"
     baseline = None

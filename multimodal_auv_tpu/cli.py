@@ -41,8 +41,39 @@ def _mesh_spec(args):
         return None
     from multimodal_auv_tpu.config import MeshSpec
 
-    return MeshSpec(data=max(args.mesh_data, 1), mc=max(args.mesh_mc, 1),
+    # data=0 means AUTO in make_mesh (n_devices // mc): forcing it to 1
+    # here made a bare --fsdp (or --mesh_mc alone) silently build a 1x1
+    # mesh, turning the flag into a no-op (round-3 advisor finding)
+    return MeshSpec(data=max(args.mesh_data, 0), mc=max(args.mesh_mc, 1),
                     fsdp=args.fsdp)
+
+
+def _add_dist_flags(parser):
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="Multi-host training: coordinator address "
+                             "'host:port' (jax.distributed). Every host "
+                             "runs this same command with its own "
+                             "--process_id; env fallback AUV_COORDINATOR/"
+                             "AUV_NUM_PROCESSES/AUV_PROCESS_ID.")
+    parser.add_argument("--num_processes", type=int, default=0,
+                        help="Multi-host: total number of host processes.")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="Multi-host: this host's process index (0 is "
+                             "the coordinator and owns the CSV/TB ledgers).")
+    parser.add_argument("--dist_timeout", type=int, default=300,
+                        help="Multi-host: coordinator rendezvous timeout "
+                             "(seconds).")
+
+
+def _dist_spec(args):
+    if args.num_processes and args.num_processes > 1:
+        from multimodal_auv_tpu.config import DistSpec
+
+        return DistSpec(coordinator=args.coordinator,
+                        num_processes=args.num_processes,
+                        process_id=args.process_id,
+                        initialization_timeout=args.dist_timeout)
+    return None  # pipelines still consult the AUV_* env (DistSpec.from_env)
 
 
 def data_preparation_cli(argv=None):
@@ -167,6 +198,7 @@ def retraining_cli(argv=None):
                              "fine-tuning with frozen ResNet trunks).")
     parser.add_argument("--mc_chunk", type=int, default=1)
     _add_mesh_flags(parser)
+    _add_dist_flags(parser)
     parser.add_argument("--tiny", action="store_true", help=argparse.SUPPRESS)
     args = parser.parse_args(argv)
 
@@ -200,6 +232,7 @@ def retraining_cli(argv=None):
             arch=_arch(args),
             mc_chunk=args.mc_chunk,
             mesh_spec=_mesh_spec(args),
+            dist_spec=_dist_spec(args),
             preemption_guard=guard,
         )
     if guard.triggered:
@@ -244,6 +277,7 @@ def training_from_scratch_cli(argv=None):
                              "MOPED-initialise all three feature trunks "
                              "(offline stand-in for IMAGENET1K_V1)")
     _add_mesh_flags(parser)
+    _add_dist_flags(parser)
     parser.add_argument("--tiny", action="store_true", help=argparse.SUPPRESS)
     args = parser.parse_args(argv)
 
@@ -276,6 +310,7 @@ def training_from_scratch_cli(argv=None):
             async_checkpoints=args.async_checkpoints,
             resume_checkpoint=args.resume_checkpoint,
             mesh_spec=_mesh_spec(args),
+            dist_spec=_dist_spec(args),
             preemption_guard=guard,
         )
     if guard.triggered:

@@ -83,6 +83,36 @@ class MeshSpec:
 
 
 @dataclass(frozen=True)
+class DistSpec:
+    """Multi-host launch spec — the production wiring for the reference's
+    dormant DDP path (train/multimodal.py:109-110, SURVEY.md §2.8). Every
+    host runs the SAME pipeline command with its own ``process_id``; the
+    pipelines call ``jax.distributed.initialize`` before any device query,
+    build the mesh over the GLOBAL device set, feed per-host batch slices
+    (data/loaders.py::HostShardLoader), and gate CSV/TB/manifest writers
+    on process 0. ``from_env`` reads AUV_COORDINATOR / AUV_NUM_PROCESSES /
+    AUV_PROCESS_ID so fleet launchers can inject the topology without
+    flag plumbing."""
+
+    coordinator: Optional[str] = None
+    num_processes: int = 1
+    process_id: Optional[int] = None
+    initialization_timeout: int = 300
+
+    @classmethod
+    def from_env(cls) -> Optional["DistSpec"]:
+        import os
+
+        coord = os.environ.get("AUV_COORDINATOR")
+        nproc = os.environ.get("AUV_NUM_PROCESSES")
+        if not coord or not nproc or int(nproc) <= 1:
+            return None
+        pid = os.environ.get("AUV_PROCESS_ID")
+        return cls(coordinator=coord, num_processes=int(nproc),
+                   process_id=int(pid) if pid is not None else None)
+
+
+@dataclass(frozen=True)
 class RunConfig:
     num_classes: int = 7
     bnn: BNNPriorSpec = field(default_factory=BNNPriorSpec)

@@ -127,12 +127,19 @@ class DataLoader:
             batches.pop()
         return batches
 
+    def _load_samples(self, b: List[int], mapper) -> List[Any]:
+        """Materialise the samples for one index batch. ``mapper`` is
+        ``map`` (num_workers=0) or a thread pool's ``map``. Subclasses
+        (HostShardLoader) override this to decode only the rows this host
+        owns."""
+        return list(mapper(self.dataset.__getitem__, b))
+
     def __iter__(self) -> Iterator:
         batches = self._index_batches()
         self._epoch += 1
         if self.num_workers == 0:
             for b in batches:
-                yield _collate([self.dataset[i] for i in b])
+                yield _collate(self._load_samples(b, map))
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -160,7 +167,7 @@ class DataLoader:
                     if stop.is_set():
                         return
                     try:
-                        samples = list(pool.map(self.dataset.__getitem__, b))
+                        samples = self._load_samples(b, pool.map)
                         if not put(_collate(samples)):
                             return
                     except Exception as e:  # propagate to consumer
@@ -180,6 +187,79 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+
+class HostShardLoader(DataLoader):
+    """Multi-host data feeding: the torch-DistributedSampler analogue for
+    the SPMD training pipelines (SURVEY.md §2.8; the reference's dormant
+    DDP path, train/multimodal.py:109-110).
+
+    Every host iterates the SAME global index order (same seed + pinned
+    shuffle epoch, so the epoch loops stay bit-reproducible), but decodes
+    ONLY its contiguous row-slice ``[pi*B/P, (pi+1)*B/P)`` of each global
+    batch — IO and decode scale with 1/P. Yielded batches are
+    GLOBAL-shaped: owned rows carry real pixels, unowned image rows are
+    zero-filled placeholders (labels are filled globally from
+    ``dataset.labels`` without any decode, so eval ledgers see true
+    labels). The multi-host step wrappers
+    (parallel/distributed.py::wrap_*_step_multihost) slice the owned rows
+    back out and assemble the true global device batch via
+    ``jax.make_array_from_process_local_data`` — placeholder rows never
+    reach a device. Row slots this host owns but the ragged tail leaves
+    empty are padded by the epoch loops' ``_pad_batch`` and masked out of
+    every reduction, so pad/placeholder CONTENT cannot affect results."""
+
+    def __init__(self, dataset, batch_size: int, *,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None, **kw):
+        super().__init__(dataset, batch_size, **kw)
+        import jax
+
+        pi = jax.process_index() if process_index is None else process_index
+        pc = jax.process_count() if process_count is None else process_count
+        if batch_size % pc:
+            raise ValueError(
+                f"batch_size ({batch_size}) must be divisible by the "
+                f"process count ({pc}) — every host feeds an equal slice "
+                f"of each global batch")
+        self.process_index, self.process_count = pi, pc
+        self.rows_per_host = batch_size // pc
+        self._zero_template = None
+
+    @classmethod
+    def from_loader(cls, loader: DataLoader,
+                    process_index: Optional[int] = None,
+                    process_count: Optional[int] = None) -> "HostShardLoader":
+        out = cls(loader.dataset, loader.batch_size, shuffle=loader.shuffle,
+                  num_workers=loader.num_workers, drop_last=loader.drop_last,
+                  seed=loader.seed, prefetch=loader.prefetch,
+                  process_index=process_index, process_count=process_count)
+        out._epoch = loader._epoch
+        return out
+
+    def _placeholder(self, label) -> Any:
+        if self._zero_template is None:
+            import jax
+
+            self._zero_template = jax.tree_util.tree_map(
+                np.zeros_like, self.dataset[0])
+        out = dict(self._zero_template)  # nested arrays shared (read-only)
+        out["label"] = np.int32(label)
+        return out
+
+    def _load_samples(self, b: List[int], mapper) -> List[Any]:
+        lo = self.process_index * self.rows_per_host
+        hi = min(lo + self.rows_per_host, len(b))
+        owned = self._load_owned(b[lo:hi] if lo < len(b) else [], mapper)
+        labels = getattr(self.dataset, "labels", None)
+        return [
+            owned[j - lo] if lo <= j < hi
+            else self._placeholder(labels[i] if labels is not None else 0)
+            for j, i in enumerate(b)
+        ]
+
+    def _load_owned(self, idx: List[int], mapper) -> List[Any]:
+        return list(mapper(self.dataset.__getitem__, idx))
 
 
 def prepare_datasets_and_loaders(

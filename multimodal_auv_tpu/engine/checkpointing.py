@@ -68,6 +68,15 @@ def save_pytree(path: str, tree: Any, *, async_save: bool = False) -> str:
     serialises back-to-back async saves internally; call
     ``wait_for_saves()`` before reading the checkpoint or exiting)."""
     path = os.path.abspath(path)
+    if jax.process_count() > 1:
+        # Sharded multi-host saves are collective: per-process paths would
+        # DEADLOCK at the orbax commit rendezvous (each process waiting in
+        # its own directory), not error. Fail fast and symmetrically.
+        from multimodal_auv_tpu.parallel.distributed import (
+            assert_same_across_processes,
+        )
+
+        assert_same_across_processes("checkpoint path", path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     if not async_save:
         # A synchronous save (e.g. the epoch loops' crash-save running with
@@ -88,6 +97,15 @@ def restore_pytree(path: str, target: Optional[Any] = None) -> Any:
     import orbax.checkpoint as ocp
 
     wait_for_saves()  # never read a checkpoint a background save is writing
+    if target is not None and jax.process_count() > 1:
+        # sharded-template restores are collective too (each process reads
+        # the shards it owns) — same uniform-path requirement as save
+        from multimodal_auv_tpu.parallel.distributed import (
+            assert_same_across_processes,
+        )
+
+        assert_same_across_processes("checkpoint path",
+                                     os.path.abspath(path))
     ckptr = _checkpointer()
     if target is not None:
         restore_args = ocp.checkpoint_utils.construct_restore_args(target)

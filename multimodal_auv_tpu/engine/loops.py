@@ -9,6 +9,7 @@ the reference are documented at their site.
 from __future__ import annotations
 
 import csv
+import io
 import logging
 import os
 from pathlib import Path
@@ -100,6 +101,32 @@ class _LaggedFetch:
         return idx, self._fetch(m)
 
 
+class _NullCSVWriter:
+    """csv.writer stand-in for non-coordinator processes in multi-host
+    runs: every process runs the identical epoch loop (the metrics are
+    replicated collective outputs), but only process 0 may append ledger
+    rows — P identical writers on a shared filesystem would interleave
+    duplicate rows. Checkpoint saves are NOT gated: sharded orbax writes
+    are collective (engine/checkpointing.py)."""
+
+    def writerow(self, row):
+        pass
+
+
+def _ledger_open(csv_path):
+    """Coordinator-gated CSV ledger: (file, writer, write_header).
+    Non-coordinator processes in multi-host runs must not even OPEN the
+    shared-filesystem path — open(mode="a") CREATES the file, racing the
+    coordinator's header-if-new check (the coordinator can then see an
+    existing-but-empty file and skip the header row). They get a discarded
+    in-memory buffer and a no-op writer instead."""
+    if jax.process_index() != 0:
+        return io.StringIO(), _NullCSVWriter(), False
+    exists = os.path.isfile(csv_path)
+    f = open(csv_path, mode="a", newline="")
+    return f, csv.writer(f), not exists
+
+
 def _pad_batch(arrays, labels, nominal: int):
     """Pad ragged final batches to the nominal size; returns mask."""
     n = labels.shape[0]
@@ -158,13 +185,12 @@ def train_multimodal_model(
     skips its epoch-boundary save so the resume checkpoint stays at the
     last completed epoch."""
     csv_path = str(Path(csv_path))
-    file_exists = os.path.isfile(csv_path)
     sss_size = _patch_size_str(sss_patch_type, "sss")
     bathy_size = _patch_size_str(bathy_patch_type, "bathy")
     try:
-        with open(csv_path, mode="a", newline="") as csvfile:
-            writer = csv.writer(csvfile)
-            if not file_exists:
+        csvfile, writer, write_header = _ledger_open(csv_path)
+        with csvfile:
+            if write_header:
                 writer.writerow(["Epoch", "Model type", "Loss", "Accuracy",
                                  "lr", "kl loss", "cross entropy loss",
                                  "SSS Patch Type", "Channel Patch Type"])
@@ -267,11 +293,10 @@ def evaluate_multimodal_model(
     entropy-decomposition uncertainty family; KL scaled by len(dataloader)
     then kl_weight. Returns test_accuracy."""
     csv_path = str(Path(csv_path))
-    file_exists = os.path.isfile(csv_path)
     try:
-        with open(csv_path, mode="a", newline="") as csvfile:
-            writer = csv.writer(csvfile)
-            if not file_exists:
+        csvfile, writer, write_header = _ledger_open(csv_path)
+        with csvfile:
+            if write_header:
                 writer.writerow(["Epoch", "Model Type", "Test Loss",
                                  "Test Accuracy", "Predictive Uncertainty",
                                  "Model Uncertainty", "Scaled KL",
@@ -320,8 +345,9 @@ def evaluate_multimodal_model(
 
             test_accuracy = correct / max(total, 1.0)
             test_loss = total_loss / max(len(dataloader), 1)
-            save_confusion_matrix(all_lab, all_pred, csv_path, model_type,
-                                  epoch, class_names)
+            if jax.process_index() == 0:
+                save_confusion_matrix(all_lab, all_pred, csv_path,
+                                      model_type, epoch, class_names)
             writer.writerow([
                 epoch + 1, model_type, test_loss, test_accuracy,
                 float(np.mean(all_predictive)) if all_predictive else 0.0,
@@ -363,11 +389,10 @@ def train_unimodal_model(
     bind the outputs by name, never by porting the other loop's
     destructuring."""
     csv_path = str(Path(csv_path))
-    file_exists = os.path.isfile(csv_path)
     try:
-        with open(csv_path, mode="a", newline="") as csvfile:
-            writer = csv.writer(csvfile)
-            if not file_exists:
+        csvfile, writer, write_header = _ledger_open(csv_path)
+        with csvfile:
+            if write_header:
                 writer.writerow(["Epoch", "Model type", "Loss", "Accuracy", "lr"])
 
             total_loss, correct, total = 0.0, 0.0, 0.0
@@ -436,11 +461,10 @@ def evaluate_unimodal_model(
     ["Epoch","Model Type","Test Loss","Test Accuracy",
     "predictive_uncertainty","model_uncertainty"]."""
     csv_path = str(Path(csv_path))
-    file_exists = os.path.isfile(csv_path)
     try:
-        with open(csv_path, mode="a", newline="") as csvfile:
-            writer = csv.writer(csvfile)
-            if not file_exists:
+        csvfile, writer, write_header = _ledger_open(csv_path)
+        with csvfile:
+            if write_header:
                 writer.writerow(["Epoch", "Model Type", "Test Loss",
                                  "Test Accuracy", "predictive_uncertainty",
                                  "model_uncertainty"])
@@ -481,8 +505,9 @@ def evaluate_unimodal_model(
 
             accuracy = correct / max(total, 1.0)
             avg_loss = total_loss / max(total, 1.0)
-            save_confusion_matrix(all_lab, all_pred, csv_path, model_type,
-                                  epoch, class_names)
+            if jax.process_index() == 0:
+                save_confusion_matrix(all_lab, all_pred, csv_path,
+                                      model_type, epoch, class_names)
             writer.writerow([
                 epoch + 1, model_type, avg_loss, accuracy,
                 float(np.mean(all_epi)) if all_epi else 0.0,

@@ -50,6 +50,7 @@ def mc_logits(
     batch_mask=None,
     return_batch_stats: bool = False,
     split_sampling: bool = False,
+    pipelined: bool = False,
 ) -> jax.Array:
     """Stacked logits over MC draws: (num_mc, batch, num_classes).
 
@@ -89,7 +90,17 @@ def mc_logits(
     IGNORED (stacked path) when combined with ``antithetic``,
     ``ws_sharding`` or ``return_batch_stats``, whose draw consumption
     (mirror pairing / cross-chip sharding / sequential BN chaining) needs
-    the stacked layout."""
+    the stacked layout.
+
+    ``pipelined``: two-stage software pipeline over the draw axis —
+    iteration k of the scan runs forward(w_k) from the CARRY while
+    sampling w_{k+1} (no data dependence between the two: the sampling
+    kernel is VPU/HBM-bound, the convs MXU-bound). If the backend can
+    overlap them the step cost drops from sum(S + C·b) toward
+    sum(max(S, C·b)). Opt-in, inference-only (requires remat=False;
+    incompatible with antithetic / ws_sharding / return_batch_stats /
+    mc_chunk>1 — silently ignored there, same hint semantics as
+    ``split_sampling``, which it supersedes when active)."""
     draws_per_chunk = mc_chunk * (2 if antithetic else 1)
     if num_mc % draws_per_chunk != 0:
         raise ValueError(
@@ -183,6 +194,39 @@ def mc_logits(
         new_bs, logits = _dispatch_chunks(chunk_step_bs, batch_stats, key,
                                           nchunks, num_mc)
         return logits, new_bs
+
+    # Two-stage software pipeline over the chunk axis (VERDICT r3 #3):
+    # the scan CARRIES chunk k's sampled weights and each iteration runs
+    # chunk k's forwards while launching chunk k+1's sampling kernel —
+    # the two have no data dependence (different PRNG keys), so a backend
+    # that can overlap a VPU/HBM-bound kernel with MXU-bound convs bounds
+    # the draw loop at ~max(S, C·b) instead of S + C·b. Keys and the
+    # split-kernel consumption pattern are IDENTICAL to the split path
+    # (same jax.random.split(key, nchunks) order): each draw consumes the
+    # same weights, and logits agree to program-schedule fusion rounding
+    # (the bodies are different XLA programs; bf16 fusions may round
+    # differently — estimator semantics unchanged).
+    # Inference-only hint: silently inactive under remat / antithetic /
+    # mc-sharding / chained BN / single-chunk programs.
+    if (pipelined and not remat and not return_batch_stats
+            and not antithetic and ws_sharding is None and nchunks >= 2):
+        def chunk_sample(k):
+            return tuple(gaussian_shift_scale_split(
+                mu, sigma, k, num_draws=mc_chunk, impl=impl,
+                out_dtype=sample_dtype))
+
+        keys = jax.random.split(key, nchunks)
+        ws0 = chunk_sample(keys[0])
+
+        def body(ws_k, key_next):
+            ws_next = chunk_sample(key_next)
+            return ws_next, jnp.stack([fwd(w) for w in ws_k])
+
+        ws_last, logits = jax.lax.scan(body, ws0, keys[1:])
+        last = jnp.stack([fwd(w) for w in ws_last])
+        logits = jnp.concatenate(
+            [logits.reshape((-1,) + logits.shape[2:]), last], axis=0)
+        return logits
 
     # split_sampling is a hint (see docstring): antithetic / mc-sharded
     # consumption needs the stacked layout, so those flags win silently.

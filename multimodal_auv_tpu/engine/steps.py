@@ -38,7 +38,8 @@ from multimodal_auv_tpu.engine.optim import BayesTrainState
 def make_elbo_loss_fn(module, meta, spec: BNNPriorSpec, num_mc: int, *,
                       mc_chunk: int = 1, impl: str = "auto",
                       sample_dtype=None, packed_inputs: bool = False,
-                      chained_bn: bool = True, ws_sharding=None):
+                      chained_bn: bool = True, ws_sharding=None,
+                      remat: bool = True):
     """The training ELBO exactly as ``make_train_step`` differentiates it
     (reference semantics: train/multimodal.py:104-130). Factored out so the
     torch-twin training-gradient parity golden (tests/test_train_parity.py)
@@ -58,14 +59,14 @@ def make_elbo_loss_fn(module, meta, spec: BNNPriorSpec, num_mc: int, *,
         if chained_bn:
             logits, new_bs = mc_logits(
                 module, meta, post, batch_stats, inputs, key, num_mc,
-                mc_chunk=mc_chunk, impl=impl, train=True, remat=True,
+                mc_chunk=mc_chunk, impl=impl, train=True, remat=remat,
                 batch_mask=mask, return_batch_stats=True,
                 sample_dtype=sample_dtype, cast_posterior=False)
         else:
             new_bs = None
             logits = mc_logits(module, meta, post, batch_stats, inputs, key,
                                num_mc, mc_chunk=mc_chunk, impl=impl,
-                               train=True, remat=True,
+                               train=True, remat=remat,
                                ws_sharding=ws_sharding, batch_mask=mask,
                                sample_dtype=sample_dtype,
                                cast_posterior=False)
@@ -79,11 +80,87 @@ def make_elbo_loss_fn(module, meta, spec: BNNPriorSpec, num_mc: int, *,
     return loss_fn
 
 
+def _device_memory_budget(headroom: float = 0.95):
+    """Usable accelerator memory in bytes (None when the backend doesn't
+    report it, e.g. CPU): ``bytes_limit`` x headroom."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        limit = (stats or {}).get("bytes_limit")
+        return int(limit * headroom) if limit else None
+    except Exception:
+        return None
+
+
+class _AutoRematTrainStep:
+    """remat="auto" (VERDICT r3 #4): the per-draw remat exists only to keep
+    training memory flat in num_mc — but it pays a full re-forward in every
+    backward (~22 of 34 ms/draw at b12x12MC, BENCH_NOTES). When the
+    no-remat program's residuals FIT the chip, paying them in HBM is free
+    throughput. Resolution happens on the FIRST call, with the real args:
+
+      1. AOT-compile the remat=False program and read the compiled
+         memory_analysis(); accept it when temp+args+outputs fit the
+         device budget (bytes_limit x 0.95).
+      2. On a budget miss, an un-analysable backend (CPU reports no
+         bytes_limit -> conservative), or RESOURCE_EXHAUSTED at compile or
+         first execution, fall back to the remat=True program.
+
+    The resolved executable is cached; later calls pay nothing."""
+
+    def __init__(self, build, budget_bytes=None):
+        self._build = build  # build(remat: bool) -> jitted step
+        self._budget = budget_bytes
+        self._step = None
+        self.remat_used = None
+
+    def _fits(self, compiled) -> bool:
+        budget = (self._budget if self._budget is not None
+                  else _device_memory_budget())
+        if budget is None:
+            return False  # unanalysable backend: keep the safe program
+        m = compiled.memory_analysis()
+        if m is None:
+            return False
+        need = (int(m.temp_size_in_bytes) + int(m.argument_size_in_bytes)
+                + int(m.output_size_in_bytes) - int(m.alias_size_in_bytes))
+        logger = __import__("logging").getLogger(__name__)
+        logger.info("remat=auto: no-remat program needs %.2f GB "
+                    "(temp %.2f + args %.2f + out %.2f - alias %.2f), "
+                    "budget %.2f GB", need / 2**30,
+                    m.temp_size_in_bytes / 2**30,
+                    m.argument_size_in_bytes / 2**30,
+                    m.output_size_in_bytes / 2**30,
+                    m.alias_size_in_bytes / 2**30, budget / 2**30)
+        return need <= budget
+
+    def __call__(self, *args):
+        if self._step is None:
+            self._step = self._resolve(args)
+        return self._step(*args)
+
+    def _resolve(self, args):
+        # No probe EXECUTION here: the decision is the allocator's own
+        # compile-time numbers, and a donated-input step could not be
+        # safely retried after a mid-execution failure anyway.
+        try:
+            compiled = self._build(False).lower(*args).compile()
+            if self._fits(compiled):
+                self.remat_used = False
+                return compiled
+        except Exception as e:
+            msg = str(e).lower()
+            if ("resource_exhausted" not in msg
+                    and "out of memory" not in msg):
+                raise  # only OOM falls back; real errors surface
+        self.remat_used = True
+        return self._build(True)
+
+
 def make_train_step(module, meta, spec: BNNPriorSpec, tx, num_mc: int, *,
                     mc_chunk: int = 1, impl: str = "auto",
                     update_batch_stats: bool = True, ws_sharding=None,
                     donate: bool = False, sample_dtype=None,
-                    packed_inputs: bool = False):
+                    packed_inputs: bool = False, remat="on"):
     """Returns jitted (state, inputs, labels, mask, key, kl_weight,
     batch_size_scale) -> (state, metrics). ``mask`` is f32[batch]
     (1.0 = real row, 0.0 = ragged-tail padding) and sits BEFORE ``key`` —
@@ -108,14 +185,29 @@ def make_train_step(module, meta, spec: BNNPriorSpec, tx, num_mc: int, *,
     weight vector is emitted bf16, matching the bf16 activations the convs
     already run in. Removes the per-draw f32->bf16 weight converts and
     halves the weight-cotangent concat traffic (BENCH_NOTES.md). ``None``
-    (default) keeps full-f32 reference semantics."""
+    (default) keeps full-f32 reference semantics.
+
+    ``remat``: "on" (default — per-draw sampling+forward checkpointing,
+    memory flat in num_mc), "off" (store residuals; faster when they fit),
+    or "auto" (resolve on the first call from the compiled program's
+    memory analysis, with an OOM fallback — see _AutoRematTrainStep)."""
+    if remat == "auto":
+        kw = dict(mc_chunk=mc_chunk, impl=impl,
+                  update_batch_stats=update_batch_stats,
+                  ws_sharding=ws_sharding, donate=donate,
+                  sample_dtype=sample_dtype, packed_inputs=packed_inputs)
+        return _AutoRematTrainStep(
+            lambda r: make_train_step(module, meta, spec, tx, num_mc,
+                                      remat=r, **kw))
+    remat = remat if isinstance(remat, bool) else {"on": True,
+                                                   "off": False}[remat]
     chained_bn = update_batch_stats and ws_sharding is None
     loss_fn = make_elbo_loss_fn(module, meta, spec, num_mc,
                                 mc_chunk=mc_chunk, impl=impl,
                                 sample_dtype=sample_dtype,
                                 packed_inputs=packed_inputs,
                                 chained_bn=chained_bn,
-                                ws_sharding=ws_sharding)
+                                ws_sharding=ws_sharding, remat=remat)
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: BayesTrainState, inputs, labels, mask, key, kl_weight,

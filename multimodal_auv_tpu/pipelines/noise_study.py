@@ -72,10 +72,17 @@ def evaluate_with_degradation(
     bathy_patch_type: Optional[str] = None,
     sss_patch_type: Optional[str] = None,
     modality: str = "multimodal",
+    strict_errors: bool = False,
 ) -> dict:
     """Degraded MC evaluation epoch with the noise study's extended metric
     set. Writes the standard eval CSV row, then appends AUROC / F1 / ECE /
-    Emax / Turbidity / Depth and the per-sample CSV."""
+    Emax / Turbidity / Depth and the per-sample CSV.
+
+    ``strict_errors=False`` keeps the reference's behavior of logging and
+    continuing when an extended metric cannot be computed (e.g. AUROC with
+    a degenerate error set — "Example training with image noise.py"
+    wraps each in try/except); ``True`` re-raises instead of shipping a
+    sweep CSV with silently missing columns."""
     import csv as _csv
 
     kl_weight = kl_annealing_weight(epoch, total_num_epochs)
@@ -146,6 +153,8 @@ def evaluate_with_degradation(
             all_pred, all_lab, all_predictive)
         results["auroc"] = float(extend["uncertainty_error_auroc"])
     except Exception as e:
+        if strict_errors:
+            raise
         logger.warning("Could not calculate Uncertainty-Error AUROC: %s", e)
     try:
         probs = np.concatenate([p for p in all_mean_softmax if p is not None])
@@ -155,6 +164,8 @@ def evaluate_with_degradation(
                        "Emax": "%.4f" % emax})
         results.update({"f1": f1, "ece": ece, "emax": emax})
     except Exception as e:
+        if strict_errors:
+            raise
         logger.warning("Could not compute F1/ECE/Emax: %s", e)
     extend["Turbidity"] = "%.3f" % ((turbidity_range[0] + turbidity_range[1]) / 2)
     extend["Depth"] = str(depth_value)
@@ -180,6 +191,7 @@ def run_noise_study(
     bathy_patch_type: Optional[str] = None,
     sss_patch_type: Optional[str] = None,
     modality: str = "multimodal",
+    strict_errors: bool = False,
 ) -> List[dict]:
     """Sweep driver: 6 turbidity centers linspace(0.05, 2.05) x depth levels
     (pass 6 levels for the `_safe` variant). Per step: optional degraded
@@ -187,7 +199,9 @@ def run_noise_study(
 
     ``modality='image'`` runs the unimodal variant ("Example unimodal
     training with image noise.py" — degradation on the optical input of a
-    single-trunk BNN)."""
+    single-trunk BNN). ``strict_errors``: re-raise extended-metric
+    failures instead of the reference's warn-and-continue (see
+    evaluate_with_degradation)."""
     if turbidity_centers is None:
         turbidity_centers = np.linspace(0.05, 2.05, 6)
     arch = arch or ArchConfig()
@@ -259,7 +273,8 @@ def run_noise_study(
                 csv_path=csv_path, model_type=modality, key=ke,
                 turbidity_range=trange, depth_value=float(depth),
                 bathy_patch_type=bathy_patch_type,
-                sss_patch_type=sss_patch_type, modality=modality)
+                sss_patch_type=sss_patch_type, modality=modality,
+                strict_errors=strict_errors)
             res.update({"turbidity": float(center), "depth": float(depth)})
             all_results.append(res)
     return all_results

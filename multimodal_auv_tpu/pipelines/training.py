@@ -66,9 +66,25 @@ def _train_multimodal_common(
     preemption_guard=None,
     mesh_spec=None,
 ):
+    from multimodal_auv_tpu.parallel.distributed import is_coordinator
+    from multimodal_auv_tpu.utils.tb import NullSummaryWriter
+
     log_dir = setup_pipeline_logging()
-    sum_writer = SummaryWriter(os.path.join("tensorboard_logs",
-                                            os.path.basename(log_dir)))
+    # multi-host: process 0 owns every ledger (TB events, manifest, CSV
+    # rows via engine/loops._ledger_writer); checkpoints stay collective
+    multihost = jax.process_count() > 1
+    sum_writer = (SummaryWriter(os.path.join("tensorboard_logs",
+                                             os.path.basename(log_dir)))
+                  if is_coordinator() else NullSummaryWriter())
+    if multihost and mesh_spec is None:
+        raise ValueError(
+            "multi-host training requires a mesh_spec (the global batch "
+            "must be sharded over a 'data' mesh axis spanning all hosts)")
+    if multihost and use_packed_loader:
+        raise NotImplementedError(
+            "use_packed_loader is not yet supported with multi-host "
+            "training — use the standard loaders (each host decodes only "
+            "its 1/P slice of every batch)")
 
     if use_packed_loader:
         # decode-once epochs: uint8 memmap batches, normalize on-chip
@@ -152,16 +168,36 @@ def _train_multimodal_common(
 
         state = M.shard_state(mesh, state,
                               fsdp=bool(getattr(mesh_spec, "fsdp", False)))
-        train_step = M.wrap_train_step(mesh, train_step)
-        eval_step = M.wrap_eval_step(mesh, eval_step)
-        logger.info("Training on mesh %s (fsdp=%s)", dict(mesh.shape),
-                    getattr(mesh_spec, "fsdp", False))
+        if multihost:
+            from multimodal_auv_tpu.data.loaders import HostShardLoader
+            from multimodal_auv_tpu.parallel.distributed import (
+                check_multihost_mesh,
+                wrap_eval_step_multihost,
+                wrap_train_step_multihost,
+            )
+
+            check_multihost_mesh(mesh)
+            train_loader = HostShardLoader.from_loader(train_loader)
+            test_loader = HostShardLoader.from_loader(test_loader)
+            train_step = wrap_train_step_multihost(mesh, train_step)
+            eval_step = wrap_eval_step_multihost(mesh, eval_step)
+            logger.info(
+                "Multi-host training: process %d/%d, mesh %s (fsdp=%s), "
+                "each host feeds %d of every %d-row batch",
+                jax.process_index(), jax.process_count(), dict(mesh.shape),
+                getattr(mesh_spec, "fsdp", False),
+                train_loader.rows_per_host, batch_size_multimodal)
+        else:
+            train_step = M.wrap_train_step(mesh, train_step)
+            eval_step = M.wrap_eval_step(mesh, eval_step)
+            logger.info("Training on mesh %s (fsdp=%s)", dict(mesh.shape),
+                        getattr(mesh_spec, "fsdp", False))
     scheduler = StepLR(lr, scheduler_step_size, scheduler_gamma)
 
     class_names = list(dataset.label_encoder.classes_)
     from multimodal_auv_tpu.utils.manifest import write_run_manifest
 
-    write_run_manifest(os.path.join(root_dir, "csvs"), "multimodal_training", {
+    manifest = {
         "root_dir": root_dir, "num_classes": num_classes, "lr": lr,
         "weight_decay": weight_decay, "num_epochs": num_epochs,
         "num_mc": num_mc, "batch_size": batch_size_multimodal,
@@ -178,7 +214,11 @@ def _train_multimodal_common(
         "class_names": class_names,
         "mesh": (dict(data=mesh_spec.data, mc=mesh_spec.mc,
                       fsdp=mesh_spec.fsdp) if mesh_spec is not None else None),
-    })
+        "num_processes": jax.process_count(),
+    }
+    if is_coordinator():
+        write_run_manifest(os.path.join(root_dir, "csvs"),
+                           "multimodal_training", manifest)
     # preemptible-fleet realism (engine/preemption.py): SIGTERM stops at
     # the next batch boundary, drains async saves, and leaves the resume
     # checkpoint at the last completed epoch
@@ -241,6 +281,7 @@ def run_AUV_training_from_scratch(
     handle_preemption: bool = True,
     preemption_guard=None,
     mesh_spec=None,
+    dist_spec=None,
 ) -> bool:
     """Signature parity with functions.py:361-374 (``devices`` accepted for
     API compatibility; placement is mesh-driven on TPU).
@@ -248,8 +289,18 @@ def run_AUV_training_from_scratch(
     ``pretrained_trunks``: optional path to a torchvision-*named* ResNet-50
     state dict; MOPED-initialises all three feature trunks — the offline
     equivalent of the reference's IMAGENET1K_V1 download
-    (models/model_utils.py:26-64)."""
+    (models/model_utils.py:26-64).
+
+    ``dist_spec`` (config.DistSpec, or AUV_* env vars): multi-host launch
+    — every host runs this same call; jax.distributed is initialized
+    before any device query, the mesh spans all hosts' chips, each host
+    decodes 1/P of every batch, and only process 0 writes ledgers."""
     try:
+        from multimodal_auv_tpu.parallel.distributed import (
+            maybe_initialize_distributed,
+        )
+
+        maybe_initialize_distributed(dist_spec)
         spec = (BNNPriorSpec.from_dict(const_bnn_prior_parameters)
                 if isinstance(const_bnn_prior_parameters, dict)
                 else const_bnn_prior_parameters)
@@ -328,13 +379,20 @@ def run_auv_retraining(
     handle_preemption: bool = True,
     preemption_guard=None,
     mesh_spec=None,
+    dist_spec=None,
 ) -> bool:
     """Foundation-model retraining (functions.py:84-258): pretrained HF
     weights, fc2 head swapped when num_classes != 7, then multimodal
     fine-tuning. ``freeze_backbone=True`` trains only the fusion head
     (attention_*, fc/fc1/fc2) — BASELINE configs[3]'s frozen-backbone
-    workload, which the reference gestures at but cannot express."""
+    workload, which the reference gestures at but cannot express.
+    ``dist_spec``: multi-host launch, see run_AUV_training_from_scratch."""
     try:
+        from multimodal_auv_tpu.parallel.distributed import (
+            maybe_initialize_distributed,
+        )
+
+        maybe_initialize_distributed(dist_spec)
         spec = (BNNPriorSpec.from_dict(const_bnn_prior_parameters)
                 if isinstance(const_bnn_prior_parameters, dict)
                 else (const_bnn_prior_parameters or BNNPriorSpec()))

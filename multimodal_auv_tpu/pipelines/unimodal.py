@@ -133,10 +133,13 @@ def run_unimodal_training(
     mc_chunk: int = 1,
     seed: int = 0,
     skip_epoch_zero: bool = True,
+    strict_errors: bool = False,
+    async_checkpoints: bool = False,
     resume_checkpoint: Optional[str] = None,
     handle_preemption: bool = True,
     preemption_guard=None,
     mesh_spec=None,
+    dist_spec=None,
 ) -> BayesTrainState:
     """Train + evaluate one unimodal BNN (metrics CSVs + confusion
     matrices), the configs[1] workload. ``resume_checkpoint`` enables the
@@ -145,7 +148,23 @@ def run_unimodal_training(
     (engine/preemption.py). ``mesh_spec`` (config.MeshSpec) trains
     data-parallel over a device mesh with optional FSDP posterior sharding
     and 'mc' ensemble parallelism — same contract as the multimodal
-    pipeline (pipelines/training.py)."""
+    pipeline (pipelines/training.py). ``dist_spec`` (config.DistSpec or
+    AUV_* env): multi-host launch — same contract as
+    run_AUV_training_from_scratch. ``strict_errors``/``async_checkpoints``
+    propagate to the epoch loops — same quirk switches as the multimodal
+    pipeline (strict_errors=False keeps the reference's swallow-into-zeros
+    crash-save behavior; True re-raises after the crash-save)."""
+    from multimodal_auv_tpu.parallel.distributed import (
+        is_coordinator,
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed(dist_spec)
+    multihost = jax.process_count() > 1
+    if multihost and mesh_spec is None:
+        raise ValueError(
+            "multi-host training requires a mesh_spec (the global batch "
+            "must be sharded over a 'data' mesh axis spanning all hosts)")
     arch = arch or ArchConfig()
     spec = BNNPriorSpec()
     (tl, te, _, _, actual_classes, dataset) = prepare_datasets_and_loaders(
@@ -170,6 +189,9 @@ def run_unimodal_training(
                 f"'data' axis ({mesh.shape['data']})")
         if mesh.shape["mc"] > 1:
             if mc_chunk % mesh.shape["mc"]:
+                logger.info("mesh mc=%d: raising mc_chunk %d -> %d so each "
+                            "sampled chunk spans the ensemble axis",
+                            mesh.shape["mc"], mc_chunk, mesh.shape["mc"])
                 mc_chunk = mesh.shape["mc"]
             if num_mc % mc_chunk:
                 raise ValueError(
@@ -190,24 +212,54 @@ def run_unimodal_training(
 
         state = M.shard_state(mesh, state,
                               fsdp=bool(getattr(mesh_spec, "fsdp", False)))
-        tstep = M.wrap_train_step(mesh, tstep)
-        estep = M.wrap_eval_step(mesh, estep)
-        logger.info("Unimodal training on mesh %s (fsdp=%s)",
-                    dict(mesh.shape), getattr(mesh_spec, "fsdp", False))
+        if multihost:
+            from multimodal_auv_tpu.data.loaders import HostShardLoader
+            from multimodal_auv_tpu.parallel.distributed import (
+                check_multihost_mesh,
+                wrap_eval_step_multihost,
+                wrap_train_step_multihost,
+            )
+
+            check_multihost_mesh(mesh)
+            tl = HostShardLoader.from_loader(tl)
+            te = HostShardLoader.from_loader(te)
+            tstep = wrap_train_step_multihost(mesh, tstep)
+            estep = wrap_eval_step_multihost(mesh, estep)
+            logger.info(
+                "Multi-host unimodal training: process %d/%d, mesh %s "
+                "(fsdp=%s), each host feeds %d of every %d-row batch",
+                jax.process_index(), jax.process_count(), dict(mesh.shape),
+                getattr(mesh_spec, "fsdp", False), tl.rows_per_host,
+                batch_size)
+        else:
+            tstep = M.wrap_train_step(mesh, tstep)
+            estep = M.wrap_eval_step(mesh, estep)
+            logger.info("Unimodal training on mesh %s (fsdp=%s)",
+                        dict(mesh.shape), getattr(mesh_spec, "fsdp", False))
     csv_dir = csv_dir or os.path.join(root_dir, "csvs")
     from multimodal_auv_tpu.utils.manifest import write_run_manifest
 
-    write_run_manifest(csv_dir, "unimodal_training", {
-        "root_dir": root_dir, "model_type": model_type,
-        "num_epochs": num_epochs, "num_mc": num_mc,
-        "batch_size": batch_size, "lr": lr, "weight_decay": weight_decay,
-        "scheduler_step_size": scheduler_step_size,
-        "scheduler_gamma": scheduler_gamma, "num_classes": num_classes,
-        "seed": seed, "mc_chunk": mc_chunk,
-        "skip_epoch_zero": skip_epoch_zero,
-        "resume_checkpoint": resume_checkpoint,
-    })
-    sw = SummaryWriter(os.path.join(csv_dir, "tb"))
+    if is_coordinator():
+        write_run_manifest(csv_dir, "unimodal_training", {
+            "root_dir": root_dir, "model_type": model_type,
+            "num_epochs": num_epochs, "num_mc": num_mc,
+            "batch_size": batch_size, "lr": lr, "weight_decay": weight_decay,
+            "scheduler_step_size": scheduler_step_size,
+            "scheduler_gamma": scheduler_gamma, "num_classes": num_classes,
+            "seed": seed, "mc_chunk": mc_chunk,
+            "skip_epoch_zero": skip_epoch_zero,
+            "strict_errors": strict_errors,
+            "async_checkpoints": async_checkpoints,
+            "resume_checkpoint": resume_checkpoint,
+            "mesh": (dict(data=mesh_spec.data, mc=mesh_spec.mc,
+                          fsdp=mesh_spec.fsdp)
+                     if mesh_spec is not None else None),
+            "num_processes": jax.process_count(),
+        })
+    from multimodal_auv_tpu.utils.tb import NullSummaryWriter
+
+    sw = (SummaryWriter(os.path.join(csv_dir, "tb"))
+          if is_coordinator() else NullSummaryWriter())
     from multimodal_auv_tpu.engine.preemption import maybe_guard, null_guard
 
     own = null_guard() if preemption_guard is not None else None
@@ -219,6 +271,8 @@ def run_unimodal_training(
             jax.random.PRNGKey(seed + 1), model_type=model_type,
             class_names=list(dataset.label_encoder.classes_),
             skip_epoch_zero=skip_epoch_zero,
+            strict_errors=strict_errors,
+            async_checkpoints=async_checkpoints,
             checkpoint_resume_path=resume_checkpoint,
             preemption_guard=guard)
     if guard.triggered:

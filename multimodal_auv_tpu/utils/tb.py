@@ -144,3 +144,22 @@ class SummaryWriter:
         if not self._event_f.closed:
             self._event_f.close()
             self._csv_f.close()
+
+
+class NullSummaryWriter:
+    """API-compatible no-op writer for non-coordinator processes in
+    multi-host runs (parallel/distributed.py::is_coordinator): every host
+    runs the same epoch loops, but only process 0 owns the TB event
+    stream — duplicate writers on a shared filesystem would interleave
+    identical scalars from P processes."""
+
+    log_dir = None
+
+    def add_scalar(self, tag: str, value, step: int) -> None:
+        pass
+
+    def flush(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass

@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--out", type=str, default="/tmp/prof_train")
     ap.add_argument("--predict", action="store_true",
                     help="profile the predict step instead")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="predict mode: software-pipelined MC scan "
+                         "(engine/mc.py pipelined=True)")
     args = ap.parse_args()
 
     import jax
@@ -57,7 +60,8 @@ def main() -> None:
               jax.random.uniform(key, (batch, s, s, 1)))
 
     if args.predict:
-        step_fn = make_predict_step(bundle, args.num_mc)
+        step_fn = make_predict_step(bundle, args.num_mc,
+                                    pipelined=args.pipelined)
         post, bs = bundle.post, bundle.batch_stats
 
         def run(i):

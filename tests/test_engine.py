@@ -82,6 +82,29 @@ def test_mc_logits_shape_and_stochasticity():
     assert float(jnp.abs(logits[0] - logits[1]).max()) > 1e-6
 
 
+def test_pipelined_mc_matches_split():
+    """engine/mc.py ``pipelined=True`` (run chunk k's forwards while
+    sampling chunk k+1 — VERDICT r3 #3) consumes the SAME weights as the
+    split path (identical key derivation, same split kernel), so each
+    draw's logits agree to bf16-activation fusion rounding — the two scan
+    bodies are different XLA programs, so elementwise/BN fusions may round
+    differently, but the estimator is unchanged (measured max |d| ~1e-5)."""
+    bundle, _, _ = _mm_state()
+    x = jax.random.uniform(jax.random.PRNGKey(9), (2, S, S, 3))
+    s = jax.random.uniform(jax.random.PRNGKey(10), (2, S, S, 1))
+    kw = dict(num_mc=6, mc_chunk=2, impl="jnp", train=True, remat=False)
+    want = mc_logits(bundle.module, bundle.meta, bundle.post,
+                     bundle.batch_stats, (x, x, s), jax.random.PRNGKey(3),
+                     split_sampling=True, **kw)
+    got = mc_logits(bundle.module, bundle.meta, bundle.post,
+                    bundle.batch_stats, (x, x, s), jax.random.PRNGKey(3),
+                    pipelined=True, **kw)
+    assert got.shape == want.shape == (6, 2, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    # and per-draw stochasticity survives the pipelining
+    assert float(jnp.abs(got[0] - got[1]).max()) > 1e-6
+
+
 def test_antithetic_mc_pairs_mirror_around_mu():
     """antithetic=True: draw k and its pair satisfy w+ + w- == 2*mu, so the
     pairwise weight mean is exactly mu (variance reduction)."""
@@ -904,3 +927,70 @@ def test_skipped_batch_excluded_from_epoch_accounting(tmp_path):
     cols = rows[-1].split(",")
     assert float(cols[5]) == pytest.approx(2.25)  # kl of batch 2
     assert float(cols[6]) == pytest.approx(2.5)   # ce of batch 2
+
+
+def test_remat_off_matches_on():
+    """remat='off' (store the MC scan residuals — VERDICT r3 #4) changes
+    the program schedule, not the math: the posterior after one step
+    matches the remat='on' step to fusion rounding."""
+    from multimodal_auv_tpu.engine.steps import make_train_step
+
+    bundle, tx, state = _mm_state()
+    x = jax.random.uniform(jax.random.PRNGKey(9), (2, S, S, 3))
+    s = jax.random.uniform(jax.random.PRNGKey(10), (2, S, S, 1))
+    labels = jnp.asarray([0, 1], jnp.int32)
+    mask = jnp.ones((2,))
+    args = ((x, x, s), labels, mask, jax.random.PRNGKey(4),
+            jnp.float32(0.5), jnp.float32(2.0))
+    outs = {}
+    for mode in ("on", "off"):
+        step = make_train_step(bundle.module, bundle.meta, SPEC, tx,
+                               num_mc=2, impl="jnp", remat=mode)
+        s_new, m = step(state, *args)
+        assert np.isfinite(m["loss"])
+        outs[mode] = np.asarray(s_new.post.mu)
+    np.testing.assert_allclose(outs["off"], outs["on"], atol=1e-6, rtol=0)
+
+
+def test_auto_remat_policy_resolution():
+    """_AutoRematTrainStep: a budget the no-remat program fits resolves to
+    remat=False (the compiled executable is used); a 1 KB budget falls
+    back to the remat=True program. Both produce finite steps. The CPU
+    backend reports no bytes_limit, so the default budget path must be
+    CONSERVATIVE (remat stays on)."""
+    from multimodal_auv_tpu.engine.steps import (
+        _AutoRematTrainStep,
+        _device_memory_budget,
+        make_train_step,
+    )
+
+    bundle, tx, state = _mm_state()
+    x = jax.random.uniform(jax.random.PRNGKey(9), (2, S, S, 3))
+    s = jax.random.uniform(jax.random.PRNGKey(10), (2, S, S, 1))
+    args = (state, (x, x, s), jnp.asarray([0, 1], jnp.int32),
+            jnp.ones((2,)), jax.random.PRNGKey(4), jnp.float32(0.5),
+            jnp.float32(2.0))
+
+    def build(r):
+        return make_train_step(bundle.module, bundle.meta, SPEC, tx,
+                               num_mc=2, impl="jnp", remat=r)
+
+    big = _AutoRematTrainStep(build, budget_bytes=1 << 60)
+    s1, m1 = big(*args)
+    assert big.remat_used is False and np.isfinite(m1["loss"])
+
+    small = _AutoRematTrainStep(build, budget_bytes=1024)
+    s2, m2 = small(*args)
+    assert small.remat_used is True and np.isfinite(m2["loss"])
+
+    # the two resolutions step the posterior identically (fusion rounding)
+    np.testing.assert_allclose(np.asarray(s1.post.mu),
+                               np.asarray(s2.post.mu), atol=1e-6, rtol=0)
+
+    # make_train_step(remat="auto") with no injected budget: CPU reports
+    # no bytes_limit -> conservative fallback to the remat program
+    assert _device_memory_budget() is None
+    auto = make_train_step(bundle.module, bundle.meta, SPEC, tx,
+                           num_mc=2, impl="jnp", remat="auto")
+    s3, m3 = auto(state, *args[1:])
+    assert auto.remat_used is True and np.isfinite(m3["loss"])

@@ -484,3 +484,66 @@ def test_mesh_resume_matches_uninterrupted(tmp_path, monkeypatch):
                           np.asarray(s_resumed.post.mu))
     assert np.array_equal(np.asarray(s_full.post.rho),
                           np.asarray(s_resumed.post.rho))
+
+
+class _DictDataset:
+    """Minimal MultimodalFolderDataset batch-dict schema for loader tests."""
+
+    def __init__(self, n=11, num_classes=3, seed=0):
+        rng = np.random.default_rng(seed)
+        self.x = rng.uniform(size=(n, 8, 8, 3)).astype(np.float32)
+        self.s = rng.uniform(size=(n, 8, 8, 1)).astype(np.float32)
+        self.labels = (np.arange(n) % num_classes).astype(np.int32)
+
+    def __len__(self):
+        return len(self.labels)
+
+    def __getitem__(self, i):
+        return {"main_image": self.x[i], "bathy_image": self.x[i],
+                "sss_image": self.s[i], "patch_bathy": {}, "patch_sss": {},
+                "label": np.int32(self.labels[i])}
+
+
+def test_host_shard_loader_global_view():
+    """HostShardLoader (data/loaders.py) is the DistributedSampler
+    analogue: every host sees the same GLOBAL batch order; owned rows are
+    real, unowned image rows are zero placeholders, and labels are
+    globally correct on every host (eval ledgers need them). Assembling
+    each host's owned slice reconstructs the plain loader's batch."""
+    from multimodal_auv_tpu.data.loaders import DataLoader, HostShardLoader
+
+    ds = _DictDataset(n=11)
+    B, P = 4, 2
+    ref = DataLoader(ds, B, shuffle=True, seed=7, num_workers=0)
+    shards = [HostShardLoader(ds, B, shuffle=True, seed=7, num_workers=0,
+                              process_index=p, process_count=P)
+              for p in range(P)]
+    for ep in range(2):
+        ref.set_epoch(ep)
+        for sl in shards:
+            sl.set_epoch(ep)
+        per = B // P
+        for gb, *host_batches in zip(iter(ref), *(iter(s) for s in shards)):
+            v = gb["label"].shape[0]
+            for p, hb in enumerate(host_batches):
+                # global-shaped (may exceed the ragged tail's v rows only
+                # via the loop's padding, which happens downstream)
+                assert hb["label"].shape[0] == v
+                # labels are globally correct on EVERY host
+                np.testing.assert_array_equal(hb["label"], gb["label"])
+                lo, hi = p * per, min((p + 1) * per, v)
+                if lo < v:
+                    np.testing.assert_array_equal(
+                        hb["main_image"][lo:hi], gb["main_image"][lo:hi])
+                # unowned rows are zero placeholders
+                for j in range(v):
+                    if not (lo <= j < hi):
+                        assert not hb["main_image"][j].any()
+
+
+def test_host_shard_loader_rejects_indivisible_batch():
+    from multimodal_auv_tpu.data.loaders import HostShardLoader
+
+    with pytest.raises(ValueError, match="divisible"):
+        HostShardLoader(_DictDataset(n=6), 5, process_index=0,
+                        process_count=2)

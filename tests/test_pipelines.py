@@ -232,3 +232,70 @@ def test_run_manifest_written(tmp_path):
 
     # unwritable dir: logged, returns None, never raises
     assert write_run_manifest("/proc/definitely/not/writable", "x", {}) is None
+
+
+@pytest.mark.parametrize("pipeline", ["scratch", "retrain", "unimodal"])
+def test_quirk_switches_propagate_to_loops(tmp_path, monkeypatch, pipeline):
+    """VERDICT r3 #7: every training pipeline must expose and PLUMB the
+    quirk switches (strict_errors, async_checkpoints) into the epoch
+    loops — a pipeline that accepts the kwarg but drops it would silently
+    keep the reference's swallow-into-zeros behavior
+    (train/multimodal.py:194-200) no matter what the caller asked for.
+    The loop entry point is stubbed to capture its kwargs."""
+    import multimodal_auv_tpu.pipelines.training as T
+    import multimodal_auv_tpu.pipelines.unimodal as UP
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    root = make_training_tree(str(tmp_path / "data"), n_samples=6)
+    captured = {}
+
+    def stub(*args, **kwargs):
+        captured.update(kwargs)
+        return args[5]  # both loops take state as the 6th positional arg
+
+    kw = dict(strict_errors=True, async_checkpoints=True,
+              handle_preemption=False, arch=ArchConfig.tiny(image_size=32))
+    if pipeline == "unimodal":
+        monkeypatch.setattr(UP, "train_and_evaluate_unimodal_model", stub)
+        UP.run_unimodal_training(root, model_type="sss", num_epochs=1,
+                                 num_mc=1, batch_size=2, **kw)
+    elif pipeline == "scratch":
+        monkeypatch.setattr(T, "train_and_evaluate_multimodal_model", stub)
+        assert T.run_AUV_training_from_scratch(
+            const_bnn_prior_parameters={}, lr_multimodal_model=1e-3,
+            num_epochs_multimodal=1, num_mc=1, bathy_patch_base_raw=30,
+            sss_patch_base_raw=30, batch_size_multimodal=2, root_dir=root,
+            num_classes=0, **kw)
+    else:
+        monkeypatch.setattr(T, "train_and_evaluate_multimodal_model", stub)
+        assert T.run_auv_retraining(
+            root_dir=root, num_classes=3, epochs_multimodal=1, num_mc=1,
+            batch_size_multimodal=2, allow_random_init=True, **kw)
+    assert captured.get("strict_errors") is True, captured.keys()
+    assert captured.get("async_checkpoints") is True, captured.keys()
+
+
+def test_noise_study_strict_errors_reraises(tmp_path, monkeypatch):
+    """run_noise_study(strict_errors=True) re-raises extended-metric
+    failures instead of the reference's warn-and-continue (the AUROC /
+    F1 / ECE try-excepts in "Example training with image noise.py")."""
+    import multimodal_auv_tpu.engine.metrics as MX
+    from multimodal_auv_tpu.pipelines.noise_study import run_noise_study
+
+    root = make_training_tree(str(tmp_path / "data"), n_samples=6)
+
+    def boom(*a, **k):
+        raise RuntimeError("degenerate error set")
+
+    monkeypatch.setattr(MX, "uncertainty_error_auroc", boom)
+    with pytest.raises(RuntimeError, match="degenerate"):
+        run_noise_study(root, str(tmp_path / "csvs"),
+                        turbidity_centers=[0.5], num_mc=1, batch_size=2,
+                        arch=ArchConfig.tiny(image_size=32),
+                        strict_errors=True)
+    # default keeps reference behavior: warn and continue
+    res = run_noise_study(root, str(tmp_path / "csvs2"),
+                          turbidity_centers=[0.5], num_mc=1, batch_size=2,
+                          arch=ArchConfig.tiny(image_size=32))
+    assert len(res) == 1 and "accuracy" in res[0]
