@@ -147,7 +147,13 @@ def import_posterior(
     Returns (new_post, new_batch_stats, stats). Unknown keys and shape
     mismatches are dropped (strict=False parity); ``fc2.*`` is dropped when
     num_classes != pretrained_head_classes
-    (Example_Inference_model.py:99-108)."""
+    (Example_Inference_model.py:99-108).
+
+    ``stats`` also carries a by-name coverage audit against the EXPECTED
+    key inventory of the reference's construction (interop/hf_manifest.py):
+    ``missing`` (loadable keys the dict should have contained but didn't)
+    and ``unexpected`` (keys the inventory doesn't know) — so a real-weights
+    import can be audited, not just counted."""
     spec = spec or BNNPriorSpec()
     meta = bundle.meta
     post = bundle.post
@@ -249,6 +255,26 @@ def import_posterior(
     bs = jax.tree_util.tree_map(jnp.asarray, bs)
     logger.info("Torch import: %(loaded)d loaded, %(dropped)d dropped, "
                 "%(ignored)d ignored", stats)
+    try:
+        # by-name coverage vs the expected inventory (post-remap form;
+        # fc2.* is legitimately absent under a head swap)
+        from multimodal_auv_tpu.interop.hf_manifest import (
+            audit_coverage,
+            expected_checkpoint_keys,
+            log_coverage,
+        )
+
+        expected = expected_checkpoint_keys(bundle, published=False,
+                                            include_buffers=True)
+        if drop_head:
+            expected = {k: v for k, v in expected.items()
+                        if not k.startswith("fc2.")}
+        audit = audit_coverage(state_dict, expected)
+        stats["missing"] = audit["missing"]
+        stats["unexpected"] = audit["unexpected"]
+        log_coverage(audit, name="torch import")
+    except Exception as e:  # the audit must never break an import
+        logger.warning("Import coverage audit unavailable: %s", e)
     return new_post, bs, stats
 
 

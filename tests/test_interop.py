@@ -509,3 +509,108 @@ def test_adam_and_steplr_match_torch():
         topt2.step()
         tsched.step()
         sched.step()
+
+
+# ---------------------------------------------------------------------------
+# HF checkpoint key inventory + import coverage audit (interop/hf_manifest.py)
+# — the offline evidence for real-weights import correctness: the inventory
+# of keys the published artifact must contain, derived from the reference's
+# construction (model_utils.py:10-49 + dnn_to_bnn naming,
+# Example_Inference_model.py:82-112), cross-validated against the torch twin.
+
+
+def test_expected_keys_match_torch_twin():
+    """The generated inventory must name exactly the keys the reference's
+    construction produces — cross-validated against the bayesianized torch
+    twin's actual state_dict() (post-remap / published=False form): zero
+    missing, zero unexpected, zero shape mismatches."""
+    from multimodal_auv_tpu.interop.hf_manifest import (
+        audit_coverage,
+        expected_checkpoint_keys,
+    )
+    from tests.torch_twin import TorchMultiModal, bayesianize_state_dict
+
+    bundle = make_multimodal_bundle(7, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                    TINY)
+    torch.manual_seed(0)
+    twin = TorchMultiModal(num_classes=7, width=TINY.width,
+                           stage_sizes=tuple(TINY.stage_sizes))
+    sd, _ = bayesianize_state_dict(twin)
+
+    expected = expected_checkpoint_keys(bundle, published=False)
+    assert set(expected) == set(sd)
+    audit = audit_coverage(sd, expected)
+    assert audit["missing"] == []
+    assert audit["unexpected"] == []
+    assert audit["shape_mismatch"] == []
+    # role census is self-consistent: every mu has a rho, every BN affine
+    # pair has a statistics pair
+    assert audit["by_role"]["mu"] == audit["by_role"]["rho"]
+    assert audit["by_role"]["bn_affine"] == audit["by_role"]["bn_stats"]
+
+
+def test_expected_keys_published_form():
+    """published=True is the artifact form: trunks nested under `.model.`
+    (Example_Inference_model.py:88-93) plus bayesian-torch eps/prior
+    buffers; conv shapes are OIHW as torch stores them."""
+    from multimodal_auv_tpu.interop.hf_manifest import expected_checkpoint_keys
+
+    bundle = make_multimodal_bundle(7, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                    TINY)
+    pub = expected_checkpoint_keys(bundle, published=True)
+    assert "image_model_feat.model.conv1.mu_kernel" in pub
+    assert "image_model_feat.model.conv1.eps_kernel" in pub
+    assert pub["image_model_feat.model.conv1.eps_kernel"]["role"] == "ignored"
+    assert "image_model_feat.model.bn1.running_mean" in pub
+    # the fusion head is NOT trunk-nested
+    assert "fc2.mu_weight" in pub and "fc2.prior_weight_mu" in pub
+    assert "attention_image.query_projection.mu_weight" in pub
+    # torch stores convs OIHW; the inventory records the file's shapes
+    e = next(en for en in bundle.meta.entries
+             if en.path == ("image_model_feat", "conv1", "kernel"))
+    h, w, i, o = e.shape
+    assert pub["image_model_feat.model.conv1.mu_kernel"]["shape"] == \
+        [o, i, h, w]
+    # published form strictly extends the loadable key set with buffers
+    nopub = expected_checkpoint_keys(bundle, published=False)
+    loadable = {k for k, v in pub.items() if v["role"] != "ignored"}
+    assert {k for k in loadable if not k.startswith(
+        tuple(f"{t}.model." for t in ("image_model_feat", "bathy_model_feat",
+                                      "sss_model_feat")))} <= set(nopub)
+
+
+def test_import_posterior_reports_coverage():
+    """import_posterior's stats must carry the by-name audit: a dict with
+    only variational keys (no BN) reports the BN keys missing and nothing
+    unexpected; an alien key is reported unexpected."""
+    bundle = make_multimodal_bundle(7, BNNPriorSpec(), jax.random.PRNGKey(0),
+                                    TINY)
+    sd = {k[len("module."):]: v.numpy()
+          for k, v in _tiny_state_dict(bundle).items()}
+    _, _, stats = import_posterior(bundle, sd, num_classes=7)
+    assert stats["unexpected"] == []
+    assert stats["missing"]  # _tiny_state_dict has no BN keys
+    assert not [k for k in stats["missing"] if ".mu_" in k or ".rho_" in k]
+
+    sd["image_model_feat.not_a_layer.mu_kernel"] = sd[
+        "image_model_feat.conv1.mu_kernel"]
+    _, _, stats = import_posterior(bundle, sd, num_classes=7)
+    assert "image_model_feat.not_a_layer.mu_kernel" in stats["unexpected"]
+
+
+@pytest.mark.slow
+def test_shipped_manifest_fresh():
+    """The checked-in expected_hf_keys.json must equal a regeneration from
+    the flagship geometry — model drift cannot silently stale the shipped
+    manifest (~1 min: builds the full ResNet-50x3 bundle)."""
+    import json
+
+    from multimodal_auv_tpu.interop.hf_manifest import (
+        MANIFEST_PATH,
+        build_flagship_manifest,
+    )
+
+    with open(MANIFEST_PATH) as f:
+        shipped = json.load(f)
+    fresh = build_flagship_manifest()
+    assert shipped == fresh
