@@ -197,6 +197,13 @@ def retraining_cli(argv=None):
                         help="Train only the fusion head (foundation-model "
                              "fine-tuning with frozen ResNet trunks).")
     parser.add_argument("--mc_chunk", type=int, default=1)
+    parser.add_argument("--remat", choices=("on", "off", "auto"),
+                        default="on",
+                        help="MC-draw rematerialisation: on (memory flat in "
+                             "num_mc), off (store residuals; faster when "
+                             "they fit HBM), auto (resolve from the "
+                             "compiled program's memory analysis, OOM-safe "
+                             "fallback — BENCH_NOTES round 4)")
     _add_mesh_flags(parser)
     _add_dist_flags(parser)
     parser.add_argument("--tiny", action="store_true", help=argparse.SUPPRESS)
@@ -231,6 +238,7 @@ def retraining_cli(argv=None):
             resume_checkpoint=args.resume_checkpoint,
             arch=_arch(args),
             mc_chunk=args.mc_chunk,
+            remat=args.remat,
             mesh_spec=_mesh_spec(args),
             dist_spec=_dist_spec(args),
             preemption_guard=guard,
@@ -276,6 +284,13 @@ def training_from_scratch_cli(argv=None):
                         help="torchvision-named ResNet-50 state dict (.pth): "
                              "MOPED-initialise all three feature trunks "
                              "(offline stand-in for IMAGENET1K_V1)")
+    parser.add_argument("--remat", choices=("on", "off", "auto"),
+                        default="on",
+                        help="MC-draw rematerialisation: on (memory flat in "
+                             "num_mc), off (store residuals; faster when "
+                             "they fit HBM), auto (resolve from the "
+                             "compiled program's memory analysis, OOM-safe "
+                             "fallback — BENCH_NOTES round 4)")
     _add_mesh_flags(parser)
     _add_dist_flags(parser)
     parser.add_argument("--tiny", action="store_true", help=argparse.SUPPRESS)
@@ -309,6 +324,7 @@ def training_from_scratch_cli(argv=None):
             strict_errors=args.strict_errors,
             async_checkpoints=args.async_checkpoints,
             resume_checkpoint=args.resume_checkpoint,
+            remat=args.remat,
             mesh_spec=_mesh_spec(args),
             dist_spec=_dist_spec(args),
             preemption_guard=guard,

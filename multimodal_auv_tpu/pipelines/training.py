@@ -65,6 +65,7 @@ def _train_multimodal_common(
     handle_preemption: bool = True,
     preemption_guard=None,
     mesh_spec=None,
+    remat: str = "on",
 ):
     from multimodal_auv_tpu.parallel.distributed import is_coordinator
     from multimodal_auv_tpu.utils.tb import NullSummaryWriter
@@ -158,7 +159,8 @@ def _train_multimodal_common(
         bundle.module, bundle.meta, spec, tx, num_mc=num_mc,
         mc_chunk=mc_chunk,
         sample_dtype=jnp.bfloat16 if bf16_weights else None,
-        packed_inputs=use_packed_loader, ws_sharding=ws_sharding)
+        packed_inputs=use_packed_loader, ws_sharding=ws_sharding,
+        remat=remat)
     eval_step = make_eval_step(bundle.module, bundle.meta, spec,
                                num_mc=num_mc, mc_chunk=mc_chunk,
                                packed_inputs=use_packed_loader,
@@ -211,6 +213,7 @@ def _train_multimodal_common(
         "use_packed_loader": use_packed_loader, "image_size": image_size,
         "strict_errors": strict_errors,
         "async_checkpoints": async_checkpoints,
+        "remat": remat,
         "class_names": class_names,
         "mesh": (dict(data=mesh_spec.data, mc=mesh_spec.mc,
                       fsdp=mesh_spec.fsdp) if mesh_spec is not None else None),
@@ -282,6 +285,7 @@ def run_AUV_training_from_scratch(
     preemption_guard=None,
     mesh_spec=None,
     dist_spec=None,
+    remat: str = "on",
 ) -> bool:
     """Signature parity with functions.py:361-374 (``devices`` accepted for
     API compatibility; placement is mesh-driven on TPU).
@@ -341,6 +345,7 @@ def run_AUV_training_from_scratch(
             handle_preemption=handle_preemption,
             preemption_guard=preemption_guard,
             mesh_spec=mesh_spec,
+            remat=remat,
             image_size=arch.image_size,
         )
         logger.info("Full training pipeline finished.")
@@ -380,6 +385,7 @@ def run_auv_retraining(
     preemption_guard=None,
     mesh_spec=None,
     dist_spec=None,
+    remat: str = "on",
 ) -> bool:
     """Foundation-model retraining (functions.py:84-258): pretrained HF
     weights, fc2 head swapped when num_classes != 7, then multimodal
@@ -434,6 +440,7 @@ def run_auv_retraining(
             handle_preemption=handle_preemption,
             preemption_guard=preemption_guard,
             mesh_spec=mesh_spec,
+            remat=remat,
             image_size=arch.image_size,
         )
         return True

@@ -182,6 +182,7 @@ def test_inference_pipeline_dvp_serving(tmp_path, monkeypatch):
     assert len(rows2) == 1 + 5
 
 
+@pytest.mark.slow
 def test_packed_inference_cache_staleness_gate(tmp_path, monkeypatch):
     """The packed cache dir is keyed by dirs[0], so a bare names.json
     existence check silently reused a cache packed from a DIFFERENT
@@ -274,6 +275,44 @@ def test_quirk_switches_propagate_to_loops(tmp_path, monkeypatch, pipeline):
             batch_size_multimodal=2, allow_random_init=True, **kw)
     assert captured.get("strict_errors") is True, captured.keys()
     assert captured.get("async_checkpoints") is True, captured.keys()
+
+
+@pytest.mark.parametrize("pipeline", ["scratch", "retrain"])
+def test_remat_propagates_to_train_step(tmp_path, monkeypatch, pipeline):
+    """remat ("on"/"off"/"auto", VERDICT r3 #4) must reach make_train_step
+    from both multimodal training entry points — the policy lives in the
+    step builder, so a pipeline that dropped the kwarg would silently
+    train with the default per-draw remat regardless of the flag."""
+    import multimodal_auv_tpu.pipelines.training as T
+    from multimodal_auv_tpu.engine.steps import (
+        make_train_step as real_make_train_step,
+    )
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    root = make_training_tree(str(tmp_path / "data"), n_samples=6)
+    captured = {}
+
+    def capture_step(*args, **kwargs):
+        captured.update(kwargs)
+        return real_make_train_step(*args, **kwargs)
+
+    monkeypatch.setattr(T, "make_train_step", capture_step)
+    monkeypatch.setattr(T, "train_and_evaluate_multimodal_model",
+                        lambda *a, **k: a[5])
+    kw = dict(handle_preemption=False, remat="off",
+              arch=ArchConfig.tiny(image_size=32))
+    if pipeline == "scratch":
+        assert T.run_AUV_training_from_scratch(
+            const_bnn_prior_parameters={}, lr_multimodal_model=1e-3,
+            num_epochs_multimodal=1, num_mc=1, bathy_patch_base_raw=30,
+            sss_patch_base_raw=30, batch_size_multimodal=2, root_dir=root,
+            num_classes=0, **kw)
+    else:
+        assert T.run_auv_retraining(
+            root_dir=root, num_classes=3, epochs_multimodal=1, num_mc=1,
+            batch_size_multimodal=2, allow_random_init=True, **kw)
+    assert captured.get("remat") == "off", captured.keys()
 
 
 def test_noise_study_strict_errors_reraises(tmp_path, monkeypatch):
