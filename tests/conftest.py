@@ -46,6 +46,33 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run @pytest.mark.slow tests (multi-process train steps, "
+             "SIGTERM preemption, e2e pipelines, flagship-geometry compiles)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running test (minutes; multi-process / full-geometry / "
+        "e2e). Excluded from the default gate; enable with --runslow.")
+
+
+def pytest_collection_modifyitems(config, items):
+    # Fast/slow split (round-3 verdict #8): `pytest -q` is the sub-5-minute
+    # default gate; `pytest --runslow -q` is the full suite. The reference's
+    # suite was fast because it mocked everything (SURVEY.md §4) — ours keeps
+    # a fast core gate while the heavy integration tests remain one flag away.
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow test: run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def rng_seed():
     return 0

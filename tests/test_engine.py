@@ -242,6 +242,7 @@ def test_eval_epoch_csv_and_confusion_matrix(tmp_path):
     assert (cm_dir / "conf_matrix_model_multimodal_0.png").exists()
 
 
+@pytest.mark.slow
 def test_full_orchestration_multimodal(tmp_path):
     bundle, tx, state = _mm_state(lr=1e-3)
     tstep = make_train_step(bundle.module, bundle.meta, SPEC, tx, num_mc=2,
@@ -549,6 +550,7 @@ def test_masked_bn_train_step_running_stats_exclude_padding():
                                    rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bf16_weight_sampling_tracks_f32_train_step():
     """Mixed-precision training mode (sample_dtype=bfloat16 in
     make_train_step): the f32 master posterior is updated from gradients
@@ -795,6 +797,7 @@ def test_tolerant_restore_actually_loads_values(tmp_path):
     assert not ok2
 
 
+@pytest.mark.slow
 def test_resume_matches_uninterrupted(tmp_path):
     """Preemption realism: train 4 epochs straight vs get preempted at the
     start of epoch 2 and resume from the checkpoint — the final posterior
@@ -929,6 +932,7 @@ def test_skipped_batch_excluded_from_epoch_accounting(tmp_path):
     assert float(cols[6]) == pytest.approx(2.5)   # ce of batch 2
 
 
+@pytest.mark.slow
 def test_remat_off_matches_on():
     """remat='off' (store the MC scan residuals — VERDICT r3 #4) changes
     the program schedule, not the math: the posterior after one step
@@ -952,6 +956,7 @@ def test_remat_off_matches_on():
     np.testing.assert_allclose(outs["off"], outs["on"], atol=1e-6, rtol=0)
 
 
+@pytest.mark.slow
 def test_auto_remat_policy_resolution():
     """_AutoRematTrainStep: a budget the no-remat program fits resolves to
     remat=False (the compiled executable is used); a 1 KB budget falls

@@ -436,6 +436,7 @@ def test_export_for_hub_layout(tmp_path):
     assert any(k.endswith("mu_kernel") for k in sd)
 
 
+@pytest.mark.slow
 def test_retrain_from_exported_checkpoint(tmp_path, monkeypatch):
     """Full hand-off journey: train/export here -> retrain pipeline consumes
     the exported .pth as its pretrained weights, swapping the fc2 head for a

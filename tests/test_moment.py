@@ -93,6 +93,7 @@ def test_gap_and_bn_shapes():
     assert bm.shape == (4, 4, 4, 8)
 
 
+@pytest.mark.slow
 def test_dvp_predict_against_mc(tmp_path):
     """Single-pass DVP predictions must agree with the full MC path on a
     tiny model (same argmax on a clear majority of samples, calibrated

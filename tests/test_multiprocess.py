@@ -20,6 +20,11 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Multi-process tests spawn fresh interpreters that pay their own compiles
+# (the pjit train step budgets up to 15 min cold) — slow-gate material
+# (round-3 verdict #8). Run with ``pytest --runslow``.
+pytestmark = pytest.mark.slow
+
 WORKER = r"""
 import os, sys
 sys.path.insert(0, os.environ["AUV_REPO"])

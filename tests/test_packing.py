@@ -126,6 +126,7 @@ def test_packed_training_matches_loader_tensors(tmp_path):
         assert int(packed["labels"][i]) == int(sample["label"])
 
 
+@pytest.mark.slow
 def test_packed_training_pipeline_end_to_end(tmp_path, monkeypatch):
     """run_AUV_training_from_scratch(use_packed_loader=True): full epochs
     from uint8 memmap batches with on-chip normalization."""
@@ -180,6 +181,7 @@ def test_packed_inference_with_mesh(tmp_path, monkeypatch):
     assert len(rows) == 1 + 6
 
 
+@pytest.mark.slow
 def test_training_all_flags_compose(tmp_path, monkeypatch):
     """bf16_weights + use_packed_loader together: the mixed-precision step
     consuming uint8 packed batches trains end-to-end."""

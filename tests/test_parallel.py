@@ -370,6 +370,7 @@ def test_unimodal_pipeline_mesh_matches_single_device(tmp_path, monkeypatch):
     assert drift <= 3 * kw["lr"] * n_steps, drift
 
 
+@pytest.mark.slow
 def test_multimodal_pipeline_mesh_smoke(tmp_path, monkeypatch):
     """The from-scratch pipeline end-to-end on a (data=2, mc=2, fsdp) mesh:
     DP batches + FSDP posterior + MC-ensemble sharding through the REAL

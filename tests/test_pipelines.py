@@ -146,6 +146,7 @@ def test_run_auv_inference_with_mesh(tmp_path):
     assert len(rows) == 6
 
 
+@pytest.mark.slow
 def test_inference_pipeline_dvp_serving(tmp_path, monkeypatch):
     """run_auv_inference(use_dvp=True): guardrailed single-pass serving
     writes the reference-schema CSV on both the folder-loader and packed

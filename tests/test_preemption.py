@@ -165,6 +165,7 @@ def _fresh(train_loader_wrap=None):
     return state, tstep, estep, tl, DataLoader(ds, batch_size=4, num_workers=0)
 
 
+@pytest.mark.slow
 def test_sigterm_preempted_run_resumes_bitexact(tmp_path):
     """The whole story at once: run A trains 4 epochs uninterrupted; run B
     gets a real SIGTERM during epoch 1's second batch — the orchestrator

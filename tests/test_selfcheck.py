@@ -5,7 +5,10 @@ import io
 import sys
 from contextlib import redirect_stdout
 
+import pytest
 
+
+@pytest.mark.slow
 def test_selfcheck_passes():
     from multimodal_auv_tpu.selfcheck import main
 

@@ -307,6 +307,7 @@ def _resync_torch_from_state(bundle, elbo, state):
                 torch.from_numpy(np.asarray(leaf)))
 
 
+@pytest.mark.slow
 def test_training_gradient_parity_along_trajectory():
     """Gradient parity is not a one-point fluke: drive the posterior to
     three DIFFERENT points with the real production train step (SGD so the
@@ -395,6 +396,7 @@ def test_training_gradient_parity_along_trajectory():
                     f"relative-L2 {rel_l2:.4f}")
 
 
+@pytest.mark.slow
 def test_training_trajectory_parity_adam():
     """Five coupled Adam steps (the reference's actual optimizer). Adam
     normalises every element's update to ~±lr (g/sqrt(v) ~= sign(g)), so
