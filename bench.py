@@ -99,7 +99,8 @@ def _mfu(samples_per_sec, num_mc, *, train=False) -> float:
 def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
                 impl: str = "auto", dvp: bool = False,
                 antithetic: bool = False, fused_trunks: bool = False,
-                pipelined: bool = False) -> float:
+                pipelined: bool = False,
+                fast_sampling: str = "auto") -> float:
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -121,7 +122,9 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
                                  mc_chunk=(mc_chunk or None), impl=impl,
                                  antithetic=antithetic,
                                  fused_trunks=fused_trunks,
-                                 pipelined=pipelined)
+                                 pipelined=pipelined,
+                                 fast_sampling={"auto": None, "on": True,
+                                                "off": False}[fast_sampling])
 
     s = 256
     key = jax.random.PRNGKey(1)
@@ -702,6 +705,10 @@ def main():
                         "MXU convs")
     p.add_argument("--fused-trunks", action="store_true",
                    help="grouped-conv trunk fusion (models/fused.py)")
+    p.add_argument("--fast-sampling", type=str, default="auto",
+                   choices=("auto", "on", "off"),
+                   help="bf16-budget fast-math noise in the split sampling "
+                        "kernel (auto = on exactly when sampling to bf16)")
     p.add_argument("--antithetic", action="store_true",
                    help="pair MC draws antithetically (variance reduction)")
     p.add_argument("--serve-http", action="store_true",
@@ -817,12 +824,12 @@ def main():
                                      max(args.iters, 2),
                                      args.mc_chunk, args.impl, args.dvp,
                                      args.antithetic, args.fused_trunks,
-                                     args.pipelined)
+                                     args.pipelined, args.fast_sampling)
     else:
         value, mfu = measure_tpu(args.batch, args.num_mc, args.iters,
                                  args.mc_chunk, args.impl, args.dvp,
                                  args.antithetic, args.fused_trunks,
-                                 args.pipelined)
+                                 args.pipelined, args.fast_sampling)
 
     cache_key = f"torch_cpu_b{args.batch}_mc{args.num_mc}"
     baseline = None

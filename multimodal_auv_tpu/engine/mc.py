@@ -18,7 +18,7 @@ refreshes them once per step outside the loop (see steps.py).
 """
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +51,7 @@ def mc_logits(
     return_batch_stats: bool = False,
     split_sampling: bool = False,
     pipelined: bool = False,
+    fast_sampling: Optional[bool] = None,
 ) -> jax.Array:
     """Stacked logits over MC draws: (num_mc, batch, num_classes).
 
@@ -91,6 +92,13 @@ def mc_logits(
     ``ws_sharding`` or ``return_batch_stats``, whose draw consumption
     (mirror pairing / cross-chip sharding / sequential BN chaining) needs
     the stacked layout.
+
+    ``fast_sampling``: bf16-budget noise generation on the split/pipelined
+    inference paths (ops/sampling.py::_normal_block_fast — trimmed
+    polynomials, every error below the bf16 output quantum). ``None`` (default) resolves to True exactly
+    when the sampled weights are bfloat16 AND a split-consumption path is
+    active; the differentiable stacked path never uses it (its VJP
+    regenerates eps bit-exactly and must match the f32 forward).
 
     ``pipelined``: two-stage software pipeline over the draw axis —
     iteration k of the scan runs forward(w_k) from the CARRY while
@@ -213,7 +221,8 @@ def mc_logits(
         def chunk_sample(k):
             return tuple(gaussian_shift_scale_split(
                 mu, sigma, k, num_draws=mc_chunk, impl=impl,
-                out_dtype=sample_dtype))
+                out_dtype=sample_dtype, fast_math=_resolve_fast(
+                    fast_sampling, sample_dtype)))
 
         keys = jax.random.split(key, nchunks)
         ws0 = chunk_sample(keys[0])
@@ -237,7 +246,8 @@ def mc_logits(
         def chunk_step_split(_, k):
             ws_list = gaussian_shift_scale_split(
                 mu, sigma, k, num_draws=mc_chunk, impl=impl,
-                out_dtype=sample_dtype)
+                out_dtype=sample_dtype, fast_math=_resolve_fast(
+                    fast_sampling, sample_dtype))
             # unrolled sequential forwards over independent per-draw arrays
             return None, jnp.stack([fwd(w) for w in ws_list])
 
@@ -282,6 +292,14 @@ def mc_logits(
     _, logits = _dispatch_chunks(chunk_step, None, key, nchunks, num_mc)
     return logits
 
+
+
+def _resolve_fast(fast_sampling, sample_dtype):
+    """fast_sampling=None -> auto: fast noise exactly when sampling straight
+    to bf16 (where its error budget is sub-quantum)."""
+    if fast_sampling is None:
+        return sample_dtype == jnp.bfloat16
+    return bool(fast_sampling)
 
 
 def _dispatch_chunks(step, carry, key, nchunks, num_mc):

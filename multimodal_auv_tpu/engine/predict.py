@@ -126,7 +126,8 @@ def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
                       mc_chunk: Optional[int] = None, impl: str = "auto",
                       sample_dtype=jnp.bfloat16, antithetic: bool = False,
                       ws_sharding=None, fused_trunks: bool = False,
-                      pipelined: bool = False):
+                      pipelined: bool = False,
+                      fast_sampling: Optional[bool] = None):
     # (no donate option: the posterior and batch_stats are REUSED across
     # every batch of a survey — donating them would invalidate the caller's
     # buffers after the first call; donation belongs to train steps only)
@@ -175,7 +176,8 @@ def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
                            train=True, remat=False,
                            sample_dtype=sample_dtype, antithetic=antithetic,
                            ws_sharding=ws_sharding, batch_mask=mask,
-                           split_sampling=True, pipelined=pipelined)
+                           split_sampling=True, pipelined=pipelined,
+                           fast_sampling=fast_sampling)
         return _mc_outputs(logits)
 
     return step
@@ -185,7 +187,8 @@ def make_packed_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
                              mc_chunk: Optional[int] = None, impl: str = "auto",
                              sample_dtype=jnp.bfloat16,
                              fused_trunks: bool = False,
-                             ws_sharding=None, pipelined: bool = False):
+                             ws_sharding=None, pipelined: bool = False,
+                             fast_sampling: Optional[bool] = None):
     """Predict step over *uint8* device batches: the host ships 1 byte/px
     (4x less transfer than the reference's float32 tensors) and the
     /255 + optical normalization runs on-chip, fused by XLA into the first
@@ -213,7 +216,8 @@ def make_packed_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
                            train=True, remat=False,
                            sample_dtype=sample_dtype, batch_mask=mask,
                            ws_sharding=ws_sharding,
-                           split_sampling=True)
+                           split_sampling=True,
+                           fast_sampling=fast_sampling)
         return _mc_outputs(logits)
 
     return step

@@ -98,6 +98,19 @@ def _bmlite_kernel(seed_ref, out_ref):
     out_ref[0] = _normal_block_lite(out_ref.shape[1:]).astype(out_ref.dtype)
 
 
+def _bmfast_kernel(seed_ref, out_ref):
+    """The SHIPPED fast variant (ops/sampling._normal_block_fast):
+    two-word bit consumption with bf16-budget polynomial trims. A one-word
+    16+16-bit split variant was measured here first at 1.76 ms/draw
+    marginal — 2.5x SLOWER than prod (Mosaic lowers the in-register word
+    split badly) — which is why the shipped design keeps two words."""
+    blk = pl.program_id(0)
+    draw = pl.program_id(1)
+    nblk = pl.num_programs(0)
+    pltpu.prng_seed(seed_ref[0] + draw * nblk + blk)
+    out_ref[0] = S._normal_block_fast(out_ref.shape[1:]).astype(out_ref.dtype)
+
+
 def _launch(kernel, rows, num_draws, out_dtype=jnp.bfloat16):
     grid = (pl.cdiv(rows, BLOCK_ROWS), num_draws)
     return pl.pallas_call(
@@ -135,7 +148,8 @@ def main():
 
     results = {}
     for name, kern in [("bits", _bits_kernel), ("bm", S._eps_kernel),
-                       ("bmlite", _bmlite_kernel)]:
+                       ("bmlite", _bmlite_kernel),
+                       ("bmfast", _bmfast_kernel)]:
         f_n = jax.jit(functools.partial(_launch(kern, rows, n)))
         f_1 = jax.jit(functools.partial(_launch(kern, rows, 1)))
         t_n = _time(f_n, seed)
@@ -145,12 +159,15 @@ def main():
         print(f"{name:7s} t({n})={t_n*1e3:8.2f} ms  t(1)={t_1*1e3:7.2f} ms  "
               f"marginal={marg*1e3:6.3f} ms/draw")
 
-    bits, bm, lite = (results[k][2] for k in ("bits", "bm", "bmlite"))
+    bits, bm, lite, fast = (results[k][2]
+                            for k in ("bits", "bm", "bmlite", "bmfast"))
     print(f"\nPRNG+write floor : {bits*1e3:6.3f} ms/draw")
     print(f"BM math (prod)   : {(bm - bits)*1e3:6.3f} ms/draw")
     print(f"BM math (lite)   : {(lite - bits)*1e3:6.3f} ms/draw")
     print(f"lite saves       : {(bm - lite)*1e3:6.3f} ms/draw "
           f"({(bm - lite)*n*1e3:5.1f} ms per 20-draw step)")
+    print(f"fast (shipped) saves: {(bm - fast)*1e3:6.3f} ms/draw "
+          f"({(bm - fast)*n*1e3:5.1f} ms per 20-draw step)")
 
     # Fidelity of the lite transform vs prod on identical bits (CPU interpret
     # would be slow at this size; compare moments on-chip instead).

@@ -72,6 +72,29 @@ def main():
     results.append(check("rho-kernel std", abs(y.std() - 0.7) < 0.02,
                          f"{y.std():.4f}"))
 
+    # 2b. fast-math bf16 split kernel (the inference default when sampling
+    #     straight to bf16): trimmed bf16-budget polynomials — distribution
+    #     must be indistinguishable at bf16
+    from multimodal_auv_tpu.ops.sampling import gaussian_shift_scale_split
+
+    ff = jax.jit(lambda k: gaussian_shift_scale_split(
+        mu.astype(jnp.bfloat16), sigma.astype(jnp.bfloat16), k, 8,
+        impl="pallas", out_dtype=jnp.bfloat16, fast_math=True))
+    xf = np.stack([np.asarray(a, np.float32)
+                   for a in ff(jax.random.PRNGKey(7))])
+    results.append(check("fast-math sampling mean",
+                         abs(xf.mean() - 1.5) < 0.01, f"{xf.mean():.4f}"))
+    results.append(check("fast-math sampling std",
+                         abs(xf.std() - 0.7) < 0.01, f"{xf.std():.4f}"))
+    results.append(check("fast-math skew ~ 0",
+                         abs(st.skew(xf.ravel())) < 0.02,
+                         f"{st.skew(xf.ravel()):.4f}"))
+    results.append(check("fast-math kurtosis ~ 0",
+                         abs(st.kurtosis(xf.ravel())) < 0.03,
+                         f"{st.kurtosis(xf.ravel()):.4f}"))
+    results.append(check("fast-math draw independence",
+                         np.abs(xf[0] - xf[1]).max() > 0.01))
+
     # 3. end-to-end predict: pallas vs jnp estimator agreement (tiny arch
     #    to keep the second compile affordable)
     arch = ArchConfig.tiny(image_size=64)

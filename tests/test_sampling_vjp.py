@@ -99,3 +99,60 @@ def test_split_sampling_matches_stacked():
         assert len(sp) == 3
         for i in range(3):
             np.testing.assert_allclose(np.asarray(sp[i]), np.asarray(st[i]))
+
+
+def test_fast_math_bf16_log_sincos_accuracy():
+    """The bf16-budget fast-math variants (one random word per pair,
+    trimmed polynomials) must stay well inside the bf16 output quantum:
+    ln to ~2e-4 abs, sin/cos to ~4e-4 abs."""
+    from multimodal_auv_tpu.ops.sampling import (
+        _fast_ln_bf16,
+        _fast_sincos_2pi_bf16,
+    )
+
+    rng = np.random.default_rng(0)
+    # full 16-bit u1 domain is enumerable — test every value
+    f = (np.arange(1 << 16) + 1).astype(np.float32)
+    got = np.asarray(_fast_ln_bf16(jnp.asarray(f)))
+    want = np.log(f.astype(np.float64))
+    assert np.abs(got - want).max() < 2.5e-4
+
+    u = rng.uniform(0, 1, 200000).astype(np.float32)
+    s, c = _fast_sincos_2pi_bf16(jnp.asarray(u))
+    serr = np.abs(np.asarray(s) - np.sin(2 * np.pi * u.astype(np.float64)))
+    cerr = np.abs(np.asarray(c) - np.cos(2 * np.pi * u.astype(np.float64)))
+    # both bounded by the deg-4 cos truncation (y^6/720 at pi/4 = 3.3e-4):
+    # quadrant rotation hands each output the other polynomial's error
+    assert serr.max() < 4e-4
+    assert cerr.max() < 4e-4
+    # exact quadrant edges survive the trim
+    for uu, (es, ec) in {0.0: (0, 1), 0.25: (1, 0), 0.5: (0, -1),
+                         0.75: (-1, 0)}.items():
+        s, c = _fast_sincos_2pi_bf16(jnp.asarray(np.float32(uu)))
+        np.testing.assert_allclose([float(s), float(c)], [es, ec], atol=1e-5)
+
+
+def test_fast_math_split_kernel_interpret():
+    """fast_math split kernel in interpret mode: zero-bits stub makes both
+    Box–Muller halves deterministic with the 24-bit radius
+    r = sqrt(48*ln2) = 5.768 (same bit consumption as the precise kernel;
+    only the polynomials are trimmed) — and the kernel must refuse
+    non-bf16 outputs (its error budget is defined by the bf16 quantum)."""
+    from multimodal_auv_tpu.ops.sampling import gaussian_shift_scale_split
+
+    P = 512 * 128
+    mu = jnp.zeros(P, jnp.bfloat16)
+    sg = jnp.ones(P, jnp.bfloat16)
+    outs = gaussian_shift_scale_split(mu, sg, jax.random.PRNGKey(0), 2,
+                                      impl="pallas_interpret",
+                                      out_dtype=jnp.bfloat16, fast_math=True)
+    assert len(outs) == 2 and outs[0].dtype == jnp.bfloat16
+    x = np.asarray(outs[0], np.float32).reshape(512, 128)
+    r24 = np.sqrt(2.0 * 24.0 * np.log(2.0))
+    np.testing.assert_allclose(x[:256, :], r24, rtol=1e-2)
+    np.testing.assert_allclose(x[256:, :], 0.0, atol=1e-2)
+
+    with pytest.raises(ValueError, match="bf16-output-only"):
+        gaussian_shift_scale_split(mu, sg, jax.random.PRNGKey(0), 2,
+                                   impl="pallas_interpret",
+                                   out_dtype=jnp.float32, fast_math=True)
