@@ -137,6 +137,11 @@ def inference_cli(argv=None):
                              "(approximate; auto-falls back to exact MC "
                              "outside the validated posterior-spread "
                              "regime)")
+    parser.add_argument("--fast_sampling", choices=("auto", "on", "off"),
+                        default="auto",
+                        help="bf16-budget fast-math sampling noise (auto = "
+                             "on exactly when sampling straight to bf16; "
+                             "'off' forces the ~1e-6 polynomials)")
     parser.add_argument("--tiny", action="store_true", help=argparse.SUPPRESS)
     args = parser.parse_args(argv)
 
@@ -157,6 +162,8 @@ def inference_cli(argv=None):
         mc_chunk=args.mc_chunk,
         use_packed_loader=args.packed_loader,
         use_dvp=args.dvp,
+        fast_sampling={"auto": None, "on": True, "off": False}[
+            args.fast_sampling],
     )
     return 0
 

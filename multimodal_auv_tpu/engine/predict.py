@@ -233,6 +233,7 @@ def multimodal_predict_and_save_packed(
     key: Optional[jax.Array] = None,
     mc_chunk: Optional[int] = None,
     impl: str = "auto",
+    fast_sampling: Optional[bool] = None,
     step=None,
     mesh=None,
 ) -> None:
@@ -254,7 +255,8 @@ def multimodal_predict_and_save_packed(
     batches = PackedBatches(packed, batch_size)
     if step is None:
         step = make_packed_predict_step(bundle, num_mc_samples,
-                                        mc_chunk=mc_chunk, impl=impl)
+                                        mc_chunk=mc_chunk, impl=impl,
+                                        fast_sampling=fast_sampling)
 
     post, batch_stats, place = _mesh_placement(bundle, mesh)
 
@@ -274,6 +276,7 @@ def multimodal_predict_and_save(
     key: Optional[jax.Array] = None,
     mc_chunk: Optional[int] = None,
     impl: str = "auto",
+    fast_sampling: Optional[bool] = None,
     sss_patch_type: Optional[str] = "",
     channel_patch_type: Optional[str] = "",
     model_type: str = "multimodal",
@@ -292,7 +295,7 @@ def multimodal_predict_and_save(
 
     if step is None:
         step = make_predict_step(bundle, num_mc_samples, mc_chunk=mc_chunk,
-                                 impl=impl)
+                                 impl=impl, fast_sampling=fast_sampling)
 
     post, batch_stats, place = _mesh_placement(bundle, mesh)
     logger.info("CSV will be saved to: %s", csv_path)

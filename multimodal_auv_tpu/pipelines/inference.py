@@ -37,6 +37,7 @@ def run_auv_inference(
     packed_cache_dir: Optional[str] = None,
     mesh_spec=None,
     use_dvp: bool = False,
+    fast_sampling: Optional[bool] = None,
 ):
     """Run multimodal BNN inference over one survey directory or a list of
     them (the reference's main.py:186-272 sweeps two sites via
@@ -48,7 +49,10 @@ def run_auv_inference(
     ``arch``/``mc_chunk``/``seed``/``use_packed_loader`` (TPU knobs),
     ``use_dvp`` (single-pass moment-propagated serving, ~1.7x the exact-MC
     rate; guardrailed — auto-falls back to exact MC when the posterior
-    spread leaves the validated regime, engine/moment.py).
+    spread leaves the validated regime, engine/moment.py);
+    ``fast_sampling`` (None = auto: bf16-budget trimmed sampling noise
+    exactly when sampling straight to bf16 — see engine/mc.py; False
+    forces the ~1e-6 polynomials for debugging).
     """
     logging.basicConfig(
         level=logging.INFO,
@@ -119,7 +123,8 @@ def run_auv_inference(
         multimodal_predict_and_save_packed(
             bundle, cache, output_csv, num_mc_samples=num_mc_samples,
             batch_size=batch_size, key=jax.random.PRNGKey(seed + 1),
-            mc_chunk=mc_chunk, mesh=mesh, step=step)
+            mc_chunk=mc_chunk, fast_sampling=fast_sampling, mesh=mesh,
+            step=step)
     else:
         from multimodal_auv_tpu.data.loaders import (
             prepare_inference_datasets_and_loaders,
@@ -143,6 +148,7 @@ def run_auv_inference(
             num_mc_samples=num_mc_samples,
             key=jax.random.PRNGKey(seed + 1),
             mc_chunk=mc_chunk,
+            fast_sampling=fast_sampling,
             model_type="multimodal",
             mesh=mesh, step=step)
     logger.info("Final inference process completed successfully.")

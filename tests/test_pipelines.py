@@ -316,6 +316,31 @@ def test_remat_propagates_to_train_step(tmp_path, monkeypatch, pipeline):
     assert captured.get("remat") == "off", captured.keys()
 
 
+def test_fast_sampling_propagates_to_predict_step(tmp_path, monkeypatch):
+    """fast_sampling must reach make_predict_step from run_auv_inference —
+    the auto/on/off resolution lives in engine/mc.py, so a layer that
+    dropped the kwarg would silently pin the default no matter what the
+    CLI asked for (same failure mode as the quirk switches above)."""
+    import multimodal_auv_tpu.engine.predict as EP
+    from multimodal_auv_tpu.pipelines.inference import run_auv_inference
+
+    root = make_inference_tree(str(tmp_path / "dives"), n_samples=3)
+    captured = {}
+    real = EP.make_predict_step
+
+    def capture(*args, **kwargs):
+        captured.update(kwargs)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(EP, "make_predict_step", capture)
+    run_auv_inference(root, batch_size=3,
+                      output_csv=str(tmp_path / "out.csv"),
+                      num_mc_samples=2, num_classes=7,
+                      allow_random_init=True, arch=TINY,
+                      fast_sampling=False)
+    assert captured.get("fast_sampling") is False, captured.keys()
+
+
 def test_noise_study_strict_errors_reraises(tmp_path, monkeypatch):
     """run_noise_study(strict_errors=True) re-raises extended-metric
     failures instead of the reference's warn-and-continue (the AUROC /
