@@ -22,11 +22,96 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, "BASELINE_LOCAL.json")
+
+
+class _Watch:
+    """Wall-clock budget + heartbeat + SIGTERM best-effort emission.
+
+    The round-4 driver bench timed out cold-compiling through the tunnel and
+    left NOTHING in the official record (BENCH_r04.json rc=124, parsed=null).
+    This makes every bench run leave a diagnosable tail and, whenever any
+    measurement exists, a parseable JSON line even under SIGTERM:
+
+    * a daemon thread prints ``# [heartbeat] <phase> elapsed=Ns`` to stderr
+      every 20s, so a timeout log shows WHERE the time went;
+    * ``remaining()`` lets the timed loop shrink its iteration count when
+      compile/warmup ate the budget (env BENCH_BUDGET_S / --budget-s);
+    * GNU ``timeout`` sends SIGTERM before SIGKILL — the handler prints the
+      most recent provisional result (tagged ``"partial": true``) so even a
+      killed run records a number. The handler can only run between Python
+      bytecodes; a run blocked inside one long XLA compile still dies silently,
+      which is why the cache-warm discipline (BENCH_NOTES "capture protocol")
+      exists: never land a default-program-changing commit without re-running
+      ``python bench.py`` to re-warm .jax_cache.
+    """
+
+    def __init__(self, budget_s: float):
+        self.t0 = time.perf_counter()
+        self.budget_s = budget_s
+        self.phase = "startup"
+        self._provisional = None  # dict ready for json.dumps
+        self._emitted = False
+        self._lock = threading.Lock()
+        t = threading.Thread(target=self._beat, daemon=True)
+        t.start()
+        signal.signal(signal.SIGTERM, self._on_term)
+
+    def elapsed(self) -> float:
+        return time.perf_counter() - self.t0
+
+    def remaining(self) -> float:
+        return self.budget_s - self.elapsed()
+
+    def set_phase(self, phase: str) -> None:
+        self.phase = phase
+        print(f"# [heartbeat] {phase} at {self.elapsed():.0f}s",
+              file=sys.stderr, flush=True)
+
+    def provisional(self, payload: dict) -> None:
+        """Record the best JSON line we could emit if killed right now."""
+        with self._lock:
+            self._provisional = dict(payload)
+
+    def emit(self, payload: dict) -> None:
+        with self._lock:
+            if self._emitted:
+                return
+            self._emitted = True
+        print(json.dumps(payload), flush=True)
+
+    def _beat(self):
+        while True:
+            time.sleep(20)
+            print(f"# [heartbeat] {self.phase} elapsed={self.elapsed():.0f}s "
+                  f"budget={self.budget_s:.0f}s", file=sys.stderr, flush=True)
+
+    def _on_term(self, signum, frame):
+        with self._lock:
+            prov, emitted = self._provisional, self._emitted
+        print(f"# [heartbeat] SIGTERM during '{self.phase}' at "
+              f"{self.elapsed():.0f}s", file=sys.stderr, flush=True)
+        if prov is not None and not emitted:
+            prov = dict(prov)
+            prov["partial"] = True
+            self.emit(prov)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0 if prov is not None else 143)
+
+
+_WATCH: _Watch | None = None
+
+
+def _phase(name: str) -> None:
+    if _WATCH is not None:
+        _WATCH.set_phase(name)
 
 
 
@@ -100,7 +185,9 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
                 impl: str = "auto", dvp: bool = False,
                 antithetic: bool = False, fused_trunks: bool = False,
                 pipelined: bool = False,
-                fast_sampling: str = "auto") -> float:
+                fast_sampling: str = "auto", tiny: bool = False,
+                payload_base: dict | None = None):
+    _phase("importing jax")
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -111,8 +198,10 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
     from multimodal_auv_tpu.engine.predict import make_predict_step
     from multimodal_auv_tpu.models.model_utils import ArchConfig, make_multimodal_bundle
 
+    _phase("building model")
+    arch = ArchConfig.tiny(image_size=32) if tiny else ArchConfig()
     bundle = make_multimodal_bundle(7, BNNPriorSpec(), jax.random.PRNGKey(0),
-                                    ArchConfig())
+                                    arch)
     if dvp:
         from multimodal_auv_tpu.engine.moment import make_dvp_predict_step
 
@@ -126,7 +215,7 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
                                  fast_sampling={"auto": None, "on": True,
                                                 "off": False}[fast_sampling])
 
-    s = 256
+    s = arch.image_size
     key = jax.random.PRNGKey(1)
     main = jax.random.uniform(key, (batch, s, s, 3), jnp.float32)
     bathy = jax.random.uniform(key, (batch, s, s, 3), jnp.float32)
@@ -138,10 +227,49 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
     # compile + warmup (two rounds; force a D2H read — on the axon platform
     # block_until_ready can return before execution completes, so a host
     # copy of a result is the only reliable fence)
-    for i in range(2):
-        out = step(bundle.post, bundle.batch_stats, inputs,
-                   jax.random.fold_in(key, 1000 + i))
-        np.asarray(out["predicted"])
+    _phase("compile + warmup 1/2")
+    t0 = time.perf_counter()
+    out = step(bundle.post, bundle.batch_stats, inputs,
+               jax.random.fold_in(key, 1000))
+    np.asarray(out["predicted"])
+    warmup_s = time.perf_counter() - t0
+    # a warm .jax_cache load through the tunnel is tens of seconds; a cold
+    # XLA compile of the full program is minutes — 90s cleanly separates them
+    compile_cold = warmup_s > 90.0
+    _phase(f"warmup 2/2 (compile/load took {warmup_s:.0f}s, "
+           f"cold={compile_cold})")
+    t0 = time.perf_counter()
+    out = step(bundle.post, bundle.batch_stats, inputs,
+               jax.random.fold_in(key, 1001))
+    np.asarray(out["predicted"])
+    per_iter = time.perf_counter() - t0
+
+    extras = {"warmup_s": round(warmup_s, 1), "compile_cold": compile_cold}
+    if _WATCH is not None and payload_base is not None:
+        # if SIGTERM lands from here on, this (conservative, single-call,
+        # no-lag-pipelining) number is what gets emitted
+        prov_value = batch / max(per_iter, 1e-9)
+        prov = dict(payload_base)
+        bl = prov.pop("_baseline", None)
+        prov.update(value=round(prov_value, 3), **extras, iters=0)
+        if bl:
+            prov["vs_baseline"] = round(prov_value / bl, 2)
+        if not dvp and not tiny:
+            prov["mfu"] = round(_mfu(prov_value, num_mc), 4)
+        _WATCH.provisional(prov)
+        # shrink the timed loop when compile/warmup ate the budget: leave
+        # a 2x-per-iter + 15s safety margin for the final drain + emission
+        if _WATCH.remaining() < iters * per_iter * 1.5 + 15:
+            fit = int(max(0, _WATCH.remaining() - 15) / max(per_iter, 1e-9)
+                      / 1.5)
+            new_iters = max(1, min(iters, fit))
+            if new_iters < iters:
+                print(f"# [heartbeat] budget nearly spent "
+                      f"({_WATCH.remaining():.0f}s left, ~{per_iter:.2f}s/"
+                      f"iter): shrinking iters {iters} -> {new_iters}",
+                      file=sys.stderr, flush=True)
+                iters = new_iters
+    extras["iters"] = iters
 
     # Sustained serving throughput with a one-batch-lagged result fetch —
     # exactly the production predict loop (engine/predict.py): dispatch
@@ -149,6 +277,7 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
     # host<->device round trip overlaps the next batch's compute. Every
     # result is still fetched inside the timed window (the final drain
     # closes it).
+    _phase(f"timed loop ({iters} iters)")
     t0 = time.perf_counter()
     prev = None
     for i in range(iters):
@@ -162,8 +291,9 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
     value = batch * iters / dt
     # MFU is defined on the exact-MC model-FLOP count; DVP replaces the MC
     # forwards with a different (moment) computation, so it has no honest
-    # MFU under this definition
-    return value, (None if dvp else _mfu(value, num_mc))
+    # MFU under this definition (and the tiny self-test is not the model
+    # the FLOP formula describes)
+    return value, (None if (dvp or tiny) else _mfu(value, num_mc)), extras
 
 
 def measure_serve_tpu(batch: int, num_mc: int, n_samples: int = 96) -> float:
@@ -711,6 +841,16 @@ def main():
                         "kernel (auto = on exactly when sampling to bf16)")
     p.add_argument("--antithetic", action="store_true",
                    help="pair MC draws antithetically (variance reduction)")
+    p.add_argument("--budget-s", type=float,
+                   default=float(os.environ.get("BENCH_BUDGET_S", "1200")),
+                   help="internal wall-clock budget (seconds): heartbeats "
+                        "on stderr, timed-loop iters shrink to fit, and a "
+                        "best-effort JSON line is emitted on SIGTERM "
+                        "(env BENCH_BUDGET_S)")
+    p.add_argument("--tiny", action="store_true",
+                   help="SELF-TEST ONLY: tiny ArchConfig at 32^2 so the "
+                        "budget/heartbeat plumbing can be exercised on CPU "
+                        "in seconds; never a headline measurement")
     p.add_argument("--serve-http", action="store_true",
                    help="throughput through the HTTP host (serve_http.py) "
                         "over loopback: artifact + npz/JSON/HTTP overhead")
@@ -725,7 +865,11 @@ def main():
                         "(serving.py) instead of the in-process step")
     args = p.parse_args()
 
+    global _WATCH
+    _WATCH = _Watch(args.budget_s)
+
     if args.serve_http:
+        _phase("serve-http bench")
         value = measure_http_tpu(args.batch, args.num_mc,
                                  max(args.iters, 10),
                                  clients=args.http_clients,
@@ -740,6 +884,7 @@ def main():
         return
 
     if args.artifact:
+        _phase("artifact bench")
         value, exported_mode = measure_artifact_tpu(
             args.batch, args.num_mc, max(args.iters, 10),
             mode=("dvp" if args.dvp else "mc"))
@@ -754,6 +899,7 @@ def main():
         return
 
     if args.serve:
+        _phase("serving e2e bench")
         value = measure_serve_tpu(args.batch, args.num_mc,
                                   args.serve_samples)
         print(json.dumps({
@@ -765,6 +911,7 @@ def main():
         return
 
     if args.train_e2e:
+        _phase("train e2e bench")
         value = measure_train_e2e_tpu(args.batch, args.num_mc,
                                       packed=args.packed)
         print(json.dumps({
@@ -776,6 +923,7 @@ def main():
         return
 
     if args.train:
+        _phase("train step bench")
         if args.profile:
             from multimodal_auv_tpu.utils.profiling import trace
 
@@ -816,21 +964,10 @@ def main():
         }))
         return
 
-    if args.profile:
-        from multimodal_auv_tpu.utils.profiling import trace
-
-        with trace(args.profile):
-            value, mfu = measure_tpu(args.batch, args.num_mc,
-                                     max(args.iters, 2),
-                                     args.mc_chunk, args.impl, args.dvp,
-                                     args.antithetic, args.fused_trunks,
-                                     args.pipelined, args.fast_sampling)
-    else:
-        value, mfu = measure_tpu(args.batch, args.num_mc, args.iters,
-                                 args.mc_chunk, args.impl, args.dvp,
-                                 args.antithetic, args.fused_trunks,
-                                 args.pipelined, args.fast_sampling)
-
+    # resolve the CPU-torch denominator BEFORE the TPU measurement: a cache
+    # hit is free, and on a miss the measurement runs while the budget is
+    # still fresh (round-4 lesson: everything after the TPU compile is at
+    # risk of the driver's external timeout)
     cache_key = f"torch_cpu_b{args.batch}_mc{args.num_mc}"
     baseline = None
     if os.path.exists(CACHE):
@@ -838,7 +975,9 @@ def main():
             baseline = json.load(open(CACHE)).get(cache_key)
         except Exception:
             baseline = None
-    if baseline is None and not args.skip_baseline and not args.dvp:
+    if (baseline is None and not args.skip_baseline and not args.dvp
+            and not args.tiny):
+        _phase("measuring torch CPU baseline (uncached)")
         baseline = measure_torch_cpu(args.batch, args.num_mc)
         data = {}
         if os.path.exists(CACHE):
@@ -849,20 +988,46 @@ def main():
         data[cache_key] = baseline
         json.dump(data, open(CACHE, "w"), indent=1)
 
+    # the DVP mode is approximate inference — never report it under the
+    # exact-MC headline metric name; --tiny is a plumbing self-test and is
+    # named so it can never be mistaken for a headline
+    metric = ("multimodal_bnn_inference_dvp_patches_per_sec" if args.dvp
+              else "multimodal_bnn_inference_20mc_patches_per_sec")
+    if args.tiny:
+        metric += "_tinyselftest"
+        baseline = None
+    payload_base = {"metric": metric, "unit": "patches/sec/chip",
+                    "vs_baseline": None}
+    if baseline:
+        # provisional emissions can compute vs_baseline too
+        payload_base["_baseline"] = baseline
+
+    if args.profile:
+        from multimodal_auv_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            value, mfu, extras = measure_tpu(
+                args.batch, args.num_mc, max(args.iters, 2),
+                args.mc_chunk, args.impl, args.dvp, args.antithetic,
+                args.fused_trunks, args.pipelined, args.fast_sampling,
+                args.tiny, payload_base)
+    else:
+        value, mfu, extras = measure_tpu(
+            args.batch, args.num_mc, args.iters, args.mc_chunk, args.impl,
+            args.dvp, args.antithetic, args.fused_trunks, args.pipelined,
+            args.fast_sampling, args.tiny, payload_base)
+
     # approximate DVP vs the exact-20-MC torch baseline would be an
     # apples-to-oranges ratio — the artifact branch already reports None
     vs = (value / baseline) if baseline and not args.dvp else None
-    print(json.dumps({
-        # the DVP mode is approximate inference — never report it under
-        # the exact-MC headline metric name
-        "metric": ("multimodal_bnn_inference_dvp_patches_per_sec"
-                   if args.dvp else
-                   "multimodal_bnn_inference_20mc_patches_per_sec"),
+    _WATCH.emit({
+        "metric": metric,
         "value": round(value, 3),
         "unit": "patches/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
         "mfu": round(mfu, 4) if mfu else None,
-    }))
+        **extras,
+    })
 
 
 if __name__ == "__main__":
