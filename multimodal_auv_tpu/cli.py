@@ -386,6 +386,12 @@ def export_serving_cli(argv=None):
     parser.add_argument("--platforms", type=str, default=None,
                         help="Comma-separated lowering targets, e.g. 'tpu' "
                              "or 'tpu,cpu' (default: current backend).")
+    parser.add_argument("--fast_sampling", choices=("auto", "on", "off"),
+                        default="auto",
+                        help="bf16-budget fast-math sampling noise, baked "
+                             "into the exported program (auto = on exactly "
+                             "when sampling to bf16 on a split path; "
+                             "recorded in meta.json).")
     parser.add_argument("--tiny", action="store_true", help=argparse.SUPPRESS)
     args = parser.parse_args(argv)
 
@@ -408,6 +414,8 @@ def export_serving_cli(argv=None):
         dvp_on_excess=args.dvp_on_excess,
         data_shards=args.data_shards,
         mc_shards=args.mc_shards,
+        fast_sampling={"auto": None, "on": True, "off": False}[
+            args.fast_sampling],
     )
     return 0
 

@@ -155,8 +155,12 @@ def _normal_block_fast(shape):
     bfloat16 outputs): identical bit consumption and pairing to
     _normal_block — two 24-bit uniforms per pair, same 5.77-sigma tail —
     with the polynomial budgets cut to the bf16 output quantum: 3-term ln
-    series, degree-5/4 sin/cos (abs errors 2e-4 / 4e-5 / 3.3e-4, each
-    ~10x below one bf16 ulp of the sample magnitude it perturbs), five
+    series, degree-5/4 sin/cos (abs errors 2e-4 / 4e-5 / 3.3e-4 — ~10x
+    below one bf16 ulp of a typical |sample| ~ 1; NOT sub-ulp for the
+    measure-zero tail of near-zero samples, where the ln truncation is
+    amplified by 1/r as r->0 and the bf16 ulp shrinks with magnitude —
+    P~1e-4, distributionally irrelevant, and the moment checks in
+    tests/test_sampling_vjp.py are the actual acceptance criterion), five
     fmas fewer per pair. Measured on v5e at the 73M-draw geometry:
     0.624 vs 0.715 ms/draw marginal (scripts/probe_rng_split.py; a
     one-word 16+16-bit variant was ALSO built and measured 1.76 ms/draw —

@@ -196,6 +196,7 @@ def export_auv_serving_artifact(
     dvp_on_excess: str = "mc",
     data_shards: int = 1,
     mc_shards: int = 1,
+    fast_sampling: Optional[bool] = None,
 ):
     """Export an AOT serving artifact (serving.py): the compiled packed MC
     predict program + posterior state, loadable on a serving host with only
@@ -220,4 +221,5 @@ def export_auv_serving_artifact(
         num_mc_samples=num_mc_samples, image_size=arch.image_size,
         mc_chunk=mc_chunk, platforms=platforms, seed=seed,
         mode=("dvp" if use_dvp else "mc"), dvp_on_excess=dvp_on_excess,
-        data_shards=data_shards, mc_shards=mc_shards)
+        data_shards=data_shards, mc_shards=mc_shards,
+        fast_sampling=fast_sampling)

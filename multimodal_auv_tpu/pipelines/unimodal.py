@@ -48,10 +48,17 @@ def unimodal_predict_and_save(
     model_type: str = "image",
     key: Optional[jax.Array] = None,
     mc_chunk: int = 1,
+    fast_sampling: Optional[bool] = None,
 ) -> str:
     """MC inference for one modality; CSV schema mirrors the multimodal
     predictor (predictors.py:33): variance-estimator predictive uncertainty
-    + mean-entropy aleatoric (eps 1e-7)."""
+    + mean-entropy aleatoric (eps 1e-7).
+
+    ``fast_sampling``: same tri-state as the multimodal path (None = auto,
+    engine/mc.py::_resolve_fast) — this path samples f32 without split
+    consumption so auto resolves OFF; the explicit switch exists so a
+    production-output debug session can force either generator uniformly
+    across every predict surface (docs/CLI.md)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     module, meta = bundle.module, bundle.meta
@@ -63,7 +70,8 @@ def unimodal_predict_and_save(
         # never pads) — same fix as the multimodal predict path
         logits = mc_logits(module, meta, post, batch_stats, (x,), k,
                            num_mc_samples, mc_chunk=mc_chunk, train=True,
-                           remat=False, batch_mask=mask)
+                           remat=False, batch_mask=mask,
+                           fast_sampling=fast_sampling)
         probs = U.softmax_probs(logits)
         # one fused (3, batch) array -> a single D2H fetch per batch
         return jnp.stack([

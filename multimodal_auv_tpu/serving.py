@@ -82,6 +82,7 @@ def export_predict_artifact(bundle, out_dir: str, *, batch_size,
                             mc_shards: int = 1,
                             platforms: Optional[Sequence[str]] = None,
                             class_names: Optional[Sequence[str]] = None,
+                            fast_sampling: Optional[bool] = None,
                             seed: int = 0) -> str:
     """Export the packed predict step + state for ``bundle`` to ``out_dir``.
 
@@ -153,7 +154,8 @@ def export_predict_artifact(bundle, out_dir: str, *, batch_size,
             ws_sh = _mesh_shardings(data_shards, mc_shards)[3]
         step = make_packed_predict_step(bundle, num_mc_samples,
                                         mc_chunk=mc_chunk, impl=impl,
-                                        ws_sharding=ws_sh)
+                                        ws_sharding=ws_sh,
+                                        fast_sampling=fast_sampling)
     else:
         raise ValueError(f"mode must be 'mc' or 'dvp', got {mode!r}")
     leaves, treedef = jax.tree.flatten((bundle.post, bundle.batch_stats))
@@ -229,6 +231,10 @@ def export_predict_artifact(bundle, out_dir: str, *, batch_size,
         "platforms": list(exported.platforms),
         "seed": seed,
         "mode": exported_mode,
+        # None = auto-resolved at trace time (engine/mc.py::_resolve_fast);
+        # the flag is baked into the compiled program, so the off-switch
+        # for debugging production outputs must be chosen AT EXPORT
+        "fast_sampling": fast_sampling,
         "posterior_spread": (None if spread is None
                              else round(float(spread), 6)),
         "data_shards": int(data_shards),

@@ -341,6 +341,65 @@ def test_fast_sampling_propagates_to_predict_step(tmp_path, monkeypatch):
     assert captured.get("fast_sampling") is False, captured.keys()
 
 
+def test_fast_sampling_propagates_to_artifact_export(tmp_path, monkeypatch):
+    """fast_sampling must reach make_packed_predict_step from the artifact
+    export surface AND be recorded in meta.json: the flag is baked into the
+    compiled program at export, so a layer that dropped it would make the
+    production debug off-switch (docs/CLI.md) silently inert on the AOT
+    serving path (round-4 verdict #7)."""
+    import json as _json
+
+    import multimodal_auv_tpu.engine.predict as EP
+    from multimodal_auv_tpu.pipelines.inference import (
+        export_auv_serving_artifact,
+    )
+
+    captured = {}
+    real = EP.make_packed_predict_step
+
+    def capture(*args, **kwargs):
+        captured.update(kwargs)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(EP, "make_packed_predict_step", capture)
+    d = str(tmp_path / "artifact")
+    export_auv_serving_artifact(
+        output_dir=d, batch_size=2, num_mc_samples=2, num_classes=3,
+        allow_random_init=True, arch=TINY, fast_sampling=False)
+    assert captured.get("fast_sampling") is False, captured.keys()
+    meta = _json.load(open(os.path.join(d, "meta.json")))
+    assert meta["fast_sampling"] is False
+
+
+def test_fast_sampling_propagates_to_unimodal_predict(tmp_path, monkeypatch):
+    """Same propagation guarantee for the unimodal predict surface (its
+    mc_logits call resolves fast_sampling in engine/mc.py)."""
+    import jax
+
+    import multimodal_auv_tpu.pipelines.unimodal as UP
+    from multimodal_auv_tpu.config import BNNPriorSpec
+    from multimodal_auv_tpu.data.loaders import prepare_inference_dataloader
+    from multimodal_auv_tpu.models.model_utils import make_unimodal_bundle
+
+    iroot = make_inference_tree(str(tmp_path / "dives"), n_samples=2)
+    loader = prepare_inference_dataloader(iroot, batch_size=2)
+    bundle = make_unimodal_bundle(3, 7, BNNPriorSpec(),
+                                  jax.random.PRNGKey(0), TINY)
+    captured = {}
+    real = UP.mc_logits
+
+    def capture(*args, **kwargs):
+        captured.update(kwargs)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(UP, "mc_logits", capture)
+    UP.unimodal_predict_and_save(bundle, loader,
+                                 str(tmp_path / "uni.csv"),
+                                 num_mc_samples=2, model_type="image",
+                                 fast_sampling=False)
+    assert captured.get("fast_sampling") is False, captured.keys()
+
+
 def test_noise_study_strict_errors_reraises(tmp_path, monkeypatch):
     """run_noise_study(strict_errors=True) re-raises extended-metric
     failures instead of the reference's warn-and-continue (the AUROC /

@@ -102,7 +102,9 @@ def test_split_sampling_matches_stacked():
 
 
 def test_fast_math_bf16_log_sincos_accuracy():
-    """The bf16-budget fast-math variants (one random word per pair,
+    """The bf16-budget fast-math variants (two 24-bit uniforms per pair —
+    the same bit consumption as _normal_block; the one-word 16+16 split
+    was rejected as 2.5x slower, see BENCH_NOTES/probe_rng_split — with
     trimmed polynomials) must stay well inside the bf16 output quantum:
     ln to ~2e-4 abs, sin/cos to ~4e-4 abs."""
     from multimodal_auv_tpu.ops.sampling import (
