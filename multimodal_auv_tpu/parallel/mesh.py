@@ -74,11 +74,11 @@ def shard_batch(mesh: Mesh, tree: Any) -> Any:
     )
 
 
-def shard_state(mesh: Mesh, state: Any, fsdp: bool = False) -> Any:
-    """Place a BayesTrainState (or PackedPosterior) on the mesh: packed
-    posterior/opt moments sharded when fsdp, everything else replicated."""
-    from multimodal_auv_tpu.bayes import PackedPosterior
-
+def state_shardings(mesh: Mesh, state: Any, fsdp: bool = False) -> Any:
+    """The sharding tree shard_state would place ``state`` with: packed
+    posterior/opt moments sharded when fsdp, everything else replicated.
+    Works on arrays OR ShapeDtypeStructs — the AOT compile-only checks
+    attach these to abstract avals (tests/test_flagship_compile.py)."""
     post_shard = posterior_sharding(mesh, fsdp)
     repl = replicated(mesh)
 
@@ -93,10 +93,17 @@ def shard_state(mesh: Mesh, state: Any, fsdp: bool = False) -> Any:
         # while their nu twins stayed replicated.
         is_packed = bool(keys) and keys[-1] in ("mu", "rho")
         if is_packed and np.ndim(leaf) == 1:
-            return jax.device_put(leaf, post_shard)
-        return jax.device_put(leaf, repl)
+            return post_shard
+        return repl
 
     return jax.tree_util.tree_map_with_path(place, state)
+
+
+def shard_state(mesh: Mesh, state: Any, fsdp: bool = False) -> Any:
+    """Place a BayesTrainState (or PackedPosterior) on the mesh: packed
+    posterior/opt moments sharded when fsdp, everything else replicated."""
+    return jax.tree_util.tree_map(jax.device_put, state,
+                                  state_shardings(mesh, state, fsdp))
 
 
 # ---------------------------------------------------------------------------
