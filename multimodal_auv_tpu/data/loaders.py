@@ -351,16 +351,52 @@ def prepare_packed_train_loaders(
     out = os.path.join(
         cache,
         f"{bathy_patch_type or 'full'}_{sss_patch_type or 'full'}_{sz}")
-    if not os.path.exists(os.path.join(out, "meta.json")):
-        pack_training_dataset(dataset, out, bathy_patch_type, sss_patch_type,
-                              size=sz)
-    packed = load_packed_training(out)
-    if (packed["main"].shape[0] != len(dataset)
-            or packed["meta"].get("fingerprint") != dataset_fingerprint(dataset)):
-        logger.warning("Stale packed cache %s (content mismatch); repacking",
-                       out)
-        packed = pack_training_dataset(dataset, out, bathy_patch_type,
-                                       sss_patch_type, size=sz)
+
+    def _fresh(p) -> bool:
+        return (p["main"].shape[0] == len(dataset)
+                and p["meta"].get("fingerprint") == dataset_fingerprint(dataset))
+
+    import jax
+
+    if jax.process_count() > 1:
+        # multi-host: the pack cache is a COLLECTIVE resource on the shared
+        # filesystem — single-writer (process 0 packs or repacks), barrier,
+        # then every process memmaps the same files. Concurrent packers
+        # would race on the memmap writes.
+        from multimodal_auv_tpu.parallel.distributed import (
+            _next_barrier_name,
+            assert_same_across_processes,
+            barrier,
+            is_coordinator,
+        )
+
+        assert_same_across_processes("packed_train_cache", out)
+        if is_coordinator():
+            if not os.path.exists(os.path.join(out, "meta.json")):
+                pack_training_dataset(dataset, out, bathy_patch_type,
+                                      sss_patch_type, size=sz)
+            elif not _fresh(load_packed_training(out)):
+                logger.warning("Stale packed cache %s (content mismatch); "
+                               "repacking", out)
+                pack_training_dataset(dataset, out, bathy_patch_type,
+                                      sss_patch_type, size=sz)
+        barrier(_next_barrier_name("packed_cache"))
+        packed = load_packed_training(out)
+        if not _fresh(packed):
+            raise RuntimeError(
+                f"packed cache {out} is stale on process "
+                f"{jax.process_index()} after the coordinator packed it — "
+                f"the hosts do not see the same dataset/shared filesystem")
+    else:
+        if not os.path.exists(os.path.join(out, "meta.json")):
+            pack_training_dataset(dataset, out, bathy_patch_type,
+                                  sss_patch_type, size=sz)
+        packed = load_packed_training(out)
+        if not _fresh(packed):
+            logger.warning("Stale packed cache %s (content mismatch); "
+                           "repacking", out)
+            packed = pack_training_dataset(dataset, out, bathy_patch_type,
+                                           sss_patch_type, size=sz)
 
     train_idx, test_idx = split_indices(len(dataset))
     train = PackedTrainBatches(packed, batch_size, train_idx, shuffle=True,

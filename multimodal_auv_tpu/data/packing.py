@@ -293,10 +293,79 @@ class PackedTrainBatches:
             self._epoch += 1
         bs = self.batch_size
         for i in range(0, len(idx), bs):
-            take = np.sort(idx[i:i + bs])
-            yield {
-                "main_image": np.asarray(self.packed["main"][take]),
-                "bathy_image": np.asarray(self.packed["bathy"][take]),
-                "sss_image": np.asarray(self.packed["sss"][take]),
-                "label": np.asarray(self.packed["labels"][take], np.int32),
-            }
+            yield self._materialize(np.sort(idx[i:i + bs]))
+
+    def _materialize(self, take: np.ndarray) -> Dict[str, np.ndarray]:
+        """Read the batch rows out of the memmaps (hook: the multi-host
+        subclass reads only its owned row-slice)."""
+        return {
+            "main_image": np.asarray(self.packed["main"][take]),
+            "bathy_image": np.asarray(self.packed["bathy"][take]),
+            "sss_image": np.asarray(self.packed["sss"][take]),
+            "label": np.asarray(self.packed["labels"][take], np.int32),
+        }
+
+
+class HostShardPackedBatches(PackedTrainBatches):
+    """Multi-host packed feeding: the decode-once memmap loader's twin of
+    ``data/loaders.py::HostShardLoader`` (round-4 verdict #2 — the
+    reference's DataParallel applied regardless of loader,
+    /root/reference/src/Multimodal_AUV/utils/device.py:17-19; here the
+    fastest loader must not drop out of the multi-host story).
+
+    Every host iterates the SAME seeded global batch order, but reads
+    ONLY its contiguous row-slice ``[pi*B/P, (pi+1)*B/P)`` of each global
+    batch from the image memmaps — page-ins and memory traffic scale with
+    1/P. Yielded batches stay GLOBAL-shaped: unowned image rows are
+    zero-filled placeholders; labels are filled globally from the
+    in-memory labels array (no image read), so eval ledgers see true
+    labels. The multi-host step wrappers
+    (parallel/distributed.py::wrap_*_step_multihost) slice the owned rows
+    back out and assemble the true global device batch — placeholder rows
+    never reach a device, and ragged-tail slots are padded + masked by
+    the epoch loops exactly as in the single-host path."""
+
+    def __init__(self, packed: Dict[str, object], batch_size: int,
+                 indices=None, shuffle: bool = False, seed: int = 0,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
+        super().__init__(packed, batch_size, indices, shuffle, seed)
+        import jax
+
+        pi = jax.process_index() if process_index is None else process_index
+        pc = jax.process_count() if process_count is None else process_count
+        if batch_size % pc:
+            raise ValueError(
+                f"batch_size ({batch_size}) must be divisible by the "
+                f"process count ({pc}) — every host feeds an equal slice "
+                f"of each global batch")
+        self.process_index, self.process_count = pi, pc
+        self.rows_per_host = batch_size // pc
+
+    @classmethod
+    def from_batches(cls, b: PackedTrainBatches,
+                     process_index: Optional[int] = None,
+                     process_count: Optional[int] = None
+                     ) -> "HostShardPackedBatches":
+        out = cls(b.packed, b.batch_size, b.indices, shuffle=b.shuffle,
+                  seed=b._seed, process_index=process_index,
+                  process_count=process_count)
+        out._epoch = b._epoch
+        return out
+
+    def _materialize(self, take: np.ndarray) -> Dict[str, np.ndarray]:
+        n = len(take)
+        lo = self.process_index * self.rows_per_host
+        hi = min(lo + self.rows_per_host, n)
+        own = take[lo:hi] if lo < n else take[:0]
+        batch = {}
+        for out_key, in_key in (("main_image", "main"),
+                                ("bathy_image", "bathy"),
+                                ("sss_image", "sss")):
+            mm = self.packed[in_key]
+            arr = np.zeros((n,) + tuple(mm.shape[1:]), mm.dtype)
+            if len(own):
+                arr[lo:hi] = mm[own]
+            batch[out_key] = arr
+        batch["label"] = np.asarray(self.packed["labels"][take], np.int32)
+        return batch

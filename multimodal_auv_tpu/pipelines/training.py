@@ -81,11 +81,6 @@ def _train_multimodal_common(
         raise ValueError(
             "multi-host training requires a mesh_spec (the global batch "
             "must be sharded over a 'data' mesh axis spanning all hosts)")
-    if multihost and use_packed_loader:
-        raise NotImplementedError(
-            "use_packed_loader is not yet supported with multi-host "
-            "training — use the standard loaders (each host decodes only "
-            "its 1/P slice of every batch)")
 
     if use_packed_loader:
         # decode-once epochs: uint8 memmap batches, normalize on-chip
@@ -179,8 +174,20 @@ def _train_multimodal_common(
             )
 
             check_multihost_mesh(mesh)
-            train_loader = HostShardLoader.from_loader(train_loader)
-            test_loader = HostShardLoader.from_loader(test_loader)
+            if use_packed_loader:
+                # decode-once memmap path: each host reads only its
+                # 1/P row-slice of every batch (cache creation was
+                # single-writer inside prepare_packed_train_loaders)
+                from multimodal_auv_tpu.data.packing import (
+                    HostShardPackedBatches,
+                )
+
+                train_loader = HostShardPackedBatches.from_batches(
+                    train_loader)
+                test_loader = HostShardPackedBatches.from_batches(test_loader)
+            else:
+                train_loader = HostShardLoader.from_loader(train_loader)
+                test_loader = HostShardLoader.from_loader(test_loader)
             train_step = wrap_train_step_multihost(mesh, train_step)
             eval_step = wrap_eval_step_multihost(mesh, eval_step)
             logger.info(

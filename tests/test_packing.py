@@ -309,3 +309,95 @@ def test_degraded_main_image_parity_packed_vs_unpacked(tmp_path):
     on_chip = np.asarray(normalize_optical(jnp.asarray(packed["main"][1])))
     np.testing.assert_allclose(on_chip, np.asarray(main_f), rtol=1e-4,
                                atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# multi-host packed loader (round-4 verdict #2)
+# ---------------------------------------------------------------------------
+
+def _synthetic_packed(n=11, size=8, classes=3):
+    rng = np.random.default_rng(7)
+    return {
+        "main": rng.integers(0, 256, (n, size, size, 3), np.uint8),
+        "bathy": rng.integers(0, 256, (n, size, size, 3), np.uint8),
+        "sss": rng.integers(0, 256, (n, size, size, 1), np.uint8),
+        "labels": (np.arange(n) % classes).astype(np.int32),
+        "meta": {"classes": [str(c) for c in range(classes)]},
+    }
+
+
+def test_host_shard_packed_batches_global_view():
+    """Two simulated hosts iterating HostShardPackedBatches must see the
+    SAME global batch order; each host's owned contiguous row-slice must
+    equal the single-host loader's rows, unowned image rows must be zero
+    placeholders, and labels must be globally real on every host (the
+    HostShardLoader contract, data/loaders.py:192, for the decode-once
+    memmap path)."""
+    from multimodal_auv_tpu.data.packing import (
+        HostShardPackedBatches,
+        PackedTrainBatches,
+    )
+
+    packed = _synthetic_packed(n=11)
+    bs, pc = 4, 2
+    full = list(PackedTrainBatches(packed, bs, shuffle=True, seed=3))
+    hosts = [list(HostShardPackedBatches(packed, bs, shuffle=True, seed=3,
+                                         process_index=p, process_count=pc))
+             for p in range(pc)]
+    per = bs // pc
+    img_keys = ("main_image", "bathy_image", "sss_image")
+    assert len(hosts[0]) == len(full) == 3  # 11 rows / bs 4, ragged tail
+    for bi, ref in enumerate(full):
+        n = len(ref["label"])
+        for p in range(pc):
+            got = hosts[p][bi]
+            # labels are global and real on every host
+            np.testing.assert_array_equal(got["label"], ref["label"])
+            lo, hi = p * per, min((p + 1) * per, n)
+            for k in img_keys:
+                assert got[k].shape == ref[k].shape  # GLOBAL-shaped
+                if lo < n:
+                    np.testing.assert_array_equal(got[k][lo:hi],
+                                                  ref[k][lo:hi])
+                # every unowned row is a zero placeholder
+                unowned = [j for j in range(n) if not lo <= j < hi]
+                assert not np.any(got[k][unowned])
+        # the two hosts' owned slices tile the batch disjointly
+        for k in img_keys:
+            stitched = np.zeros_like(ref[k])
+            for p in range(pc):
+                lo, hi = p * per, min((p + 1) * per, n)
+                if lo < n:
+                    stitched[lo:hi] = hosts[p][bi][k][lo:hi]
+            np.testing.assert_array_equal(stitched, ref[k])
+
+
+def test_host_shard_packed_batches_rejects_indivisible_batch():
+    from multimodal_auv_tpu.data.packing import HostShardPackedBatches
+
+    with pytest.raises(ValueError, match="divisible"):
+        HostShardPackedBatches(_synthetic_packed(), 5, process_index=0,
+                               process_count=2)
+
+
+def test_host_shard_packed_from_batches_preserves_epoch_and_split():
+    """from_batches (the pipelines' conversion hook) must carry the
+    subset indices, shuffle seed AND the current shuffle epoch, so a
+    mid-training conversion (resume) replays the identical batch order."""
+    from multimodal_auv_tpu.data.packing import (
+        HostShardPackedBatches,
+        PackedTrainBatches,
+    )
+
+    packed = _synthetic_packed(n=10)
+    base = PackedTrainBatches(packed, 2, indices=np.arange(1, 9),
+                              shuffle=True, seed=5)
+    list(base)  # advance one epoch
+    hs = HostShardPackedBatches.from_batches(base, process_index=0,
+                                             process_count=2)
+    assert hs._epoch == base._epoch and hs._seed == base._seed
+    np.testing.assert_array_equal(hs.indices, base.indices)
+    # epoch-1 labels match what the base loader yields next
+    np.testing.assert_array_equal(
+        np.concatenate([b["label"] for b in hs]),
+        np.concatenate([b["label"] for b in base]))
