@@ -127,7 +127,8 @@ def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
                       sample_dtype=jnp.bfloat16, antithetic: bool = False,
                       ws_sharding=None, fused_trunks: bool = False,
                       pipelined: bool = False,
-                      fast_sampling: Optional[bool] = None):
+                      fast_sampling: Optional[bool] = None,
+                      bn_mode: str = "train"):
     # (no donate option: the posterior and batch_stats are REUSED across
     # every batch of a survey — donating them would invalidate the caller's
     # buffers after the first call; donation belongs to train steps only)
@@ -141,7 +142,20 @@ def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
 
     ``ws_sharding``: optional NamedSharding for the (mc_chunk, P) weight
     stack — parallel.mesh.mc_sharding(mesh) spreads the MC ensemble over the
-    'mc' mesh axis for multi-chip serving."""
+    'mc' mesh axis for multi-chip serving.
+
+    ``bn_mode``: BatchNorm statistics source for the MC forwards.
+    ``"train"`` (default) is reference-faithful — every path in the
+    reference runs BN in train mode even at inference
+    (inference/predictors.py:27, train/multimodal.py:232), normalising by
+    current-batch statistics. ``"eval"`` normalises by the FROZEN running
+    statistics carried in ``batch_stats`` instead (the textbook inference
+    semantics): outputs become batch-composition-independent and the
+    per-draw batch-moment reductions disappear from the hot loop (A/B
+    numbers + output-divergence quantification: BENCH_NOTES.md
+    "Round 5", scripts/probe_bn_mode.py)."""
+    if bn_mode not in ("train", "eval"):
+        raise ValueError(f"bn_mode must be 'train' or 'eval', got {bn_mode!r}")
     if mc_chunk is None:
         if ws_sharding is not None:
             # mc-ensemble parallelism only spreads the draws WITHIN a
@@ -173,7 +187,7 @@ def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
         # equal an unpadded run (the reference never pads).
         logits = mc_logits(module, meta, post, batch_stats, inputs, key,
                            num_mc_samples, mc_chunk=mc_chunk, impl=impl,
-                           train=True, remat=False,
+                           train=(bn_mode == "train"), remat=False,
                            sample_dtype=sample_dtype, antithetic=antithetic,
                            ws_sharding=ws_sharding, batch_mask=mask,
                            split_sampling=True, pipelined=pipelined,
@@ -188,7 +202,8 @@ def make_packed_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
                              sample_dtype=jnp.bfloat16,
                              fused_trunks: bool = False,
                              ws_sharding=None, pipelined: bool = False,
-                             fast_sampling: Optional[bool] = None):
+                             fast_sampling: Optional[bool] = None,
+                             bn_mode: str = "train"):
     """Predict step over *uint8* device batches: the host ships 1 byte/px
     (4x less transfer than the reference's float32 tensors) and the
     /255 + optical normalization runs on-chip, fused by XLA into the first
@@ -196,9 +211,14 @@ def make_packed_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
 
     ``ws_sharding``: optional NamedSharding for the (mc_chunk, P) sampled
     weight stack — parallel.mesh.mc_sharding(mesh) spreads the MC
-    ensemble over the mesh's 'mc' axis (see make_predict_step)."""
+    ensemble over the mesh's 'mc' axis (see make_predict_step).
+
+    ``bn_mode``: "train" (reference-faithful, default) or "eval" (frozen
+    running BN statistics) — see make_predict_step."""
     from multimodal_auv_tpu.ops.preprocess import normalize_multimodal
 
+    if bn_mode not in ("train", "eval"):
+        raise ValueError(f"bn_mode must be 'train' or 'eval', got {bn_mode!r}")
     if mc_chunk is None:
         mc_chunk = 2 if num_mc_samples % 2 == 0 else 1
 
@@ -213,7 +233,7 @@ def make_packed_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
         inputs = normalize_multimodal(*u8_inputs)
         logits = mc_logits(module, meta, post, batch_stats, inputs, key,
                            num_mc_samples, mc_chunk=mc_chunk, impl=impl,
-                           train=True, remat=False,
+                           train=(bn_mode == "train"), remat=False,
                            sample_dtype=sample_dtype, batch_mask=mask,
                            ws_sharding=ws_sharding,
                            split_sampling=True,

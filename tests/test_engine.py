@@ -521,6 +521,47 @@ def test_masked_bn_ragged_batch_equals_unpadded():
                                float(m_ref["cross_entropy"]), rtol=2e-4)
 
 
+def test_bn_mode_eval_is_batch_composition_invariant():
+    """make_predict_step(bn_mode="eval") normalises by the FROZEN running
+    stats: a sample's outputs must be identical whatever batch it shares
+    (the textbook inference property the reference's train-mode-BN quirk
+    lacks, inference/predictors.py:27). The reference-faithful default
+    ("train") must remain batch-dependent, and the two modes must
+    genuinely differ (round-4 verdict #4 — the opt-in eval-BN path)."""
+    from multimodal_auv_tpu.engine.predict import make_predict_step
+
+    bundle, _, _ = _mm_state()
+    rng = np.random.default_rng(11)
+    ins4 = tuple(jnp.asarray(rng.normal(size=(4, S, S, c)), jnp.float32)
+                 for c in (3, 3, 1))
+    # same row 0, different batch companions
+    ins4b = tuple(jnp.asarray(np.concatenate(
+        [np.asarray(a[:1]), rng.normal(size=(3,) + a.shape[1:])
+         .astype(np.float32)])) for a in ins4)
+    key = jax.random.PRNGKey(7)
+
+    with pytest.raises(ValueError, match="bn_mode"):
+        make_predict_step(bundle, 2, bn_mode="frozen")
+
+    ev = make_predict_step(bundle, 2, impl="jnp", sample_dtype=None,
+                           bn_mode="eval")
+    tr = make_predict_step(bundle, 2, impl="jnp", sample_dtype=None)
+    o_ev_a = ev(bundle.post, bundle.batch_stats, ins4, key)
+    o_ev_b = ev(bundle.post, bundle.batch_stats, ins4b, key)
+    np.testing.assert_allclose(np.asarray(o_ev_a["mean_prob"])[0],
+                               np.asarray(o_ev_b["mean_prob"])[0],
+                               rtol=1e-5, atol=1e-6)
+
+    o_tr_a = tr(bundle.post, bundle.batch_stats, ins4, key)
+    o_tr_b = tr(bundle.post, bundle.batch_stats, ins4b, key)
+    assert np.abs(np.asarray(o_tr_a["mean_prob"])[0]
+                  - np.asarray(o_tr_b["mean_prob"])[0]).max() > 1e-6, \
+        "train-mode BN should depend on batch composition"
+    assert np.abs(np.asarray(o_tr_a["mean_prob"])
+                  - np.asarray(o_ev_a["mean_prob"])).max() > 1e-6, \
+        "the two BN modes should differ"
+
+
 def test_masked_bn_train_step_running_stats_exclude_padding():
     """refresh_batch_stats with a mask must move the running stats exactly as
     an unpadded batch does."""
