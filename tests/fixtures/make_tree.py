@@ -56,3 +56,60 @@ def make_inference_tree(root, n_samples=5):
         _save(os.path.join(d, f"line_SSS_{i}.png"), gray(value=77))
         _save(os.path.join(d, "patch_30m_combined_bathy.png"), rgb(value=66))
     return root
+
+
+def make_separable_training_tree(root, n_per_class=8, ambiguous_per_class=0,
+                                 labels=("Sand", "Mud", "Rock"), seed=0,
+                                 size=32):
+    """A labeled survey tree with a STRONG class signal in every modality:
+    class c brightens RGB channel c of the main frame / combined bathy /
+    bathy patches, and sets a class-specific SSS gray level — linearly
+    separable, so the full multimodal pipeline must be able to learn it
+    to high accuracy (the e2e product test, round-4 verdict #3).
+
+    ``ambiguous_per_class``: additional samples whose pixels are the
+    midpoint of class c and class (c+1)%3 signatures, labeled c, in
+    folders named ``ambig_*`` — a trained model should be measurably less
+    certain on these than on clean samples."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+
+    def class_rgb(c, mix=None):
+        a = rng.normal(30, 6, size=(size, size, 3))
+        a[:, :, c] += 170
+        if mix is not None:
+            a[:, :, c] -= 85
+            a[:, :, mix] += 85
+        return np.clip(a, 0, 255).astype(np.uint8)
+
+    def class_gray(c, mix=None):
+        lvl = 40 + 70 * c
+        if mix is not None:
+            lvl = (lvl + 40 + 70 * mix) / 2
+        a = rng.normal(lvl, 6, size=(size, size))
+        return np.clip(a, 0, 255).astype(np.uint8)
+
+    def write_sample(d, c, mix=None):
+        os.makedirs(d, exist_ok=True)
+        i = abs(hash(d)) % 10000
+        _save(os.path.join(d, f"frame_{i:04d}.jpg"), class_rgb(c, mix))
+        _save(os.path.join(d, f"survey_SSS_{i}.png"), class_gray(c, mix))
+        _save(os.path.join(d, "combined_rgb_bathymetry.jpg"),
+              class_rgb(c, mix))
+        for ps in ("10m", "30m"):
+            _save(os.path.join(d, f"patch_{ps}_combined_bathy.png"),
+                  class_rgb(c, mix))
+            _save(os.path.join(d, f"patch_{ps}_survey_SSS.png"),
+                  class_gray(c, mix))
+        with open(os.path.join(d, f"{labels[c]}.txt"), "w") as f:
+            f.write(labels[c])
+        with open(os.path.join(d, "normalised_meta.csv"), "w") as f:
+            f.write("easting,northing\n1,2\n")
+
+    for c in range(len(labels)):
+        for j in range(n_per_class):
+            write_sample(os.path.join(root, f"clean_c{c}_{j:03d}"), c)
+        for j in range(ambiguous_per_class):
+            write_sample(os.path.join(root, f"ambig_c{c}_{j:03d}"), c,
+                         mix=(c + 1) % len(labels))
+    return root
