@@ -186,7 +186,7 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
                 antithetic: bool = False, fused_trunks: bool = False,
                 pipelined: bool = False,
                 fast_sampling: str = "auto", tiny: bool = False,
-                payload_base: dict | None = None):
+                payload_base: dict | None = None, bn_mode: str = "train"):
     _phase("importing jax")
     import jax
 
@@ -213,7 +213,8 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
                                  fused_trunks=fused_trunks,
                                  pipelined=pipelined,
                                  fast_sampling={"auto": None, "on": True,
-                                                "off": False}[fast_sampling])
+                                                "off": False}[fast_sampling],
+                                 bn_mode=bn_mode)
 
     s = arch.image_size
     key = jax.random.PRNGKey(1)
@@ -841,6 +842,12 @@ def main():
                         "kernel (auto = on exactly when sampling to bf16)")
     p.add_argument("--antithetic", action="store_true",
                    help="pair MC draws antithetically (variance reduction)")
+    p.add_argument("--bn-mode", type=str, default="train",
+                   choices=("train", "eval"),
+                   help="predict-path BatchNorm statistics ('eval' = frozen "
+                        "running stats, +12%% measured; default stays the "
+                        "reference-faithful train mode so the headline "
+                        "program/cache is unchanged)")
     p.add_argument("--budget-s", type=float,
                    default=float(os.environ.get("BENCH_BUDGET_S", "1200")),
                    help="internal wall-clock budget (seconds): heartbeats "
@@ -1010,12 +1017,12 @@ def main():
                 args.batch, args.num_mc, max(args.iters, 2),
                 args.mc_chunk, args.impl, args.dvp, args.antithetic,
                 args.fused_trunks, args.pipelined, args.fast_sampling,
-                args.tiny, payload_base)
+                args.tiny, payload_base, args.bn_mode)
     else:
         value, mfu, extras = measure_tpu(
             args.batch, args.num_mc, args.iters, args.mc_chunk, args.impl,
             args.dvp, args.antithetic, args.fused_trunks, args.pipelined,
-            args.fast_sampling, args.tiny, payload_base)
+            args.fast_sampling, args.tiny, payload_base, args.bn_mode)
 
     # approximate DVP vs the exact-20-MC torch baseline would be an
     # apples-to-oranges ratio — the artifact branch already reports None

@@ -151,9 +151,14 @@ def make_predict_step(bundle: ModelBundle, num_mc_samples: int, *,
     current-batch statistics. ``"eval"`` normalises by the FROZEN running
     statistics carried in ``batch_stats`` instead (the textbook inference
     semantics): outputs become batch-composition-independent and the
-    per-draw batch-moment reductions disappear from the hot loop (A/B
-    numbers + output-divergence quantification: BENCH_NOTES.md
-    "Round 5", scripts/probe_bn_mode.py)."""
+    per-draw batch-moment reductions disappear from the hot loop.
+    Measured on v5e at the flagship b4x20MC point (same-session
+    alternated A/B, scripts/probe_bn_mode.py; BENCH_NOTES.md "Round 5"):
+    +12.1% throughput (56.5 -> 63.4 p/s best-of-4), with top-1 agreement
+    1.000 and |d mean_prob| <= 2e-3 on the MOPED posterior — but the
+    predictive-uncertainty head shifts ~12% relative, so the faithful
+    train mode stays the default and "eval" is a documented
+    divergence."""
     if bn_mode not in ("train", "eval"):
         raise ValueError(f"bn_mode must be 'train' or 'eval', got {bn_mode!r}")
     if mc_chunk is None:
@@ -254,6 +259,7 @@ def multimodal_predict_and_save_packed(
     mc_chunk: Optional[int] = None,
     impl: str = "auto",
     fast_sampling: Optional[bool] = None,
+    bn_mode: str = "train",
     step=None,
     mesh=None,
 ) -> None:
@@ -276,7 +282,8 @@ def multimodal_predict_and_save_packed(
     if step is None:
         step = make_packed_predict_step(bundle, num_mc_samples,
                                         mc_chunk=mc_chunk, impl=impl,
-                                        fast_sampling=fast_sampling)
+                                        fast_sampling=fast_sampling,
+                                        bn_mode=bn_mode)
 
     post, batch_stats, place = _mesh_placement(bundle, mesh)
 
@@ -297,6 +304,7 @@ def multimodal_predict_and_save(
     mc_chunk: Optional[int] = None,
     impl: str = "auto",
     fast_sampling: Optional[bool] = None,
+    bn_mode: str = "train",
     sss_patch_type: Optional[str] = "",
     channel_patch_type: Optional[str] = "",
     model_type: str = "multimodal",
@@ -315,7 +323,8 @@ def multimodal_predict_and_save(
 
     if step is None:
         step = make_predict_step(bundle, num_mc_samples, mc_chunk=mc_chunk,
-                                 impl=impl, fast_sampling=fast_sampling)
+                                 impl=impl, fast_sampling=fast_sampling,
+                                 bn_mode=bn_mode)
 
     post, batch_stats, place = _mesh_placement(bundle, mesh)
     logger.info("CSV will be saved to: %s", csv_path)

@@ -38,6 +38,7 @@ def run_auv_inference(
     mesh_spec=None,
     use_dvp: bool = False,
     fast_sampling: Optional[bool] = None,
+    bn_mode: str = "train",
 ):
     """Run multimodal BNN inference over one survey directory or a list of
     them (the reference's main.py:186-272 sweeps two sites via
@@ -52,7 +53,12 @@ def run_auv_inference(
     spread leaves the validated regime, engine/moment.py);
     ``fast_sampling`` (None = auto: bf16-budget trimmed sampling noise
     exactly when sampling straight to bf16 — see engine/mc.py; False
-    forces the ~1e-6 polynomials for debugging).
+    forces the ~1e-6 polynomials for debugging);
+    ``bn_mode`` ("train" default = the reference's BN-in-train-mode
+    inference quirk; "eval" = frozen running BN statistics — measured
+    +12% serving throughput on v5e at b4x20MC with top-1 agreement 1.0
+    but ~12% relative shift of predictive uncertainty: a documented
+    divergence, engine/predict.py + BENCH_NOTES.md "Round 5").
     """
     logging.basicConfig(
         level=logging.INFO,
@@ -123,8 +129,8 @@ def run_auv_inference(
         multimodal_predict_and_save_packed(
             bundle, cache, output_csv, num_mc_samples=num_mc_samples,
             batch_size=batch_size, key=jax.random.PRNGKey(seed + 1),
-            mc_chunk=mc_chunk, fast_sampling=fast_sampling, mesh=mesh,
-            step=step)
+            mc_chunk=mc_chunk, fast_sampling=fast_sampling,
+            bn_mode=bn_mode, mesh=mesh, step=step)
     else:
         from multimodal_auv_tpu.data.loaders import (
             prepare_inference_datasets_and_loaders,
@@ -149,6 +155,7 @@ def run_auv_inference(
             key=jax.random.PRNGKey(seed + 1),
             mc_chunk=mc_chunk,
             fast_sampling=fast_sampling,
+            bn_mode=bn_mode,
             model_type="multimodal",
             mesh=mesh, step=step)
     logger.info("Final inference process completed successfully.")
@@ -197,6 +204,7 @@ def export_auv_serving_artifact(
     data_shards: int = 1,
     mc_shards: int = 1,
     fast_sampling: Optional[bool] = None,
+    bn_mode: str = "train",
 ):
     """Export an AOT serving artifact (serving.py): the compiled packed MC
     predict program + posterior state, loadable on a serving host with only
@@ -222,4 +230,4 @@ def export_auv_serving_artifact(
         mc_chunk=mc_chunk, platforms=platforms, seed=seed,
         mode=("dvp" if use_dvp else "mc"), dvp_on_excess=dvp_on_excess,
         data_shards=data_shards, mc_shards=mc_shards,
-        fast_sampling=fast_sampling)
+        fast_sampling=fast_sampling, bn_mode=bn_mode)

@@ -49,6 +49,7 @@ def unimodal_predict_and_save(
     key: Optional[jax.Array] = None,
     mc_chunk: int = 1,
     fast_sampling: Optional[bool] = None,
+    bn_mode: str = "train",
 ) -> str:
     """MC inference for one modality; CSV schema mirrors the multimodal
     predictor (predictors.py:33): variance-estimator predictive uncertainty
@@ -58,7 +59,12 @@ def unimodal_predict_and_save(
     engine/mc.py::_resolve_fast) — this path samples f32 without split
     consumption so auto resolves OFF; the explicit switch exists so a
     production-output debug session can force either generator uniformly
-    across every predict surface (docs/CLI.md)."""
+    across every predict surface (docs/CLI.md).
+
+    ``bn_mode``: "train" (reference-faithful) or "eval" (frozen running
+    BN statistics) — see engine/predict.py::make_predict_step."""
+    if bn_mode not in ("train", "eval"):
+        raise ValueError(f"bn_mode must be 'train' or 'eval', got {bn_mode!r}")
     if key is None:
         key = jax.random.PRNGKey(0)
     module, meta = bundle.module, bundle.meta
@@ -69,7 +75,8 @@ def unimodal_predict_and_save(
         # statistics, so real rows equal an unpadded run (the reference
         # never pads) — same fix as the multimodal predict path
         logits = mc_logits(module, meta, post, batch_stats, (x,), k,
-                           num_mc_samples, mc_chunk=mc_chunk, train=True,
+                           num_mc_samples, mc_chunk=mc_chunk,
+                           train=(bn_mode == "train"),
                            remat=False, batch_mask=mask,
                            fast_sampling=fast_sampling)
         probs = U.softmax_probs(logits)

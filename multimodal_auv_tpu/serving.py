@@ -83,6 +83,7 @@ def export_predict_artifact(bundle, out_dir: str, *, batch_size,
                             platforms: Optional[Sequence[str]] = None,
                             class_names: Optional[Sequence[str]] = None,
                             fast_sampling: Optional[bool] = None,
+                            bn_mode: str = "train",
                             seed: int = 0) -> str:
     """Export the packed predict step + state for ``bundle`` to ``out_dir``.
 
@@ -155,7 +156,8 @@ def export_predict_artifact(bundle, out_dir: str, *, batch_size,
         step = make_packed_predict_step(bundle, num_mc_samples,
                                         mc_chunk=mc_chunk, impl=impl,
                                         ws_sharding=ws_sh,
-                                        fast_sampling=fast_sampling)
+                                        fast_sampling=fast_sampling,
+                                        bn_mode=bn_mode)
     else:
         raise ValueError(f"mode must be 'mc' or 'dvp', got {mode!r}")
     leaves, treedef = jax.tree.flatten((bundle.post, bundle.batch_stats))
@@ -235,6 +237,10 @@ def export_predict_artifact(bundle, out_dir: str, *, batch_size,
         # the flag is baked into the compiled program, so the off-switch
         # for debugging production outputs must be chosen AT EXPORT
         "fast_sampling": fast_sampling,
+        # "train" = reference-faithful BN-in-train-mode inference;
+        # "eval" = frozen running stats (batch-composition-independent,
+        # measured +12% on v5e — a documented divergence, BENCH_NOTES.md)
+        "bn_mode": bn_mode,
         "posterior_spread": (None if spread is None
                              else round(float(spread), 6)),
         "data_shards": int(data_shards),

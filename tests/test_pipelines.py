@@ -423,3 +423,49 @@ def test_noise_study_strict_errors_reraises(tmp_path, monkeypatch):
                           turbidity_centers=[0.5], num_mc=1, batch_size=2,
                           arch=ArchConfig.tiny(image_size=32))
     assert len(res) == 1 and "accuracy" in res[0]
+
+
+def test_bn_mode_propagates_to_predict_step_and_export(tmp_path, monkeypatch):
+    """bn_mode must reach the step builders from run_auv_inference AND the
+    artifact export surface, and be recorded in meta.json (it is baked
+    into the AOT program, like fast_sampling) — a dropped kwarg would
+    silently pin the reference-faithful default no matter what the CLI
+    asked for."""
+    import json as _json
+
+    import multimodal_auv_tpu.engine.predict as EP
+    from multimodal_auv_tpu.pipelines.inference import (
+        export_auv_serving_artifact,
+        run_auv_inference,
+    )
+
+    root = make_inference_tree(str(tmp_path / "dives"), n_samples=3)
+    captured = {}
+    real = EP.make_predict_step
+
+    def capture(*args, **kwargs):
+        captured.update(kwargs)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(EP, "make_predict_step", capture)
+    run_auv_inference(root, batch_size=3,
+                      output_csv=str(tmp_path / "out.csv"),
+                      num_mc_samples=2, num_classes=7,
+                      allow_random_init=True, arch=TINY, bn_mode="eval")
+    assert captured.get("bn_mode") == "eval", captured.keys()
+
+    captured.clear()
+    real_packed = EP.make_packed_predict_step
+
+    def capture_packed(*args, **kwargs):
+        captured.update(kwargs)
+        return real_packed(*args, **kwargs)
+
+    monkeypatch.setattr(EP, "make_packed_predict_step", capture_packed)
+    d = str(tmp_path / "artifact")
+    export_auv_serving_artifact(
+        output_dir=d, batch_size=2, num_mc_samples=2, num_classes=3,
+        allow_random_init=True, arch=TINY, bn_mode="eval")
+    assert captured.get("bn_mode") == "eval", captured.keys()
+    meta = _json.load(open(os.path.join(d, "meta.json")))
+    assert meta["bn_mode"] == "eval"
