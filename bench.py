@@ -30,6 +30,21 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, "BASELINE_LOCAL.json")
 
+def _jax_setup():
+    """Import jax, point the persistent compilation cache at the repo, and
+    honor an explicit JAX_PLATFORMS=cpu: the axon TPU plugin force-registers
+    itself at import time and OVERRIDES the env var, so a bench self-test
+    asked to run on CPU would silently run through the (single, shared) TPU
+    tunnel instead — pin the config back post-import."""
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    return jax
+
+
 
 class _Watch:
     """Wall-clock budget + heartbeat + SIGTERM best-effort emission.
@@ -45,11 +60,20 @@ class _Watch:
       compile/warmup ate the budget (env BENCH_BUDGET_S / --budget-s);
     * GNU ``timeout`` sends SIGTERM before SIGKILL — the handler prints the
       most recent provisional result (tagged ``"partial": true``) so even a
-      killed run records a number. The handler can only run between Python
-      bytecodes; a run blocked inside one long XLA compile still dies silently,
-      which is why the cache-warm discipline (BENCH_NOTES "capture protocol")
-      exists: never land a default-program-changing commit without re-running
-      ``python bench.py`` to re-warm .jax_cache.
+      killed run records a number. Signal handlers run only on the MAIN
+      thread, between bytecodes — so ``main()`` pushes the whole measurement
+      onto a worker thread and keeps the main thread in a short-timeout wait
+      loop: a SIGTERM landing mid-XLA-compile (the tunnel compile of the
+      full program measured 5-10+ min with heavy session-to-session
+      variance, and the persistent .jax_cache does NOT remove it — round-5
+      measurements in BENCH_NOTES) is handled immediately instead of dying
+      silently inside the C++ call;
+    * before the full-program compile, a small-draw-count program is
+      compiled and timed, and a CONSERVATIVE extrapolated value (tagged
+      ``"early_estimate": true``) is recorded as the first provisional — so
+      even a driver timeout shorter than one full compile leaves a lower
+      bound on record rather than nothing (env BENCH_EARLY_ESTIMATE=0
+      disables).
     """
 
     def __init__(self, budget_s: float):
@@ -190,8 +214,7 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
     _phase("importing jax")
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, ".jax_cache"))
+    _jax_setup()
     import jax.numpy as jnp
 
     from multimodal_auv_tpu.config import BNNPriorSpec
@@ -225,17 +248,128 @@ def measure_tpu(batch: int, num_mc: int, iters: int, mc_chunk: int,
 
     import numpy as np
 
-    # compile + warmup (two rounds; force a D2H read — on the axon platform
-    # block_until_ready can return before execution completes, so a host
-    # copy of a result is the only reliable fence)
-    _phase("compile + warmup 1/2")
-    t0 = time.perf_counter()
-    out = step(bundle.post, bundle.batch_stats, inputs,
-               jax.random.fold_in(key, 1000))
-    np.asarray(out["predicted"])
-    warmup_s = time.perf_counter() - t0
-    # a warm .jax_cache load through the tunnel is tens of seconds; a cold
-    # XLA compile of the full program is minutes — 90s cleanly separates them
+    # ---- compile + warmup 1/2 on a HELPER thread, with a concurrent
+    # early estimate. The full-program preparation through the tunnel is
+    # 5-16+ min with heavy server-load variance, and a persistent-cache
+    # hit does not shorten it (the server re-prepares the executable on
+    # load — BENCH_NOTES "Round 5"). So: submit the full program first,
+    # and while it grinds, compile + time ONE chunk's worth of draws and
+    # record a conservative extrapolation as the first provisional.
+    # t(mc) = mc*d + F with F >= 0, so t_small * (mc/small) >= t(mc): the
+    # extrapolated throughput is a LOWER bound. A driver timeout landing
+    # inside the big compile now leaves this bound (tagged
+    # early_estimate) instead of nothing. If the server serializes
+    # compiles, total time is the same as running the stages
+    # sequentially; if it interleaves, the early bound costs ~nothing.
+    # (The forced D2H np.asarray after each call is the execution fence —
+    # on the axon platform block_until_ready can return early.)
+    warmup_box = {}
+    warmup_done = threading.Event()
+    warmup_err = []
+
+    def _compile_full():
+        try:
+            t0 = time.perf_counter()
+            out = step(bundle.post, bundle.batch_stats, inputs,
+                       jax.random.fold_in(key, 1000))
+            np.asarray(out["predicted"])
+            warmup_box["warmup_s"] = time.perf_counter() - t0
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            warmup_err.append(e)
+        finally:
+            warmup_done.set()
+
+    _phase("compile + warmup 1/2 (helper thread)")
+    helper = threading.Thread(target=_compile_full, daemon=True)
+    helper.start()
+
+    small = mc_chunk or (2 if num_mc % 2 == 0 else 1)
+    if (_WATCH is not None and payload_base is not None and not dvp
+            and small < num_mc and not warmup_done.is_set()
+            and os.environ.get("BENCH_EARLY_ESTIMATE", "1") != "0"):
+        _phase(f"early estimate ({small}-draw) alongside the full compile")
+        step_small = make_predict_step(
+            bundle, small, mc_chunk=small, impl=impl,
+            antithetic=antithetic, fused_trunks=fused_trunks,
+            pipelined=pipelined,
+            fast_sampling={"auto": None, "on": True,
+                           "off": False}[fast_sampling],
+            bn_mode=bn_mode)
+        out = step_small(bundle.post, bundle.batch_stats, inputs,
+                         jax.random.fold_in(key, 500))
+        np.asarray(out["predicted"])
+        if not warmup_done.is_set():
+            _phase("early estimate: timing")
+            t0 = time.perf_counter()
+            prev = None
+            for i in range(3):
+                out = step_small(bundle.post, bundle.batch_stats, inputs,
+                                 jax.random.fold_in(key, 501 + i))
+                if prev is not None:
+                    np.asarray(prev["predicted"])
+                prev = out
+            np.asarray(prev["predicted"])
+            t_small = (time.perf_counter() - t0) / 3
+            # raw linear extrapolation t(mc) <= t_small*(mc/small) is a
+            # hard lower bound but a LOOSE one: a small-draw step is
+            # dominated by the per-call fixed cost F (tunnel dispatch +
+            # result fetch + per-step sampling setup — measured ~7x
+            # understatement at 2 draws). Measure F with the same lagged
+            # loop on a trivial program over the same inputs and report
+            # the F-corrected linear-model estimate
+            #   t(mc) ~= (t_small - F)*(mc/small) + F
+            # as the value (tagged early_estimate), keeping the raw bound
+            # alongside. F is clamped so the correction can never exceed
+            # the model's own structure (d > 0).
+            est_raw = batch / max(t_small * (num_mc / small), 1e-9)
+            try:
+                fixed = jax.jit(lambda a: {"predicted": a[0][:, 0, 0, 0]})
+                fo = fixed(inputs)
+                np.asarray(fo["predicted"])  # compile + fence
+                t0 = time.perf_counter()
+                prevf = None
+                for _ in range(3):
+                    fo = fixed(inputs)
+                    if prevf is not None:
+                        np.asarray(prevf["predicted"])
+                    prevf = fo
+                np.asarray(prevf["predicted"])
+                f_meas = (time.perf_counter() - t0) / 3
+            except Exception:  # estimate must never kill the bench
+                f_meas = 0.0
+            f_use = min(f_meas, 0.9 * t_small)
+            t_full_est = (t_small - f_use) * (num_mc / small) + f_use
+            est = batch / max(t_full_est, 1e-9)
+            prov = dict(payload_base)
+            bl = prov.pop("_baseline", None)
+            prov.update(value=round(est, 3), iters=0, early_estimate=True,
+                        extrapolated_from_mc=small,
+                        raw_lower_bound=round(est_raw, 3),
+                        dispatch_overhead_s=round(f_meas, 4))
+            if bl:
+                prov["vs_baseline"] = round(est / bl, 2)
+            if not tiny:
+                prov["mfu"] = round(_mfu(est, num_mc), 4)
+            _WATCH.provisional(prov)
+            print(f"# [heartbeat] early estimate: {est:.1f} patches/s "
+                  f"(F-corrected; raw lower bound {est_raw:.1f}, "
+                  f"{small}-draw program x {num_mc // small}, "
+                  f"F={f_meas * 1e3:.0f} ms)",
+                  file=sys.stderr, flush=True)
+
+    _phase("compile + warmup 1/2 (waiting on helper)")
+    warmup_done.wait()
+    helper.join()
+    if warmup_err:
+        raise warmup_err[0]
+    warmup_s = warmup_box["warmup_s"]
+    # Round-5 diagnosis (BENCH_NOTES "Round 5"): a persistent-cache HIT on
+    # the full program does NOT avoid the multi-minute cost on this tunnel
+    # — the axon server re-prepares the executable on load (measured 314s
+    # cold vs 617-900s on cache-hit runs; variance is tunnel/server load,
+    # not client compilation). compile_cold therefore really means "this
+    # run paid a full tunnel program-preparation", warm or not; 90s
+    # separates it from an in-process re-trace.
     compile_cold = warmup_s > 90.0
     _phase(f"warmup 2/2 (compile/load took {warmup_s:.0f}s, "
            f"cold={compile_cold})")
@@ -313,8 +447,7 @@ def measure_serve_tpu(batch: int, num_mc: int, n_samples: int = 96) -> float:
     sys.path.insert(0, os.path.join(REPO, "tests"))
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, ".jax_cache"))
+    _jax_setup()
 
     from multimodal_auv_tpu.config import BNNPriorSpec
     from multimodal_auv_tpu.data.datasets import InferenceFolderDataset
@@ -391,8 +524,7 @@ def measure_train_e2e_tpu(batch: int, num_mc: int,
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, ".jax_cache"))
+    _jax_setup()
 
     from fixtures.make_tree import make_training_tree
     from multimodal_auv_tpu.config import BNNPriorSpec
@@ -483,8 +615,7 @@ def measure_train_tpu(batch: int, num_mc: int, iters: int,
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, ".jax_cache"))
+    _jax_setup()
 
     from multimodal_auv_tpu.config import BNNPriorSpec
     from multimodal_auv_tpu.engine.optim import BayesTrainState, make_optimizer
@@ -671,8 +802,7 @@ def measure_artifact_tpu(batch: int, num_mc: int, iters: int,
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, ".jax_cache"))
+    _jax_setup()
     import numpy as np
 
     from multimodal_auv_tpu.config import BNNPriorSpec
@@ -729,8 +859,7 @@ def measure_http_tpu(batch: int, num_mc: int, iters: int,
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, ".jax_cache"))
+    _jax_setup()
     import numpy as np
 
     from multimodal_auv_tpu.config import BNNPriorSpec
@@ -796,6 +925,41 @@ def measure_http_tpu(batch: int, num_mc: int, iters: int,
 
 
 def main():
+    """Parse args, then run the measurement on a WORKER thread.
+
+    Signal handlers execute only on the main thread, between bytecodes. The
+    tunnel compile of the full program is one multi-minute C++ call; with the
+    measurement on the main thread a SIGTERM arriving during it was only
+    delivered after the compile returned — i.e. after GNU timeout's KILL
+    follow-up had already landed (the round-4 rc=124/parsed-null failure).
+    With the measurement on a worker thread the main thread sits in a
+    short-timeout wait loop and handles SIGTERM within ~0.5 s no matter what
+    the worker is blocked in, emitting the best provisional JSON line."""
+    args = _parse_args()
+
+    global _WATCH
+    _WATCH = _Watch(args.budget_s)
+
+    failure = []
+    done = threading.Event()
+
+    def body():
+        try:
+            _dispatch(args)
+        except BaseException as e:  # noqa: BLE001 — re-raised on main thread
+            failure.append(e)
+        finally:
+            done.set()
+
+    worker = threading.Thread(target=body, daemon=True)
+    worker.start()
+    while not done.wait(0.5):
+        pass
+    if failure:
+        raise failure[0]
+
+
+def _parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--num-mc", type=int, default=20)
@@ -849,7 +1013,7 @@ def main():
                         "reference-faithful train mode so the headline "
                         "program/cache is unchanged)")
     p.add_argument("--budget-s", type=float,
-                   default=float(os.environ.get("BENCH_BUDGET_S", "1200")),
+                   default=float(os.environ.get("BENCH_BUDGET_S", "1500")),
                    help="internal wall-clock budget (seconds): heartbeats "
                         "on stderr, timed-loop iters shrink to fit, and a "
                         "best-effort JSON line is emitted on SIGTERM "
@@ -870,11 +1034,10 @@ def main():
     p.add_argument("--artifact", action="store_true",
                    help="serve through an exported AOT artifact "
                         "(serving.py) instead of the in-process step")
-    args = p.parse_args()
+    return p.parse_args()
 
-    global _WATCH
-    _WATCH = _Watch(args.budget_s)
 
+def _dispatch(args):
     if args.serve_http:
         _phase("serve-http bench")
         value = measure_http_tpu(args.batch, args.num_mc,

@@ -260,6 +260,73 @@ def test_bench_mfu_flop_model():
     assert 0.17 < mfu < 0.20
 
 
+def test_bench_sigterm_emits_provisional_while_worker_blocked():
+    """Capture hardening (round-4 verdict #1 / round-5): bench.main() runs
+    the measurement on a worker thread so the MAIN thread can service
+    SIGTERM even while the worker is stuck inside one long tunnel compile.
+    A SIGTERM must produce the latest provisional as a parseable JSON line
+    tagged partial=true, with exit code 0 — never rc!=0/parsed-null (the
+    BENCH_r04.json failure)."""
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import sys, time\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "import bench\n"
+        "def fake_dispatch(args):\n"
+        "    bench._WATCH.provisional({'metric': 'm', 'value': 1.5,\n"
+        "                              'unit': 'u', 'vs_baseline': None})\n"
+        "    print('# provisional recorded', file=sys.stderr, flush=True)\n"
+        "    time.sleep(600)  # worker blocked 'in a compile'\n"
+        "bench._dispatch = fake_dispatch\n"
+        "sys.argv = ['bench.py', '--budget-s', '600']\n"
+        "bench.main()\n")
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True)
+    # wait until the worker has recorded the provisional
+    deadline = time.time() + 60
+    for line in proc.stderr:
+        if "provisional recorded" in line or time.time() > deadline:
+            break
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=30)
+    assert proc.returncode == 0, (proc.returncode, out)
+    payload = json.loads(
+        [ln for ln in out.splitlines() if ln.startswith("{")][-1])
+    assert payload["partial"] is True
+    assert payload["value"] == 1.5
+
+
+@pytest.mark.slow
+def test_bench_tiny_early_estimate_cpu():
+    """The early-estimate provisional (conservative small-program
+    extrapolation recorded BEFORE the full compile) must be exercised by
+    the --tiny CPU self-test path end-to-end: heartbeat on stderr, final
+    JSON on stdout."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_EARLY_ESTIMATE="1")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py"), "--tiny",
+         "--skip-baseline", "--num-mc", "4", "--iters", "1"],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "early estimate" in proc.stderr
+    payload = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1])
+    assert payload["metric"].endswith("_tinyselftest")
+    assert payload["value"] > 0
+
+
 def test_hub_offline_env_parsing(monkeypatch):
     """HF_HUB_OFFLINE must be parsed with huggingface_hub's semantics:
     '0'/'false'/'' mean ONLINE. A raw truthiness test would treat the
