@@ -271,6 +271,9 @@ class GeoTiff:
         self.compression = int(get1(_T_COMPRESSION, 1))
         self.predictor = int(get1(_T_PREDICTOR, 1))
         self.planar = int(get1(_T_PLANAR, 1))
+        if self.planar not in (1, 2):
+            raise TiffError(f"{self.path}: PlanarConfiguration "
+                            f"{self.planar} invalid (must be 1 or 2)")
         if _T_TILE_OFFSETS in tags:
             tw, th = get1(_T_TILE_WIDTH), get1(_T_TILE_HEIGHT)
             if tw is None or th is None or _T_TILE_COUNTS not in tags:
@@ -294,6 +297,18 @@ class GeoTiff:
             raise TiffError(f"{self.path}: strip/tile offsets vs counts "
                             f"mismatch ({len(self._offsets)} vs "
                             f"{len(self._counts)})")
+        if self.planar == 2:
+            # plane-major block layout: spp x blocks-per-plane entries
+            if self.tile_width:
+                per_plane = (math.ceil(self.width / self.tile_width)
+                             * math.ceil(self.height / self.tile_height))
+            else:
+                per_plane = (self.height - 1) // self.rows_per_strip + 1
+            if len(self._offsets) != self.count * per_plane:
+                raise TiffError(
+                    f"{self.path}: PlanarConfiguration 2 expects "
+                    f"{self.count} x {per_plane} blocks, found "
+                    f"{len(self._offsets)}")
 
         if _T_MODEL_TRANSFORM in tags and len(tags[_T_MODEL_TRANSFORM]) >= 16:
             m = tags[_T_MODEL_TRANSFORM]
@@ -391,9 +406,14 @@ class GeoTiff:
                     band: int = 0, boundless: bool = False,
                     fill_value: float = 0.0) -> np.ndarray:
         """Decode only the strips/tiles intersecting [row_off:row_off+h,
-        col_off:col_off+w]; returns (h, w) of self.dtype for one band."""
-        if self.planar != 1:
-            raise NotImplementedError("planar configuration 2 unsupported")
+        col_off:col_off+w]; returns (h, w) of self.dtype for one band.
+
+        PlanarConfiguration 2 (TIFF 6.0 §"Planar Configuration"): each
+        strip/tile stores ONE sample plane, blocks ordered plane-major
+        (all of band 0, then band 1, ...). Windowed reads decode only the
+        requested band's plane — 1/spp the IO of the chunky layout."""
+        if not 0 <= band < self.count:
+            raise ValueError(f"band {band} out of range ({self.count})")
         out = np.full((h, w), fill_value, self.dtype)
 
         r0 = max(row_off, 0)
@@ -411,34 +431,41 @@ class GeoTiff:
                 self._mm[r0:r1, c0:c1, band]
             return out
 
-        spp = self.count
+        planar2 = self.planar == 2
+        bspp = 1 if planar2 else self.count   # samples stored per block
+        bband = 0 if planar2 else band        # channel index within a block
         if self.tile_width:
             tw, th = self.tile_width, self.tile_height
             tiles_across = math.ceil(self.width / tw)
+            tiles_down = math.ceil(self.height / th)
+            plane_base = band * tiles_across * tiles_down if planar2 else 0
             for trow in range(r0 // th, (r1 - 1) // th + 1):
                 for tcol in range(c0 // tw, (c1 - 1) // tw + 1):
-                    idx = trow * tiles_across + tcol
-                    nbytes = tw * th * spp * self.dtype.itemsize
-                    block = self._decode_block(idx, nbytes).reshape(th, tw, spp)
+                    idx = plane_base + trow * tiles_across + tcol
+                    nbytes = tw * th * bspp * self.dtype.itemsize
+                    block = self._decode_block(idx, nbytes).reshape(
+                        th, tw, bspp)
                     block = self._undo_predictor(block)
                     gr0, gc0 = trow * th, tcol * tw
                     sr0, sc0 = max(r0, gr0), max(c0, gc0)
                     sr1, sc1 = min(r1, gr0 + th), min(c1, gc0 + tw)
                     out[sr0 - row_off:sr1 - row_off,
                         sc0 - col_off:sc1 - col_off] = \
-                        block[sr0 - gr0:sr1 - gr0, sc0 - gc0:sc1 - gc0, band]
+                        block[sr0 - gr0:sr1 - gr0, sc0 - gc0:sc1 - gc0, bband]
         else:
             rps = self.rows_per_strip
+            strips_per_plane = (self.height - 1) // rps + 1
+            plane_base = band * strips_per_plane if planar2 else 0
             for strip in range(r0 // rps, (r1 - 1) // rps + 1):
                 srow0 = strip * rps
                 rows = min(rps, self.height - srow0)
-                nbytes = rows * self.width * spp * self.dtype.itemsize
-                block = self._decode_block(strip, nbytes).reshape(
-                    rows, self.width, spp)
+                nbytes = rows * self.width * bspp * self.dtype.itemsize
+                block = self._decode_block(plane_base + strip, nbytes).reshape(
+                    rows, self.width, bspp)
                 block = self._undo_predictor(block)
                 sr0, sr1 = max(r0, srow0), min(r1, srow0 + rows)
                 out[sr0 - row_off:sr1 - row_off, c0 - col_off:c1 - col_off] = \
-                    block[sr0 - srow0:sr1 - srow0, c0:c1, band]
+                    block[sr0 - srow0:sr1 - srow0, c0:c1, bband]
         return out
 
     def read(self, band: int = 0) -> np.ndarray:
@@ -529,18 +556,42 @@ def extract_grid_patch(
 
 def write_geotiff(path: str, data: np.ndarray,
                   transform: Tuple[float, float, float, float, float, float],
-                  nodata: Optional[float] = None) -> str:
+                  nodata: Optional[float] = None, planar: int = 1,
+                  rows_per_strip: Optional[int] = None) -> str:
     """Minimal uncompressed stripped GeoTIFF writer (test fixtures + patch
-    outputs). data: (H, W) or (H, W, C)."""
+    outputs). data: (H, W) or (H, W, C).
+
+    ``planar=2`` writes PlanarConfiguration-2 (plane-major strips: all of
+    band 0's strips, then band 1's, ...); ``rows_per_strip`` splits each
+    plane into multiple strips (default: one strip per plane)."""
     if data.ndim == 2:
         data = data[:, :, None]
     h, w, c = data.shape
     dt = data.dtype
     fmt = 3 if dt.kind == "f" else (2 if dt.kind == "i" else 1)
     bits = dt.itemsize * 8
+    if planar not in (1, 2):
+        raise ValueError(f"planar must be 1 or 2, got {planar}")
 
-    payload = data.tobytes()
-    # header(8) + payload + IFD
+    rps = int(rows_per_strip or h)
+    strips_per_plane = (h - 1) // rps + 1
+    strips: List[bytes] = []
+    if planar == 2:
+        for b in range(c):
+            for s in range(strips_per_plane):
+                strips.append(np.ascontiguousarray(
+                    data[s * rps:(s + 1) * rps, :, b]).tobytes())
+    else:
+        for s in range(strips_per_plane):
+            strips.append(np.ascontiguousarray(
+                data[s * rps:(s + 1) * rps]).tobytes())
+    n_strips = len(strips)
+    strip_offs = []
+    pos = 8  # header(8) + strips... + IFD
+    for sb in strips:
+        strip_offs.append(pos)
+        pos += len(sb)
+    payload = b"".join(strips)
     strip_offset = 8
     ifd_offset = strip_offset + len(payload)
 
@@ -564,7 +615,8 @@ def write_geotiff(path: str, data: np.ndarray,
     def long_(v):
         return struct.pack("<I", v)
 
-    n_entries = 12 + (1 if nodata is not None else 0)
+    n_entries = (12 + (1 if nodata is not None else 0)
+                 + (1 if planar == 2 else 0))
     extra_base = ifd_offset + 2 + n_entries * 12 + 4
 
     entry(_T_WIDTH, 3, 1, short(w))
@@ -577,10 +629,18 @@ def write_geotiff(path: str, data: np.ndarray,
             struct.pack("<" + "H" * c, *([bits] * c)))))
     entry(_T_COMPRESSION, 3, 1, short(1))
     entry(_T_PHOTOMETRIC, 3, 1, short(1))
-    entry(_T_STRIP_OFFSETS, 4, 1, long_(strip_offset))
+    if n_strips == 1:
+        entry(_T_STRIP_OFFSETS, 4, 1, long_(strip_offset))
+        entry(_T_STRIP_COUNTS, 4, 1, long_(len(payload)))
+    else:
+        entry(_T_STRIP_OFFSETS, 4, n_strips, long_(extra_base + ext(
+            struct.pack("<%dI" % n_strips, *strip_offs))))
+        entry(_T_STRIP_COUNTS, 4, n_strips, long_(extra_base + ext(
+            struct.pack("<%dI" % n_strips, *[len(sb) for sb in strips]))))
     entry(_T_SPP, 3, 1, short(c))
-    entry(_T_ROWS_PER_STRIP, 3, 1, short(h))
-    entry(_T_STRIP_COUNTS, 4, 1, long_(len(payload)))
+    entry(_T_ROWS_PER_STRIP, 3, 1, short(rps))
+    if planar == 2:
+        entry(_T_PLANAR, 3, 1, short(2))
     entry(_T_SAMPLE_FORMAT, 3, 1, short(fmt))
     x0, dx, _, y0, _, dy = transform
     entry(_T_MODEL_PIXEL_SCALE, 12, 3, long_(extra_base + ext(

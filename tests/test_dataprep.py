@@ -121,6 +121,78 @@ def test_geotiff_multiband_and_memmap(tmp_path):
     np.testing.assert_array_equal(np.asarray(mm[:, :, 1]), data[:, :, 1])
 
 
+def test_geotiff_planar2_matches_chunky(tmp_path):
+    """PlanarConfiguration 2 (plane-major strips, TIFF 6.0): full reads,
+    windowed reads, and negative-offset boundless windows must be
+    pixel-identical to the same raster in the default chunky layout.
+    Round 5: was a NotImplementedError guard; rasterio (the reference's
+    reader, functions/functions.py) handles these files, so ours must."""
+    rng = np.random.default_rng(7)
+    h, w, c = 21, 17, 3   # odd sizes: exercises the ragged last strip
+    data = rng.integers(0, 255, (h, w, c), dtype=np.uint8)
+    tf = (5.0, 0.5, 0.0, 40.0, 0.0, -0.5)
+    p1 = str(tmp_path / "chunky_Bathy.tif")
+    p2 = str(tmp_path / "planar_Bathy.tif")
+    write_geotiff(p1, data, transform=tf)
+    write_geotiff(p2, data, transform=tf, planar=2, rows_per_strip=4)
+    g1, g2 = GeoTiff.open(p1), GeoTiff.open(p2)
+    assert g2.planar == 2 and g2.count == c
+    assert g2.transform == g1.transform
+    for b in range(c):
+        np.testing.assert_array_equal(g2.read(b), data[:, :, b])
+        np.testing.assert_array_equal(g2.read_window(5, 3, 9, 11, band=b),
+                                      g1.read_window(5, 3, 9, 11, band=b))
+        np.testing.assert_array_equal(
+            g2.read_window(-4, -2, 12, 10, band=b, boundless=True,
+                           fill_value=9),
+            g1.read_window(-4, -2, 12, 10, band=b, boundless=True,
+                           fill_value=9))
+    with np.testing.assert_raises(ValueError):
+        g2.read_window(0, 0, 4, 4, band=c)   # out-of-range band
+
+
+def test_geotiff_planar2_multistrip_float_and_memmap(tmp_path):
+    """planar-2 float32 bathymetry with several strips per plane: values
+    survive exactly, and the to_memmap pre-pack (the patch-sweep fast
+    path) equals the decode path."""
+    rng = np.random.default_rng(11)
+    h, w = 13, 9
+    data = rng.normal(size=(h, w, 2)).astype(np.float32)
+    path = str(tmp_path / "planar_f32_Bathy.tif")
+    write_geotiff(path, data, transform=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+                  planar=2, rows_per_strip=3)
+    g = GeoTiff.open(path)
+    for b in range(2):
+        np.testing.assert_array_equal(g.read(b), data[:, :, b])
+    mm = g.to_memmap(str(tmp_path / "cache"))
+    np.testing.assert_array_equal(np.asarray(mm), data)
+
+
+def test_geotiff_planar2_wrong_block_count_rejected(tmp_path):
+    """A planar-2 file whose strip table does not hold spp x
+    strips-per-plane entries is structurally broken — must raise TiffError
+    at open, not misindex planes at read time."""
+    import struct as _struct
+
+    from multimodal_auv_tpu.dataprep.geotiff import TiffError
+
+    data = np.zeros((8, 8, 2), np.uint8)
+    path = str(tmp_path / "bad_planar_Bathy.tif")
+    write_geotiff(path, data, transform=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+                  planar=2, rows_per_strip=4)
+    raw = bytearray(open(path, "rb").read())
+    # flip SamplesPerPixel 2 -> 3: the strip table now disagrees with
+    # spp x strips-per-plane
+    tag_spp = _struct.pack("<HHI", 277, 3, 1)
+    i = raw.find(tag_spp)
+    assert i >= 0
+    raw[i + 8:i + 10] = _struct.pack("<H", 3)
+    bad = str(tmp_path / "bad.tif")
+    open(bad, "wb").write(bytes(raw))
+    with np.testing.assert_raises(TiffError):
+        GeoTiff.open(bad)
+
+
 def test_lzw_decode_roundtrip():
     """LZW decoder against the shared reference encoder (tests/lzw_ref.py,
     libtiff early-change semantics; the real-file golden is
