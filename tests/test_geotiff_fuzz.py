@@ -72,6 +72,33 @@ def test_random_byte_corruption_fails_cleanly(valid_tiff, tmp_path):
             pass
 
 
+def test_random_byte_corruption_planar2_fails_cleanly(tmp_path):
+    """Same fuzz discipline over the round-5 planar-2 path: corrupted
+    plane-major files must degrade cleanly (including corrupted
+    PlanarConfiguration / SamplesPerPixel / strip-table bytes, which
+    exercise the new plane-index arithmetic)."""
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 255, (24, 30, 3), dtype=np.uint8)
+    path = str(tmp_path / "planar_valid.tif")
+    write_geotiff(path, data, (500000.0, 1.0, 0.0, 6000000.0, 0.0, -1.0),
+                  planar=2, rows_per_strip=5)
+    np.testing.assert_array_equal(_read_all(path), data[:, :, 0])
+    blob = bytearray(open(path, "rb").read())
+    for trial in range(60):
+        b = bytearray(blob)
+        for _ in range(rng.integers(1, 8)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        p = str(tmp_path / f"pcorrupt_{trial}.tif")
+        with open(p, "wb") as f:
+            f.write(bytes(b))
+        try:
+            g = GeoTiff.open(p)
+            for band in range(min(g.count, 4)):
+                g.read(band)
+        except CLEAN:
+            pass
+
+
 def test_lying_dimensions_rejected(valid_tiff, tmp_path):
     """Patch the width tag to a huge value: must raise TiffError, not
     attempt a giant allocation."""
