@@ -557,13 +557,16 @@ def extract_grid_patch(
 def write_geotiff(path: str, data: np.ndarray,
                   transform: Tuple[float, float, float, float, float, float],
                   nodata: Optional[float] = None, planar: int = 1,
-                  rows_per_strip: Optional[int] = None) -> str:
-    """Minimal uncompressed stripped GeoTIFF writer (test fixtures + patch
+                  rows_per_strip: Optional[int] = None,
+                  tile: Optional[Tuple[int, int]] = None) -> str:
+    """Minimal uncompressed GeoTIFF writer (test fixtures + patch
     outputs). data: (H, W) or (H, W, C).
 
-    ``planar=2`` writes PlanarConfiguration-2 (plane-major strips: all of
-    band 0's strips, then band 1's, ...); ``rows_per_strip`` splits each
-    plane into multiple strips (default: one strip per plane)."""
+    ``planar=2`` writes PlanarConfiguration-2 (plane-major blocks: all of
+    band 0's, then band 1's, ...); ``rows_per_strip`` splits each plane
+    into multiple strips (default: one strip per plane); ``tile=(tw, th)``
+    writes a TILED raster instead of strips (tiles zero-padded to full
+    size at the right/bottom edges, per TIFF 6.0)."""
     if data.ndim == 2:
         data = data[:, :, None]
     h, w, c = data.shape
@@ -572,26 +575,38 @@ def write_geotiff(path: str, data: np.ndarray,
     bits = dt.itemsize * 8
     if planar not in (1, 2):
         raise ValueError(f"planar must be 1 or 2, got {planar}")
+    if tile is not None and rows_per_strip is not None:
+        raise ValueError("tile and rows_per_strip are mutually exclusive")
+
+    def _blocks_of(plane):  # plane: (H, W, bspp) slab -> list of blocks
+        if tile is not None:
+            tw, th = tile
+            out = []
+            for trow in range(math.ceil(h / th)):
+                for tcol in range(math.ceil(w / tw)):
+                    blk = np.zeros((th, tw, plane.shape[2]), dt)
+                    part = plane[trow * th:(trow + 1) * th,
+                                 tcol * tw:(tcol + 1) * tw]
+                    blk[:part.shape[0], :part.shape[1]] = part
+                    out.append(blk.tobytes())
+            return out
+        rps = int(rows_per_strip or h)
+        return [np.ascontiguousarray(plane[s * rps:(s + 1) * rps]).tobytes()
+                for s in range((h - 1) // rps + 1)]
 
     rps = int(rows_per_strip or h)
-    strips_per_plane = (h - 1) // rps + 1
-    strips: List[bytes] = []
     if planar == 2:
-        for b in range(c):
-            for s in range(strips_per_plane):
-                strips.append(np.ascontiguousarray(
-                    data[s * rps:(s + 1) * rps, :, b]).tobytes())
+        blocks = [b for band in range(c)
+                  for b in _blocks_of(data[:, :, band:band + 1])]
     else:
-        for s in range(strips_per_plane):
-            strips.append(np.ascontiguousarray(
-                data[s * rps:(s + 1) * rps]).tobytes())
-    n_strips = len(strips)
-    strip_offs = []
-    pos = 8  # header(8) + strips... + IFD
-    for sb in strips:
-        strip_offs.append(pos)
+        blocks = _blocks_of(data)
+    n_blocks = len(blocks)
+    block_offs = []
+    pos = 8  # header(8) + blocks... + IFD
+    for sb in blocks:
+        block_offs.append(pos)
         pos += len(sb)
-    payload = b"".join(strips)
+    payload = b"".join(blocks)
     strip_offset = 8
     ifd_offset = strip_offset + len(payload)
 
@@ -615,7 +630,12 @@ def write_geotiff(path: str, data: np.ndarray,
     def long_(v):
         return struct.pack("<I", v)
 
-    n_entries = (12 + (1 if nodata is not None else 0)
+    # 9 fixed entries (width/height/bits/compression/photometric/spp/
+    # sample-format/pixel-scale/tiepoint) + the block-layout entries
+    # (strips: offsets/counts/rows-per-strip = 3; tiles: width/height/
+    # offsets/counts = 4) + optionals
+    n_entries = (9 + (4 if tile is not None else 3)
+                 + (1 if nodata is not None else 0)
                  + (1 if planar == 2 else 0))
     extra_base = ifd_offset + 2 + n_entries * 12 + 4
 
@@ -629,16 +649,22 @@ def write_geotiff(path: str, data: np.ndarray,
             struct.pack("<" + "H" * c, *([bits] * c)))))
     entry(_T_COMPRESSION, 3, 1, short(1))
     entry(_T_PHOTOMETRIC, 3, 1, short(1))
-    if n_strips == 1:
-        entry(_T_STRIP_OFFSETS, 4, 1, long_(strip_offset))
-        entry(_T_STRIP_COUNTS, 4, 1, long_(len(payload)))
+    t_off = _T_TILE_OFFSETS if tile is not None else _T_STRIP_OFFSETS
+    t_cnt = _T_TILE_COUNTS if tile is not None else _T_STRIP_COUNTS
+    if n_blocks == 1:
+        entry(t_off, 4, 1, long_(strip_offset))
+        entry(t_cnt, 4, 1, long_(len(payload)))
     else:
-        entry(_T_STRIP_OFFSETS, 4, n_strips, long_(extra_base + ext(
-            struct.pack("<%dI" % n_strips, *strip_offs))))
-        entry(_T_STRIP_COUNTS, 4, n_strips, long_(extra_base + ext(
-            struct.pack("<%dI" % n_strips, *[len(sb) for sb in strips]))))
+        entry(t_off, 4, n_blocks, long_(extra_base + ext(
+            struct.pack("<%dI" % n_blocks, *block_offs))))
+        entry(t_cnt, 4, n_blocks, long_(extra_base + ext(
+            struct.pack("<%dI" % n_blocks, *[len(sb) for sb in blocks]))))
     entry(_T_SPP, 3, 1, short(c))
-    entry(_T_ROWS_PER_STRIP, 3, 1, short(rps))
+    if tile is not None:
+        entry(_T_TILE_WIDTH, 3, 1, short(tile[0]))
+        entry(_T_TILE_HEIGHT, 3, 1, short(tile[1]))
+    else:
+        entry(_T_ROWS_PER_STRIP, 3, 1, short(rps))
     if planar == 2:
         entry(_T_PLANAR, 3, 1, short(2))
     entry(_T_SAMPLE_FORMAT, 3, 1, short(fmt))

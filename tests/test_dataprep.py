@@ -168,6 +168,37 @@ def test_geotiff_planar2_multistrip_float_and_memmap(tmp_path):
     np.testing.assert_array_equal(np.asarray(mm), data)
 
 
+def test_geotiff_tiled_matches_stripped(tmp_path):
+    """The tiled decode branch (read_window's TileWidth path) against the
+    stripped layout of the same pixels — full reads, interior windows, and
+    boundless negative-offset windows, in both planar configurations and
+    with edge tiles that are zero-padded on disk (TIFF 6.0 requires full
+    tiles; the pad must never leak into the output)."""
+    rng = np.random.default_rng(13)
+    h, w, c = 19, 26, 2   # not multiples of the tile size
+    data = rng.integers(0, 255, (h, w, c), dtype=np.uint8)
+    tf = (1.0, 0.25, 0.0, 2.0, 0.0, -0.25)
+    ref = str(tmp_path / "strip_Bathy.tif")
+    write_geotiff(ref, data, transform=tf)
+    g_ref = GeoTiff.open(ref)
+    for planar in (1, 2):
+        p = str(tmp_path / f"tiled_p{planar}_Bathy.tif")
+        write_geotiff(p, data, transform=tf, planar=planar, tile=(8, 6))
+        g = GeoTiff.open(p)
+        assert (g.tile_width, g.tile_height) == (8, 6)
+        assert g.planar == planar
+        for b in range(c):
+            np.testing.assert_array_equal(g.read(b), data[:, :, b])
+            np.testing.assert_array_equal(
+                g.read_window(4, 5, 11, 13, band=b),
+                g_ref.read_window(4, 5, 11, 13, band=b))
+            np.testing.assert_array_equal(
+                g.read_window(-3, 20, 10, 12, band=b, boundless=True,
+                              fill_value=7),
+                g_ref.read_window(-3, 20, 10, 12, band=b, boundless=True,
+                                  fill_value=7))
+
+
 def test_geotiff_planar2_wrong_block_count_rejected(tmp_path):
     """A planar-2 file whose strip table does not hold spp x
     strips-per-plane entries is structurally broken — must raise TiffError
