@@ -379,6 +379,22 @@ class GeoTiff:
             data = _native_or_py_lzw(raw, nbytes_expected)
         elif self.compression == 32773:
             data = _unpackbits_decode(raw, nbytes_expected)
+        elif self.compression == 50000:  # ZSTD (GDAL/libtiff modern default)
+            try:
+                import zstandard
+            except ImportError as e:
+                raise NotImplementedError(
+                    f"{self.path}: zstd-compressed TIFF needs the "
+                    f"'zstandard' module") from e
+            try:
+                # each strip/tile is an independent zstd frame; cap the
+                # output at the expected block size (a lying frame must
+                # not balloon memory)
+                data = zstandard.ZstdDecompressor().decompress(
+                    raw, max_output_size=nbytes_expected)
+            except zstandard.ZstdError as e:
+                raise TiffError(f"{self.path}: corrupt zstd block {idx} "
+                                f"({e})") from e
         else:
             raise NotImplementedError(
                 f"{self.path}: TIFF compression {self.compression} unsupported")
@@ -558,15 +574,18 @@ def write_geotiff(path: str, data: np.ndarray,
                   transform: Tuple[float, float, float, float, float, float],
                   nodata: Optional[float] = None, planar: int = 1,
                   rows_per_strip: Optional[int] = None,
-                  tile: Optional[Tuple[int, int]] = None) -> str:
-    """Minimal uncompressed GeoTIFF writer (test fixtures + patch
-    outputs). data: (H, W) or (H, W, C).
+                  tile: Optional[Tuple[int, int]] = None,
+                  compression: str = "none") -> str:
+    """Minimal GeoTIFF writer (test fixtures + patch outputs).
+    data: (H, W) or (H, W, C).
 
     ``planar=2`` writes PlanarConfiguration-2 (plane-major blocks: all of
     band 0's, then band 1's, ...); ``rows_per_strip`` splits each plane
     into multiple strips (default: one strip per plane); ``tile=(tw, th)``
     writes a TILED raster instead of strips (tiles zero-padded to full
-    size at the right/bottom edges, per TIFF 6.0)."""
+    size at the right/bottom edges, per TIFF 6.0); ``compression`` is
+    'none', 'deflate' (tag 8, zlib per block) or 'zstd' (tag 50000, one
+    zstd frame per block — libtiff/GDAL layout)."""
     if data.ndim == 2:
         data = data[:, :, None]
     h, w, c = data.shape
@@ -577,6 +596,17 @@ def write_geotiff(path: str, data: np.ndarray,
         raise ValueError(f"planar must be 1 or 2, got {planar}")
     if tile is not None and rows_per_strip is not None:
         raise ValueError("tile and rows_per_strip are mutually exclusive")
+    if compression == "none":
+        comp_tag, _pack = 1, lambda b: b
+    elif compression == "deflate":
+        comp_tag, _pack = 8, zlib.compress
+    elif compression == "zstd":
+        import zstandard
+        _cctx = zstandard.ZstdCompressor()
+        comp_tag, _pack = 50000, _cctx.compress
+    else:
+        raise ValueError(f"compression must be 'none', 'deflate' or "
+                         f"'zstd', got {compression!r}")
 
     def _blocks_of(plane):  # plane: (H, W, bspp) slab -> list of blocks
         if tile is not None:
@@ -600,6 +630,7 @@ def write_geotiff(path: str, data: np.ndarray,
                   for b in _blocks_of(data[:, :, band:band + 1])]
     else:
         blocks = _blocks_of(data)
+    blocks = [_pack(b) for b in blocks]
     n_blocks = len(blocks)
     block_offs = []
     pos = 8  # header(8) + blocks... + IFD
@@ -647,7 +678,7 @@ def write_geotiff(path: str, data: np.ndarray,
     else:
         entry(_T_BITS, 3, c, long_(extra_base + ext(
             struct.pack("<" + "H" * c, *([bits] * c)))))
-    entry(_T_COMPRESSION, 3, 1, short(1))
+    entry(_T_COMPRESSION, 3, 1, short(comp_tag))
     entry(_T_PHOTOMETRIC, 3, 1, short(1))
     t_off = _T_TILE_OFFSETS if tile is not None else _T_STRIP_OFFSETS
     t_cnt = _T_TILE_COUNTS if tile is not None else _T_STRIP_COUNTS
