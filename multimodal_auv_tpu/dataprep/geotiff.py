@@ -270,6 +270,14 @@ class GeoTiff:
         self.dtype = _dtype_of(bits, fmt)
         self.compression = int(get1(_T_COMPRESSION, 1))
         self.predictor = int(get1(_T_PREDICTOR, 1))
+        if self.predictor not in (1, 2, 3):
+            # an unknown predictor silently ignored would decode to
+            # garbage pixels, not an error — refuse instead
+            raise TiffError(f"{self.path}: TIFF predictor "
+                            f"{self.predictor} unsupported")
+        if self.predictor == 3 and self.dtype.kind != "f":
+            raise TiffError(f"{self.path}: predictor 3 (floating-point "
+                            f"differencing) on non-float samples")
         self.planar = int(get1(_T_PLANAR, 1))
         if self.planar not in (1, 2):
             raise TiffError(f"{self.path}: PlanarConfiguration "
@@ -354,7 +362,8 @@ class GeoTiff:
         return row, col
 
     # ------------------------------------------------------------------
-    def _decode_block(self, idx: int, nbytes_expected: int) -> np.ndarray:
+    def _decode_block(self, idx: int, nbytes_expected: int,
+                      row_nvals: int = 0) -> np.ndarray:
         if nbytes_expected > _MAX_BLOCK_BYTES:
             raise TiffError(f"{self.path}: block {idx} claims "
                             f"{nbytes_expected} decoded bytes")
@@ -401,6 +410,8 @@ class GeoTiff:
         if len(data) < nbytes_expected:
             # truncated strip: pad with zeros (degrade, don't crash)
             data = data + b"\0" * (nbytes_expected - len(data))
+        if self.predictor == 3:
+            data = self._fp3_undo(data[:nbytes_expected], row_nvals)
         # decode with the FILE's byte order, hand native order downstream:
         # a big-endian ('MM') raster's 16/32-bit samples read byte-swapped
         # through a native-order frombuffer (59k/60k wrong values on a
@@ -410,6 +421,32 @@ class GeoTiff:
         arr = np.frombuffer(data, file_dt, count=nbytes_expected //
                             self.dtype.itemsize)
         return arr.astype(self.dtype, copy=False)
+
+    def _fp3_undo(self, data: bytes, nvals_row: int) -> bytes:
+        """Reverse TIFF predictor 3 (floating-point horizontal
+        differencing, libtiff tif_predict.c::fpAcc) on one block's bytes:
+        per scanline, byte-wise accumulation with stride = samples/pixel
+        across the whole row (crossing byte-plane boundaries), then
+        reassemble each value from its byte planes (stored
+        most-significant-first) into the file's byte order. GDAL writes
+        PREDICTOR=3 for compressed float rasters — exactly the survey
+        bathymetry case."""
+        bps = self.dtype.itemsize
+        stride = 1 if self.planar == 2 else self.count
+        row_bytes = nvals_row * bps
+        a = np.frombuffer(data, np.uint8)
+        if row_bytes == 0 or len(a) % row_bytes:
+            raise TiffError(f"{self.path}: predictor-3 block is not a "
+                            f"whole number of rows")
+        rows = a.reshape(-1, row_bytes)
+        acc = rows.reshape(rows.shape[0], -1, stride).cumsum(
+            axis=1, dtype=np.int64).astype(np.uint8)
+        planes = acc.reshape(rows.shape[0], bps, nvals_row)
+        if self.byteorder == ">":
+            ordered = planes.transpose(0, 2, 1)          # MSB-first file
+        else:
+            ordered = planes[:, ::-1, :].transpose(0, 2, 1)  # LSB-first
+        return np.ascontiguousarray(ordered).tobytes()
 
     def _undo_predictor(self, block: np.ndarray) -> np.ndarray:
         """Horizontal differencing: per row, per channel, cumulative sum
@@ -459,7 +496,8 @@ class GeoTiff:
                 for tcol in range(c0 // tw, (c1 - 1) // tw + 1):
                     idx = plane_base + trow * tiles_across + tcol
                     nbytes = tw * th * bspp * self.dtype.itemsize
-                    block = self._decode_block(idx, nbytes).reshape(
+                    block = self._decode_block(
+                        idx, nbytes, row_nvals=tw * bspp).reshape(
                         th, tw, bspp)
                     block = self._undo_predictor(block)
                     gr0, gc0 = trow * th, tcol * tw
@@ -476,7 +514,9 @@ class GeoTiff:
                 srow0 = strip * rps
                 rows = min(rps, self.height - srow0)
                 nbytes = rows * self.width * bspp * self.dtype.itemsize
-                block = self._decode_block(plane_base + strip, nbytes).reshape(
+                block = self._decode_block(
+                    plane_base + strip, nbytes,
+                    row_nvals=self.width * bspp).reshape(
                     rows, self.width, bspp)
                 block = self._undo_predictor(block)
                 sr0, sr1 = max(r0, srow0), min(r1, srow0 + rows)
@@ -575,7 +615,7 @@ def write_geotiff(path: str, data: np.ndarray,
                   nodata: Optional[float] = None, planar: int = 1,
                   rows_per_strip: Optional[int] = None,
                   tile: Optional[Tuple[int, int]] = None,
-                  compression: str = "none") -> str:
+                  compression: str = "none", predictor: int = 1) -> str:
     """Minimal GeoTIFF writer (test fixtures + patch outputs).
     data: (H, W) or (H, W, C).
 
@@ -585,7 +625,9 @@ def write_geotiff(path: str, data: np.ndarray,
     writes a TILED raster instead of strips (tiles zero-padded to full
     size at the right/bottom edges, per TIFF 6.0); ``compression`` is
     'none', 'deflate' (tag 8, zlib per block) or 'zstd' (tag 50000, one
-    zstd frame per block — libtiff/GDAL layout)."""
+    zstd frame per block — libtiff/GDAL layout); ``predictor`` is 1
+    (none), 2 (integer horizontal differencing) or 3 (floating-point
+    byte-plane differencing — GDAL's PREDICTOR=3 for float rasters)."""
     if data.ndim == 2:
         data = data[:, :, None]
     h, w, c = data.shape
@@ -607,8 +649,16 @@ def write_geotiff(path: str, data: np.ndarray,
     else:
         raise ValueError(f"compression must be 'none', 'deflate' or "
                          f"'zstd', got {compression!r}")
+    if predictor not in (1, 2, 3):
+        raise ValueError(f"predictor must be 1, 2 or 3, got {predictor}")
+    if predictor == 3 and dt.kind != "f":
+        raise ValueError("predictor 3 is floating-point differencing; "
+                         f"data is {dt}")
+    if predictor == 2 and dt.kind not in ("u", "i"):
+        raise ValueError("predictor 2 is integer differencing; "
+                         f"data is {dt}")
 
-    def _blocks_of(plane):  # plane: (H, W, bspp) slab -> list of blocks
+    def _blocks_of(plane):  # plane: (H, W, bspp) slab -> list of arrays
         if tile is not None:
             tw, th = tile
             out = []
@@ -618,19 +668,39 @@ def write_geotiff(path: str, data: np.ndarray,
                     part = plane[trow * th:(trow + 1) * th,
                                  tcol * tw:(tcol + 1) * tw]
                     blk[:part.shape[0], :part.shape[1]] = part
-                    out.append(blk.tobytes())
+                    out.append(blk)
             return out
         rps = int(rows_per_strip or h)
-        return [np.ascontiguousarray(plane[s * rps:(s + 1) * rps]).tobytes()
+        return [np.ascontiguousarray(plane[s * rps:(s + 1) * rps])
                 for s in range((h - 1) // rps + 1)]
+
+    def _predict(arr):  # arr: (rows, cols, bspp) -> encoded bytes
+        if predictor == 2:
+            d = arr.astype(np.int64)
+            d[:, 1:, :] -= arr[:, :-1, :]
+            return d.astype(dt).tobytes()  # modular wrap, matches cumsum undo
+        if predictor == 3:
+            # libtiff fpDiff: per row, split values into byte planes
+            # (most-significant first), then byte-diff with stride = spp
+            r, cols, bspp = arr.shape
+            nvals, bps = cols * bspp, dt.itemsize
+            vb = np.frombuffer(np.ascontiguousarray(arr).tobytes(),
+                               np.uint8).reshape(r, nvals, bps)
+            planes = np.ascontiguousarray(
+                vb[:, :, ::-1].transpose(0, 2, 1))    # [row, MSB-plane, val]
+            flat = planes.reshape(r, -1, bspp).astype(np.int64)
+            d = flat.copy()
+            d[:, 1:, :] -= flat[:, :-1, :]
+            return d.astype(np.uint8).tobytes()
+        return arr.tobytes()
 
     rps = int(rows_per_strip or h)
     if planar == 2:
-        blocks = [b for band in range(c)
-                  for b in _blocks_of(data[:, :, band:band + 1])]
+        raw_blocks = [b for band in range(c)
+                      for b in _blocks_of(data[:, :, band:band + 1])]
     else:
-        blocks = _blocks_of(data)
-    blocks = [_pack(b) for b in blocks]
+        raw_blocks = _blocks_of(data)
+    blocks = [_pack(_predict(b)) for b in raw_blocks]
     n_blocks = len(blocks)
     block_offs = []
     pos = 8  # header(8) + blocks... + IFD
@@ -667,7 +737,8 @@ def write_geotiff(path: str, data: np.ndarray,
     # offsets/counts = 4) + optionals
     n_entries = (9 + (4 if tile is not None else 3)
                  + (1 if nodata is not None else 0)
-                 + (1 if planar == 2 else 0))
+                 + (1 if planar == 2 else 0)
+                 + (1 if predictor > 1 else 0))
     extra_base = ifd_offset + 2 + n_entries * 12 + 4
 
     entry(_T_WIDTH, 3, 1, short(w))
@@ -698,6 +769,8 @@ def write_geotiff(path: str, data: np.ndarray,
         entry(_T_ROWS_PER_STRIP, 3, 1, short(rps))
     if planar == 2:
         entry(_T_PLANAR, 3, 1, short(2))
+    if predictor > 1:
+        entry(_T_PREDICTOR, 3, 1, short(predictor))
     entry(_T_SAMPLE_FORMAT, 3, 1, short(fmt))
     x0, dx, _, y0, _, dy = transform
     entry(_T_MODEL_PIXEL_SCALE, 12, 3, long_(extra_base + ext(

@@ -229,6 +229,132 @@ def test_geotiff_zstd_and_deflate_roundtrip(tmp_path):
                         g_ref.read_window(7, 5, 9, 14, band=b))
 
 
+def test_geotiff_predictor3_float_roundtrip(tmp_path):
+    """PREDICTOR=3 (floating-point byte-plane differencing) — GDAL's
+    recommended setting for compressed float rasters, i.e. exactly the
+    survey bathymetry case. Previously an unknown predictor was silently
+    ignored, which would have decoded such files to garbage pixels; now
+    it decodes exactly (and unknown predictors are refused — see below).
+    Bit-exact round-trip across strips/tiles, chunky/planar-2, and both
+    compressions."""
+    rng = np.random.default_rng(23)
+    h, w, c = 18, 27, 2
+    data = rng.normal(-30.0, 5.0, (h, w, c)).astype(np.float32)
+    tf = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    for comp in ("zstd", "deflate"):
+        for planar in (1, 2):
+            for tile in (None, (8, 8)):
+                kw = {"tile": tile} if tile else {"rows_per_strip": 5}
+                p = str(tmp_path / f"p3_{comp}_p{planar}_"
+                                   f"{'t' if tile else 's'}_Bathy.tif")
+                write_geotiff(p, data, transform=tf, planar=planar,
+                              compression=comp, predictor=3, **kw)
+                g = GeoTiff.open(p)
+                assert g.predictor == 3
+                for b in range(c):
+                    np.testing.assert_array_equal(g.read(b), data[:, :, b])
+                    np.testing.assert_array_equal(
+                        g.read_window(3, 4, 11, 13, band=b),
+                        data[3:14, 4:17, b])
+    # smooth data + predictor 3 must actually help the codec (the point
+    # of the predictor): compare compressed sizes on a gradient raster
+    smooth = np.linspace(0, 1, h * w, dtype=np.float32).reshape(h, w)
+    pa = str(tmp_path / "sm_p1_Bathy.tif")
+    pb = str(tmp_path / "sm_p3_Bathy.tif")
+    write_geotiff(pa, smooth, transform=tf, compression="zstd")
+    write_geotiff(pb, smooth, transform=tf, compression="zstd", predictor=3)
+    assert os.path.getsize(pb) < os.path.getsize(pa)
+
+
+def test_geotiff_predictor3_matches_libtiff_reference_encoding(tmp_path):
+    """The writer's predictor-3 encoding against an independent scalar
+    transcription of libtiff tif_predict.c::fpDiff (byte-plane split
+    MSB-first, then byte differencing with stride=spp, per scanline).
+    Round-trip alone can't catch a shared encoder/decoder misunderstanding
+    (the same trap the LZW golden guards, tests/lzw_ref.py) — this pins
+    the on-disk bytes to the spec, so GDAL-written PREDICTOR=3 files
+    decode correctly."""
+    def fp_diff_ref(row_vals: np.ndarray, spp: int) -> bytes:
+        bps = row_vals.dtype.itemsize
+        n = len(row_vals)
+        src = row_vals.tobytes()  # little-endian host == 'II' file order
+        tmp = bytearray(n * bps)
+        for i in range(n):                      # byte-plane split, MSB first
+            for byte in range(bps):
+                tmp[byte * n + i] = src[bps * i + (bps - byte - 1)]
+        out = bytearray(tmp)                    # stride-spp byte differencing
+        for j in range(n * bps - 1, spp - 1, -1):
+            out[j] = (out[j] - out[j - spp]) & 0xFF
+        return bytes(out)
+
+    rng = np.random.default_rng(31)
+    h, w, c = 5, 7, 2
+    data = rng.normal(size=(h, w, c)).astype(np.float32)
+    path = str(tmp_path / "p3_plain_Bathy.tif")
+    write_geotiff(path, data, transform=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+                  predictor=3)   # uncompressed single strip at offset 8
+    blob = open(path, "rb").read()
+    payload = blob[8:8 + h * w * c * 4]
+    want = b"".join(fp_diff_ref(data[r].reshape(-1), spp=c)
+                    for r in range(h))
+    assert payload == want
+    # and the reader inverts the spec encoding exactly
+    g = GeoTiff.open(path)
+    for b in range(c):
+        np.testing.assert_array_equal(g.read(b), data[:, :, b])
+
+
+def test_geotiff_predictor2_int_roundtrip(tmp_path):
+    """PREDICTOR=2 write side (the decode side was already exercised by
+    LZW goldens): modular-wrap integer differencing must round-trip
+    bit-exactly for uint8 and int16 in both planar layouts."""
+    rng = np.random.default_rng(29)
+    tf = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    for dt in (np.uint8, np.int16):
+        data = rng.integers(np.iinfo(dt).min, np.iinfo(dt).max, (14, 19, 2),
+                            endpoint=True).astype(dt)
+        for planar in (1, 2):
+            p = str(tmp_path / f"p2_{np.dtype(dt).name}_p{planar}_Bathy.tif")
+            write_geotiff(p, data, transform=tf, compression="deflate",
+                          predictor=2, planar=planar, rows_per_strip=4)
+            g = GeoTiff.open(p)
+            for b in range(2):
+                np.testing.assert_array_equal(g.read(b), data[:, :, b])
+
+
+def test_geotiff_unknown_predictor_rejected(tmp_path):
+    """A predictor the reader does not implement must raise TiffError at
+    open — silently ignoring it decodes to garbage pixels, the one
+    failure mode worse than a crash."""
+    import struct as _struct
+
+    from multimodal_auv_tpu.dataprep.geotiff import TiffError
+
+    data = np.zeros((8, 8), np.float32)
+    path = str(tmp_path / "p_Bathy.tif")
+    write_geotiff(path, data, transform=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+                  compression="deflate", predictor=3)
+    raw = bytearray(open(path, "rb").read())
+    tag = _struct.pack("<HHI", 317, 3, 1)
+    i = raw.find(tag)
+    assert i >= 0
+    raw[i + 8:i + 10] = _struct.pack("<H", 34892)  # bogus predictor
+    bad = str(tmp_path / "bad.tif")
+    open(bad, "wb").write(bytes(raw))
+    with np.testing.assert_raises(TiffError):
+        GeoTiff.open(bad)
+    # predictor 3 on integer samples is structurally invalid too
+    raw[i + 8:i + 10] = _struct.pack("<H", 3)
+    fmt_tag = _struct.pack("<HHI", 339, 3, 1)
+    j = raw.find(fmt_tag)
+    assert j >= 0
+    raw[j + 8:j + 10] = _struct.pack("<H", 1)  # claim unsigned-int samples
+    bad2 = str(tmp_path / "bad2.tif")
+    open(bad2, "wb").write(bytes(raw))
+    with np.testing.assert_raises(TiffError):
+        GeoTiff.open(bad2)
+
+
 def test_geotiff_corrupt_zstd_block_degrades_cleanly(tmp_path):
     """A zstd strip whose frame bytes are garbled must raise TiffError
     (skippable by the survey sweep), never a raw zstandard exception or a
