@@ -615,7 +615,8 @@ def write_geotiff(path: str, data: np.ndarray,
                   nodata: Optional[float] = None, planar: int = 1,
                   rows_per_strip: Optional[int] = None,
                   tile: Optional[Tuple[int, int]] = None,
-                  compression: str = "none", predictor: int = 1) -> str:
+                  compression: str = "none", predictor: int = 1,
+                  bigtiff: bool = False) -> str:
     """Minimal GeoTIFF writer (test fixtures + patch outputs).
     data: (H, W) or (H, W, C).
 
@@ -627,7 +628,10 @@ def write_geotiff(path: str, data: np.ndarray,
     'none', 'deflate' (tag 8, zlib per block) or 'zstd' (tag 50000, one
     zstd frame per block — libtiff/GDAL layout); ``predictor`` is 1
     (none), 2 (integer horizontal differencing) or 3 (floating-point
-    byte-plane differencing — GDAL's PREDICTOR=3 for float rasters)."""
+    byte-plane differencing — GDAL's PREDICTOR=3 for float rasters);
+    ``bigtiff=True`` writes the BigTIFF container (magic 43, 8-byte
+    offsets, 20-byte IFD entries, LONG8 block tables — the >4 GB mosaic
+    format GDAL switches to automatically)."""
     if data.ndim == 2:
         data = data[:, :, None]
     h, w, c = data.shape
@@ -702,13 +706,14 @@ def write_geotiff(path: str, data: np.ndarray,
         raw_blocks = _blocks_of(data)
     blocks = [_pack(_predict(b)) for b in raw_blocks]
     n_blocks = len(blocks)
+    hdr_len = 16 if bigtiff else 8
     block_offs = []
-    pos = 8  # header(8) + blocks... + IFD
+    pos = hdr_len  # header + blocks... + IFD
     for sb in blocks:
         block_offs.append(pos)
         pos += len(sb)
     payload = b"".join(blocks)
-    strip_offset = 8
+    strip_offset = hdr_len
     ifd_offset = strip_offset + len(payload)
 
     entries = []
@@ -728,8 +733,15 @@ def write_geotiff(path: str, data: np.ndarray,
     def short(v):
         return struct.pack("<HH", v, 0)
 
+    # pointer-sized value and the block-offset array type: classic TIFF
+    # writes 4-byte LONG (type 4) offsets; BigTIFF writes 8-byte LONG8
+    # (type 16) offsets and 20-byte IFD entries
+    val_len = 8 if bigtiff else 4
+    off_type = 16 if bigtiff else 4
+    off_fmt = "Q" if bigtiff else "I"
+
     def long_(v):
-        return struct.pack("<I", v)
+        return struct.pack("<" + off_fmt, v)
 
     # 9 fixed entries (width/height/bits/compression/photometric/spp/
     # sample-format/pixel-scale/tiepoint) + the block-layout entries
@@ -739,12 +751,16 @@ def write_geotiff(path: str, data: np.ndarray,
                  + (1 if nodata is not None else 0)
                  + (1 if planar == 2 else 0)
                  + (1 if predictor > 1 else 0))
-    extra_base = ifd_offset + 2 + n_entries * 12 + 4
+    if bigtiff:
+        extra_base = ifd_offset + 8 + n_entries * 20 + 8
+    else:
+        extra_base = ifd_offset + 2 + n_entries * 12 + 4
 
     entry(_T_WIDTH, 3, 1, short(w))
     entry(_T_HEIGHT, 3, 1, short(h))
-    if c * 2 <= 4:
-        bits_val = struct.pack("<" + "H" * c, *([bits] * c)).ljust(4, b"\0")
+    if c * 2 <= val_len:
+        bits_val = struct.pack("<" + "H" * c, *([bits] * c)).ljust(val_len,
+                                                                   b"\0")
         entry(_T_BITS, 3, c, bits_val)
     else:
         entry(_T_BITS, 3, c, long_(extra_base + ext(
@@ -754,13 +770,14 @@ def write_geotiff(path: str, data: np.ndarray,
     t_off = _T_TILE_OFFSETS if tile is not None else _T_STRIP_OFFSETS
     t_cnt = _T_TILE_COUNTS if tile is not None else _T_STRIP_COUNTS
     if n_blocks == 1:
-        entry(t_off, 4, 1, long_(strip_offset))
-        entry(t_cnt, 4, 1, long_(len(payload)))
+        entry(t_off, off_type, 1, long_(strip_offset))
+        entry(t_cnt, off_type, 1, long_(len(payload)))
     else:
-        entry(t_off, 4, n_blocks, long_(extra_base + ext(
-            struct.pack("<%dI" % n_blocks, *block_offs))))
-        entry(t_cnt, 4, n_blocks, long_(extra_base + ext(
-            struct.pack("<%dI" % n_blocks, *[len(sb) for sb in blocks]))))
+        entry(t_off, off_type, n_blocks, long_(extra_base + ext(
+            struct.pack("<%d%s" % (n_blocks, off_fmt), *block_offs))))
+        entry(t_cnt, off_type, n_blocks, long_(extra_base + ext(
+            struct.pack("<%d%s" % (n_blocks, off_fmt),
+                        *[len(sb) for sb in blocks]))))
     entry(_T_SPP, 3, 1, short(c))
     if tile is not None:
         entry(_T_TILE_WIDTH, 3, 1, short(tile[0]))
@@ -780,16 +797,30 @@ def write_geotiff(path: str, data: np.ndarray,
     if nodata is not None:
         nd = (repr(float(nodata)).encode() + b"\0")
         entry(_T_GDAL_NODATA, 2, len(nd), long_(extra_base + ext(nd))
-              if len(nd) > 4 else nd.ljust(4, b"\0"))
+              if len(nd) > val_len else nd.ljust(val_len, b"\0"))
 
     entries.sort(key=lambda e: e[0])
     with open(path, "wb") as f:
-        f.write(b"II" + struct.pack("<H", 42) + struct.pack("<I", ifd_offset))
+        if bigtiff:
+            # BigTIFF header: II, magic 43, offset-size 8, pad, 8-byte IFD
+            f.write(b"II" + struct.pack("<HHH", 43, 8, 0)
+                    + struct.pack("<Q", ifd_offset))
+        else:
+            f.write(b"II" + struct.pack("<H", 42)
+                    + struct.pack("<I", ifd_offset))
         f.write(payload)
-        f.write(struct.pack("<H", len(entries)))
-        for tag, typ, cnt, val in entries:
-            f.write(struct.pack("<HHI", tag, typ, cnt) + val[:4].ljust(4, b"\0"))
-        f.write(struct.pack("<I", 0))
+        if bigtiff:
+            f.write(struct.pack("<Q", len(entries)))
+            for tag, typ, cnt, val in entries:
+                f.write(struct.pack("<HHQ", tag, typ, cnt)
+                        + val[:8].ljust(8, b"\0"))
+            f.write(struct.pack("<Q", 0))
+        else:
+            f.write(struct.pack("<H", len(entries)))
+            for tag, typ, cnt, val in entries:
+                f.write(struct.pack("<HHI", tag, typ, cnt)
+                        + val[:4].ljust(4, b"\0"))
+            f.write(struct.pack("<I", 0))
         for e in extra:
             f.write(e)
     return path

@@ -322,6 +322,34 @@ def test_geotiff_predictor2_int_roundtrip(tmp_path):
                 np.testing.assert_array_equal(g.read(b), data[:, :, b])
 
 
+def test_geotiff_bigtiff_roundtrip(tmp_path):
+    """BigTIFF (magic 43, 8-byte offsets, LONG8 block tables) — the
+    container GDAL switches to for >4 GB survey mosaics. The reader's
+    BigTIFF branch previously had no fixture at all. Pixel equality with
+    the classic container across layouts/codecs, plus transform and
+    nodata tag parity."""
+    rng = np.random.default_rng(37)
+    h, w, c = 17, 25, 2
+    data = rng.normal(size=(h, w, c)).astype(np.float32)
+    tf = (5.0, 0.5, 0.0, 40.0, 0.0, -0.5)
+    for planar in (1, 2):
+        for tile in (None, (8, 8)):
+            kw = {"tile": tile} if tile else {"rows_per_strip": 4}
+            pb = str(tmp_path / f"big_p{planar}"
+                                f"{'t' if tile else 's'}_Bathy.tif")
+            write_geotiff(pb, data, transform=tf, planar=planar,
+                          compression="zstd", predictor=3, nodata=-9999.0,
+                          bigtiff=True, **kw)
+            assert open(pb, "rb").read(4) == b"II+\x00"
+            g = GeoTiff.open(pb)
+            assert g.transform == tf and g.nodata == -9999.0
+            for b in range(c):
+                np.testing.assert_array_equal(g.read(b), data[:, :, b])
+                np.testing.assert_array_equal(
+                    g.read_window(3, 4, 9, 12, band=b),
+                    data[3:12, 4:16, b])
+
+
 def test_geotiff_unknown_predictor_rejected(tmp_path):
     """A predictor the reader does not implement must raise TiffError at
     open — silently ignoring it decodes to garbage pixels, the one
