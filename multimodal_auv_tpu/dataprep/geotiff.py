@@ -616,7 +616,8 @@ def write_geotiff(path: str, data: np.ndarray,
                   rows_per_strip: Optional[int] = None,
                   tile: Optional[Tuple[int, int]] = None,
                   compression: str = "none", predictor: int = 1,
-                  bigtiff: bool = False) -> str:
+                  bigtiff: bool = False,
+                  transform_matrix: bool = False) -> str:
     """Minimal GeoTIFF writer (test fixtures + patch outputs).
     data: (H, W) or (H, W, C).
 
@@ -631,7 +632,10 @@ def write_geotiff(path: str, data: np.ndarray,
     byte-plane differencing — GDAL's PREDICTOR=3 for float rasters);
     ``bigtiff=True`` writes the BigTIFF container (magic 43, 8-byte
     offsets, 20-byte IFD entries, LONG8 block tables — the >4 GB mosaic
-    format GDAL switches to automatically)."""
+    format GDAL switches to automatically); ``transform_matrix=True``
+    encodes the geotransform as a ModelTransformation tag (34264, the
+    4x4 matrix some GDAL outputs carry) instead of
+    PixelScale+Tiepoint."""
     if data.ndim == 2:
         data = data[:, :, None]
     h, w, c = data.shape
@@ -747,7 +751,10 @@ def write_geotiff(path: str, data: np.ndarray,
     # sample-format/pixel-scale/tiepoint) + the block-layout entries
     # (strips: offsets/counts/rows-per-strip = 3; tiles: width/height/
     # offsets/counts = 4) + optionals
-    n_entries = (9 + (4 if tile is not None else 3)
+    # transform_matrix packs the geotransform into ONE tag (34264) where
+    # the default uses two (PixelScale + Tiepoint)
+    n_entries = (9 - (1 if transform_matrix else 0)
+                 + (4 if tile is not None else 3)
                  + (1 if nodata is not None else 0)
                  + (1 if planar == 2 else 0)
                  + (1 if predictor > 1 else 0))
@@ -789,11 +796,20 @@ def write_geotiff(path: str, data: np.ndarray,
     if predictor > 1:
         entry(_T_PREDICTOR, 3, 1, short(predictor))
     entry(_T_SAMPLE_FORMAT, 3, 1, short(fmt))
-    x0, dx, _, y0, _, dy = transform
-    entry(_T_MODEL_PIXEL_SCALE, 12, 3, long_(extra_base + ext(
-        struct.pack("<3d", abs(dx), abs(dy), 0.0))))
-    entry(_T_MODEL_TIEPOINT, 12, 6, long_(extra_base + ext(
-        struct.pack("<6d", 0, 0, 0, x0, y0, 0))))
+    x0, dx, rxy, y0, ryx, dy = transform
+    if transform_matrix:
+        # row-major 4x4: x = m0*i + m1*j + m3; y = m4*i + m5*j + m7
+        entry(_T_MODEL_TRANSFORM, 12, 16, long_(extra_base + ext(
+            struct.pack("<16d",
+                        dx, rxy, 0.0, x0,
+                        ryx, dy, 0.0, y0,
+                        0.0, 0.0, 0.0, 0.0,
+                        0.0, 0.0, 0.0, 1.0))))
+    else:
+        entry(_T_MODEL_PIXEL_SCALE, 12, 3, long_(extra_base + ext(
+            struct.pack("<3d", abs(dx), abs(dy), 0.0))))
+        entry(_T_MODEL_TIEPOINT, 12, 6, long_(extra_base + ext(
+            struct.pack("<6d", 0, 0, 0, x0, y0, 0))))
     if nodata is not None:
         nd = (repr(float(nodata)).encode() + b"\0")
         entry(_T_GDAL_NODATA, 2, len(nd), long_(extra_base + ext(nd))

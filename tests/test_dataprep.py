@@ -350,6 +350,27 @@ def test_geotiff_bigtiff_roundtrip(tmp_path):
                     data[3:12, 4:16, b])
 
 
+def test_geotiff_model_transformation_tag(tmp_path):
+    """The ModelTransformation (34264) georeferencing branch — preferred
+    over PixelScale+Tiepoint when present — parsed from a real file,
+    including rotation terms PixelScale cannot express. Previously only
+    the scale+tiepoint branch had fixtures."""
+    data = np.arange(12 * 10, dtype=np.uint8).reshape(12, 10)
+    tf = (400000.0, 0.5, 0.01, 6200000.0, -0.02, -0.5)  # rotated grid
+    pm = str(tmp_path / "matrix_Bathy.tif")
+    write_geotiff(pm, data, transform=tf, transform_matrix=True)
+    g = GeoTiff.open(pm)
+    assert g.transform == tf
+    np.testing.assert_array_equal(g.read(0), data)
+    # axis-aligned case: both encodings must parse to the same transform
+    tf2 = (400000.0, 0.5, 0.0, 6200000.0, 0.0, -0.5)
+    pa = str(tmp_path / "scale_Bathy.tif")
+    pb = str(tmp_path / "matrix2_Bathy.tif")
+    write_geotiff(pa, data, transform=tf2)
+    write_geotiff(pb, data, transform=tf2, transform_matrix=True)
+    assert GeoTiff.open(pa).transform == GeoTiff.open(pb).transform == tf2
+
+
 def test_geotiff_unknown_predictor_rejected(tmp_path):
     """A predictor the reader does not implement must raise TiffError at
     open — silently ignoring it decodes to garbage pixels, the one
