@@ -65,6 +65,8 @@ _MAX_TAG_BYTES = 1 << 26       # 64 MiB per tag payload
 _MAX_DIM = 1 << 20             # 1M pixels per axis
 _MAX_BLOCK_BYTES = 1 << 31     # 2 GiB decoded per strip/tile
 
+_ZSTD_DCTX = None  # lazy zstandard.ZstdDecompressor shared by all reads
+
 
 class TiffError(ValueError):
     """Malformed, truncated, or unsupported TIFF — safe to skip."""
@@ -380,7 +382,10 @@ class GeoTiff:
             data = raw
         elif self.compression in (8, 32946):  # deflate
             try:
-                data = zlib.decompress(raw)
+                # bound the output like the zstd branch: a lying stream
+                # (up to ~1032:1 expansion) must not balloon memory past
+                # the block's declared size before the length check runs
+                data = zlib.decompressobj().decompress(raw, nbytes_expected)
             except zlib.error as e:
                 raise TiffError(f"{self.path}: corrupt deflate block {idx} "
                                 f"({e})") from e
@@ -398,8 +403,14 @@ class GeoTiff:
             try:
                 # each strip/tile is an independent zstd frame; cap the
                 # output at the expected block size (a lying frame must
-                # not balloon memory)
-                data = zstandard.ZstdDecompressor().decompress(
+                # not balloon memory). One decompressor per module — the
+                # windowed sweep decodes thousands of blocks and context
+                # construction is not free (it is documented thread-safe
+                # for decompress())
+                global _ZSTD_DCTX
+                if _ZSTD_DCTX is None:
+                    _ZSTD_DCTX = zstandard.ZstdDecompressor()
+                data = _ZSTD_DCTX.decompress(
                     raw, max_output_size=nbytes_expected)
             except zstandard.ZstdError as e:
                 raise TiffError(f"{self.path}: corrupt zstd block {idx} "
@@ -737,6 +748,14 @@ def write_geotiff(path: str, data: np.ndarray,
     def short(v):
         return struct.pack("<HH", v, 0)
 
+    def dim_entry(tag, v):
+        # TIFF allows SHORT or LONG for the dimension-like tags; >65535
+        # (BigTIFF-scale mosaics) needs LONG — struct.error otherwise
+        if v <= 0xFFFF:
+            entry(tag, 3, 1, short(v))
+        else:
+            entry(tag, 4, 1, struct.pack("<I", v))
+
     # pointer-sized value and the block-offset array type: classic TIFF
     # writes 4-byte LONG (type 4) offsets; BigTIFF writes 8-byte LONG8
     # (type 16) offsets and 20-byte IFD entries
@@ -763,8 +782,8 @@ def write_geotiff(path: str, data: np.ndarray,
     else:
         extra_base = ifd_offset + 2 + n_entries * 12 + 4
 
-    entry(_T_WIDTH, 3, 1, short(w))
-    entry(_T_HEIGHT, 3, 1, short(h))
+    dim_entry(_T_WIDTH, w)
+    dim_entry(_T_HEIGHT, h)
     if c * 2 <= val_len:
         bits_val = struct.pack("<" + "H" * c, *([bits] * c)).ljust(val_len,
                                                                    b"\0")
@@ -787,10 +806,10 @@ def write_geotiff(path: str, data: np.ndarray,
                         *[len(sb) for sb in blocks]))))
     entry(_T_SPP, 3, 1, short(c))
     if tile is not None:
-        entry(_T_TILE_WIDTH, 3, 1, short(tile[0]))
-        entry(_T_TILE_HEIGHT, 3, 1, short(tile[1]))
+        dim_entry(_T_TILE_WIDTH, tile[0])
+        dim_entry(_T_TILE_HEIGHT, tile[1])
     else:
-        entry(_T_ROWS_PER_STRIP, 3, 1, short(rps))
+        dim_entry(_T_ROWS_PER_STRIP, rps)
     if planar == 2:
         entry(_T_PLANAR, 3, 1, short(2))
     if predictor > 1:

@@ -350,6 +350,49 @@ def test_geotiff_bigtiff_roundtrip(tmp_path):
                     data[3:12, 4:16, b])
 
 
+def test_geotiff_wide_dimensions_use_long_tags(tmp_path):
+    """Dimensions beyond 65535 (BigTIFF-scale mosaics) need LONG tags —
+    the SHORT-only writer crashed with struct.error (round-5 review)."""
+    data = (np.arange(2 * 70000, dtype=np.int64) % 251).astype(np.uint8)
+    data = data.reshape(2, 70000)
+    path = str(tmp_path / "wide_Bathy.tif")
+    write_geotiff(path, data, transform=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+                  bigtiff=True)
+    g = GeoTiff.open(path)
+    assert (g.width, g.height) == (70000, 2)
+    np.testing.assert_array_equal(g.read(0), data)
+
+
+def test_geotiff_deflate_bomb_bounded(tmp_path):
+    """A deflate strip that inflates far past the block's declared size
+    (a decompression bomb) must be truncated at the expected byte count —
+    same bound the zstd branch enforces — not ballooned into memory."""
+    import struct as _struct
+    import zlib as _zlib
+
+    data = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    path = str(tmp_path / "d_Bathy.tif")
+    write_geotiff(path, data, transform=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+                  compression="deflate")
+    raw = bytearray(open(path, "rb").read())
+    honest = _zlib.compress(data.tobytes())
+    bomb = _zlib.compress(data.tobytes() + b"\x00" * (64 << 20))
+    assert raw[8:8 + len(honest)] == honest
+    # splice the bomb over the strip and fix StripByteCounts; the strip
+    # region grows, so rebuild the file: header + bomb + original IFD
+    # (offsets in the IFD still point at 8, which is where the bomb sits)
+    ifd = raw[8 + len(honest):]
+    cnt_tag = _struct.pack("<HHI", 279, 4, 1)
+    i = ifd.find(cnt_tag)
+    assert i >= 0
+    ifd[i + 8:i + 12] = _struct.pack("<I", len(bomb))
+    blob = raw[:4] + _struct.pack("<I", 8 + len(bomb)) + bomb + ifd
+    bad = str(tmp_path / "bomb.tif")
+    open(bad, "wb").write(bytes(blob))
+    out = GeoTiff.open(bad).read(0)   # must not allocate 64 MiB
+    np.testing.assert_array_equal(out, data)
+
+
 def test_geotiff_model_transformation_tag(tmp_path):
     """The ModelTransformation (34264) georeferencing branch — preferred
     over PixelScale+Tiepoint when present — parsed from a real file,

@@ -289,11 +289,21 @@ def test_bench_sigterm_emits_provisional_while_worker_blocked():
     proc = subprocess.Popen([sys.executable, "-c", code],
                             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                             text=True)
-    # wait until the worker has recorded the provisional
-    deadline = time.time() + 60
-    for line in proc.stderr:
-        if "provisional recorded" in line or time.time() > deadline:
-            break
+    # wait until the worker has recorded the provisional — via a reader
+    # thread so a silent/dead child can never hang this test (a blocking
+    # `for line in proc.stderr` only re-checks a deadline per line)
+    import threading
+
+    recorded = threading.Event()
+
+    def _watch_stderr():
+        for line in proc.stderr:
+            if "provisional recorded" in line:
+                recorded.set()
+                return
+
+    threading.Thread(target=_watch_stderr, daemon=True).start()
+    recorded.wait(60)  # on timeout, SIGTERM anyway: asserts will report
     proc.send_signal(signal.SIGTERM)
     out, _ = proc.communicate(timeout=30)
     assert proc.returncode == 0, (proc.returncode, out)
@@ -314,7 +324,11 @@ def test_bench_tiny_early_estimate_cpu():
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_EARLY_ESTIMATE="1")
+    # SERIALIZE_ESTIMATE: hold the full compile until the estimate branch
+    # has run — without it, a fast tiny full-program compile can win the
+    # race and legitimately skip the estimate (a flake, not a bug)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_EARLY_ESTIMATE="1",
+               BENCH_TEST_SERIALIZE_ESTIMATE="1")
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "bench.py"), "--tiny",
          "--skip-baseline", "--num-mc", "4", "--iters", "1"],
