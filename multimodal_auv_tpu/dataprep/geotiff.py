@@ -23,6 +23,7 @@ import logging
 import math
 import os
 import struct
+import threading
 import zlib
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
@@ -65,7 +66,7 @@ _MAX_TAG_BYTES = 1 << 26       # 64 MiB per tag payload
 _MAX_DIM = 1 << 20             # 1M pixels per axis
 _MAX_BLOCK_BYTES = 1 << 31     # 2 GiB decoded per strip/tile
 
-_ZSTD_DCTX = None  # lazy zstandard.ZstdDecompressor shared by all reads
+_ZSTD_TLS = threading.local()  # per-thread lazy ZstdDecompressor
 
 
 class TiffError(ValueError):
@@ -385,10 +386,19 @@ class GeoTiff:
                 # bound the output like the zstd branch: a lying stream
                 # (up to ~1032:1 expansion) must not balloon memory past
                 # the block's declared size before the length check runs
-                data = zlib.decompressobj().decompress(raw, nbytes_expected)
+                dobj = zlib.decompressobj()
+                data = dobj.decompress(raw, nbytes_expected)
             except zlib.error as e:
                 raise TiffError(f"{self.path}: corrupt deflate block {idx} "
                                 f"({e})") from e
+            if len(data) < nbytes_expected and not dobj.eof:
+                # short output AND no end-of-stream marker = truncated
+                # stream (partial download/copy) — reject like
+                # zlib.decompress did, rather than zero-padding corrupt
+                # data downstream. (A bound-hit leaves len == expected; a
+                # COMPLETE short stream has eof set and pads as before.)
+                raise TiffError(f"{self.path}: truncated deflate block "
+                                f"{idx}")
         elif self.compression == 5:
             data = _native_or_py_lzw(raw, nbytes_expected)
         elif self.compression == 32773:
@@ -403,14 +413,16 @@ class GeoTiff:
             try:
                 # each strip/tile is an independent zstd frame; cap the
                 # output at the expected block size (a lying frame must
-                # not balloon memory). One decompressor per module — the
+                # not balloon memory). One decompressor per THREAD — the
                 # windowed sweep decodes thousands of blocks and context
-                # construction is not free (it is documented thread-safe
-                # for decompress())
-                global _ZSTD_DCTX
-                if _ZSTD_DCTX is None:
-                    _ZSTD_DCTX = zstandard.ZstdDecompressor()
-                data = _ZSTD_DCTX.decompress(
+                # construction is not free, but zstandard documents
+                # ZstdDecompressor instances as NOT thread safe (one
+                # ZSTD_DCtx each), and this repo's loaders do use thread
+                # pools
+                dctx = getattr(_ZSTD_TLS, "dctx", None)
+                if dctx is None:
+                    dctx = _ZSTD_TLS.dctx = zstandard.ZstdDecompressor()
+                data = dctx.decompress(
                     raw, max_output_size=nbytes_expected)
             except zstandard.ZstdError as e:
                 raise TiffError(f"{self.path}: corrupt zstd block {idx} "

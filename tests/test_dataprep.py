@@ -389,8 +389,19 @@ def test_geotiff_deflate_bomb_bounded(tmp_path):
     blob = raw[:4] + _struct.pack("<I", 8 + len(bomb)) + bomb + ifd
     bad = str(tmp_path / "bomb.tif")
     open(bad, "wb").write(bytes(blob))
-    out = GeoTiff.open(bad).read(0)   # must not allocate 64 MiB
+    import tracemalloc
+
+    tracemalloc.start()
+    try:
+        out = GeoTiff.open(bad).read(0)
+        _, peak = tracemalloc.get_traced_memory()
+    finally:
+        tracemalloc.stop()
     np.testing.assert_array_equal(out, data)
+    # the bound is the point: the unbounded zlib.decompress path inflates
+    # the full 64 MiB before the length check and passes the value
+    # assertion anyway — only the allocation ceiling distinguishes them
+    assert peak < 8 << 20, f"deflate bomb inflated {peak} bytes"
 
 
 def test_geotiff_model_transformation_tag(tmp_path):

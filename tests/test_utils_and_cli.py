@@ -295,18 +295,23 @@ def test_bench_sigterm_emits_provisional_while_worker_blocked():
     import threading
 
     recorded = threading.Event()
+    stderr_lines = []
 
     def _watch_stderr():
+        # sole owner of proc.stderr: drains to EOF so no second reader
+        # (communicate would add one) ever touches the same pipe
         for line in proc.stderr:
+            stderr_lines.append(line)
             if "provisional recorded" in line:
                 recorded.set()
-                return
+        recorded.set()  # EOF: unblock the waiter even if never printed
 
     threading.Thread(target=_watch_stderr, daemon=True).start()
     recorded.wait(60)  # on timeout, SIGTERM anyway: asserts will report
     proc.send_signal(signal.SIGTERM)
-    out, _ = proc.communicate(timeout=30)
-    assert proc.returncode == 0, (proc.returncode, out)
+    out = proc.stdout.read()
+    assert proc.wait(timeout=30) == 0, (proc.returncode, out,
+                                        "".join(stderr_lines[-20:]))
     payload = json.loads(
         [ln for ln in out.splitlines() if ln.startswith("{")][-1])
     assert payload["partial"] is True
@@ -334,7 +339,11 @@ def test_bench_tiny_early_estimate_cpu():
          "--skip-baseline", "--num-mc", "4", "--iters", "1"],
         capture_output=True, text=True, timeout=1200, env=env, cwd=repo)
     assert proc.returncode == 0, proc.stderr[-2000:]
-    assert "early estimate" in proc.stderr
+    # match the SUCCESS heartbeat specifically: the bench deliberately
+    # swallows estimate failures ('early estimate failed (ignored)'), and
+    # a substring match on 'early estimate' would pass on that path too
+    assert "early estimate: >=" in proc.stderr, proc.stderr[-2000:]
+    assert "early estimate failed" not in proc.stderr
     payload = json.loads(
         [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1])
     assert payload["metric"].endswith("_tinyselftest")
