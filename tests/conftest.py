@@ -22,6 +22,13 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# NOTE on collective timeouts: on a 1-core host the 8 virtual devices
+# timeshare one CPU, and XLA:CPU's collective-rendezvous terminate timeout
+# can abort the process at flagship geometry. The debug options
+# (xla_cpu_collective_call_{warn_stuck,terminate_timeout}_seconds) are NOT
+# registered XLA_FLAGS in this jaxlib (setting them here fatals at flag
+# parse) — they must go through jit .compile(compiler_options=...), which
+# tests/test_flagship.py does for the only big-collective executions.
 
 # Make the repo importable without installation.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
